@@ -1,0 +1,245 @@
+"""jit-compiled batched beam search.
+
+TPU-native replacement for the reference's dynamic beam loop
+(reference: fairseq/sequence_generator.py:179-769). Design deltas, all forced
+by XLA's static-shape compilation model:
+
+- fixed decode length (`max_len` bound) with per-sentence stop via masking —
+  no batch shrinking (the reference removes finished sentences from the batch,
+  sequence_generator.py:303-338; we retire them with flags),
+- the 2*beam candidate trick is kept (top-2k so that eos candidates cannot
+  starve the alive set, reference: sequence_generator.py:272-284),
+- KV caches are preallocated [B*K, max_len, H, D] in HBM; beam reorder is a
+  gather over the cache pytree (replaces reorder_incremental_state),
+- scoring matches the reference: hypothesis score = sum of token log-probs
+  (incl. eos) / (generated_len ** lenpen) (sequence_generator.py:646),
+- early termination matches the reference's stop criterion: a sentence stops
+  when its worst finished score can no longer be beaten by any alive
+  continuation at the maximum remaining length.
+
+The search core is model-agnostic: it drives a ``step_fn`` closure
+(tokens, index, caches) -> (log-probs, caches), so ensembles and LM fusion
+compose outside.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e7
+
+
+class BeamState(NamedTuple):
+    cur_index: jax.Array  # scalar int32: next position to write
+    alive_seq: jax.Array  # [B, K, L] int32
+    alive_scores: jax.Array  # [B, K] fp32 (sum of log-probs)
+    finished_seq: jax.Array  # [B, K, L] int32
+    finished_scores: jax.Array  # [B, K] fp32 (length-normalized)
+    finished_lens: jax.Array  # [B, K] int32 (generated length incl. eos)
+    finished_flags: jax.Array  # [B, K] bool
+    caches: Any  # pytree with leading [B * K, ...] batch dim
+
+
+def _flatten_beam(x):
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def _unflatten_beam(x, B, K):
+    return x.reshape((B, K) + x.shape[1:])
+
+
+def _gather_beams(tree, indices):
+    """Gather along beam dim: leaves [B, K_src, ...], indices [B, K_out]."""
+
+    def gather(x):
+        idx = indices.reshape(indices.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def _gather_flat_beams(tree, indices, B, src_k):
+    """Same, for flat leaves [B * K_src, ...] (KV caches)."""
+
+    def gather(x):
+        nested = jnp.take_along_axis(
+            _unflatten_beam(x, B, src_k),
+            indices.reshape(indices.shape + (1,) * (x.ndim - 1)),
+            axis=1,
+        )
+        return _flatten_beam(nested)
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_search(
+    step_fn: Callable,  # (tokens [B*K, 1], index, caches) -> (logprobs [B*K, V] fp32, caches)
+    init_caches: Any,  # pytree, leading dim B*K
+    batch_size: int,
+    beam_size: int,
+    max_len: int,  # static decode-length bound (positions incl. eos)
+    eos: int,
+    pad: int,
+    bos: Optional[int] = None,  # first input token; defaults to eos (fairseq)
+    vocab_size: Optional[int] = None,
+    min_len: int = 1,
+    len_penalty: float = 1.0,
+    unk: Optional[int] = None,
+    unk_penalty: float = 0.0,
+    max_lens: Optional[jax.Array] = None,  # [B] per-sentence max generated len
+    prefix_tokens: Optional[jax.Array] = None,  # [B, P] forced prefix (pad = none)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
+
+    Hypotheses are sorted best-first along K. `tokens` excludes the bos seed,
+    includes eos; positions past the length are `pad`.
+    """
+    B, K = batch_size, beam_size
+    if bos is None:
+        bos = eos
+    if max_lens is None:
+        max_lens = jnp.full((B,), max_len, jnp.int32)
+    max_lens = jnp.minimum(max_lens, max_len).astype(jnp.int32)
+
+    init = BeamState(
+        cur_index=jnp.asarray(0, jnp.int32),
+        alive_seq=jnp.full((B, K, max_len + 1), pad, jnp.int32).at[:, :, 0].set(bos),
+        # only beam 0 live initially so the first expansion is not K duplicates
+        alive_scores=jnp.tile(
+            jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None, :], (B, 1)
+        ),
+        finished_seq=jnp.full((B, K, max_len + 1), pad, jnp.int32),
+        finished_scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        finished_lens=jnp.zeros((B, K), jnp.int32),
+        finished_flags=jnp.zeros((B, K), bool),
+        caches=init_caches,
+    )
+
+    def length_norm(length):
+        return jnp.power(jnp.maximum(length, 1).astype(jnp.float32), len_penalty)
+
+    def cond(state: BeamState) -> jax.Array:
+        not_at_end = state.cur_index < jnp.max(max_lens)
+        # best possible score any alive hypo could still reach
+        best_possible = state.alive_scores[:, 0] / length_norm(max_lens)
+        worst_finished = jnp.min(
+            jnp.where(state.finished_flags, state.finished_scores, NEG_INF), axis=1
+        )
+        all_done = jnp.all(state.finished_flags, axis=1)
+        improvable = jnp.logical_not(all_done) | (best_possible > worst_finished)
+        return not_at_end & jnp.any(improvable)
+
+    def body(state: BeamState) -> BeamState:
+        i = state.cur_index
+        tokens_t = _flatten_beam(
+            jax.lax.dynamic_slice_in_dim(state.alive_seq, i, 1, axis=2)
+        )  # [B*K, 1]
+        logprobs, new_caches = step_fn(tokens_t, i, state.caches)
+        V = logprobs.shape[-1]
+        logprobs = _unflatten_beam(logprobs.astype(jnp.float32), B, K)
+
+        gen_len = i + 1  # length if we emit eos now (incl. eos)
+        # min/max length and unk handling (reference: sequence_generator.py:352-366)
+        logprobs = jnp.where(
+            (gen_len <= min_len),
+            logprobs.at[:, :, eos].set(NEG_INF),
+            logprobs,
+        )
+        if unk is not None and unk_penalty != 0.0:
+            logprobs = logprobs.at[:, :, unk].add(-unk_penalty)
+        logprobs = logprobs.at[:, :, pad].set(NEG_INF)
+        # force eos at per-sentence max length, keeping the model's true eos
+        # score (reference: sequence_generator.py:360-364 masks all-but-eos)
+        at_max = (gen_len >= max_lens)[:, None, None]
+        eos_only = jnp.full_like(logprobs, NEG_INF).at[:, :, eos].set(
+            logprobs[:, :, eos]
+        )
+        logprobs = jnp.where(at_max, eos_only, logprobs)
+        # forced prefix decoding (reference: sequence_generator.py:543-571)
+        if prefix_tokens is not None:
+            P = prefix_tokens.shape[1]
+            in_prefix = i < P
+            forced = jax.lax.dynamic_slice_in_dim(
+                prefix_tokens, jnp.minimum(i, P - 1), 1, axis=1
+            )[:, 0]  # [B]
+            has_force = in_prefix & (forced != pad)
+            forced_row = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == forced[:, None],
+                0.0,
+                NEG_INF,
+            )
+            logprobs = jnp.where(
+                has_force[:, None, None], forced_row[:, None, :], logprobs
+            )
+
+        cand_scores = state.alive_scores[:, :, None] + logprobs  # [B, K, V]
+        flat = cand_scores.reshape(B, K * V)
+        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+        topk_beam = topk_idx // V
+        topk_tok = topk_idx % V
+
+        # gather candidate sequences and write the new token
+        cand_seq = _gather_beams(state.alive_seq, topk_beam)
+        cand_seq = jax.lax.dynamic_update_slice_in_dim(
+            cand_seq, topk_tok[:, :, None], i + 1, axis=2
+        )
+        is_eos = topk_tok == eos
+
+        # ---- alive set: best K non-eos candidates
+        alive_rank = jnp.where(is_eos, NEG_INF, topk_scores)
+        new_alive_scores, alive_pick = jax.lax.top_k(alive_rank, K)
+        new_alive_seq = _gather_beams(cand_seq, alive_pick)
+        picked_beam = jnp.take_along_axis(topk_beam, alive_pick, axis=1)
+        new_kv = _gather_flat_beams(new_caches, picked_beam, B, K)
+
+        # ---- finished set: eos candidates merged with previous finished
+        norm = length_norm(gen_len)
+        fin_cand_scores = jnp.where(is_eos, topk_scores / norm, NEG_INF)
+        all_scores = jnp.concatenate([state.finished_scores, fin_cand_scores], axis=1)
+        all_seq = jnp.concatenate([state.finished_seq, cand_seq], axis=1)
+        all_lens = jnp.concatenate(
+            [state.finished_lens, jnp.full((B, 2 * K), gen_len, jnp.int32)], axis=1
+        )
+        all_flags = jnp.concatenate([state.finished_flags, is_eos], axis=1)
+        new_fin_scores, fin_pick = jax.lax.top_k(all_scores, K)
+        new_fin_seq = _gather_beams(all_seq, fin_pick)
+        new_fin_lens = jnp.take_along_axis(all_lens, fin_pick, axis=1)
+        new_fin_flags = jnp.take_along_axis(all_flags, fin_pick, axis=1)
+
+        return BeamState(
+            cur_index=i + 1,
+            alive_seq=new_alive_seq,
+            alive_scores=new_alive_scores,
+            finished_seq=new_fin_seq,
+            finished_scores=new_fin_scores,
+            finished_lens=new_fin_lens,
+            finished_flags=new_fin_flags,
+            caches=new_kv,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # fall back to alive hypos for sentences with no finished hypo (hit max_len
+    # without eos — can only happen if eos was never forced; defensive)
+    none_finished = jnp.logical_not(jnp.any(final.finished_flags, axis=1))
+    alive_norm = final.alive_scores / length_norm(jnp.max(max_lens))
+    out_seq = jnp.where(
+        none_finished[:, None, None], final.alive_seq, final.finished_seq
+    )
+    out_scores = jnp.where(none_finished[:, None], alive_norm, final.finished_scores)
+    out_lens = jnp.where(
+        none_finished[:, None],
+        jnp.max(max_lens) * jnp.ones_like(final.finished_lens),
+        final.finished_lens,
+    )
+    # strip the bos seed: hypotheses start at position 1
+    tokens = out_seq[:, :, 1:]
+    # mask positions beyond each hypothesis length back to pad
+    pos = jnp.arange(tokens.shape[-1])[None, None, :]
+    tokens = jnp.where(pos < out_lens[:, :, None], tokens, pad)
+    return tokens, out_scores, out_lens

@@ -1,0 +1,197 @@
+"""Sequence generator: encoder once, jit beam-decode loop.
+
+Replaces the reference SequenceGenerator/EnsembleModel stack
+(reference: fairseq/sequence_generator.py:18-905). The split into
+`encode` + `generate_from_encoder` mirrors the reference's
+ControlledSequenceGenerator contract (_get_encoder_outs /
+_generate_from_encoder_outs, reference: controlled_sequence_generator.py:14-423)
+so callers can intercept/modify encoder outputs before decoding.
+
+Encoder K/V for cross-attention is projected once per sentence and expanded
+across beams OUTSIDE the decode loop (beams of one sentence share it, so beam
+reorder never touches it — only the self-attention caches are gathered).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.interlingua import ChimeraInterlinguaModel
+from .beam_search import beam_search
+
+
+@dataclass
+class GeneratorSettings:
+    beam_size: int = 5
+    max_len_a: float = 0.0
+    max_len_b: int = 200
+    min_len: int = 1
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    max_decode_len: int = 256  # static bound for the compiled loop
+    temperature: float = 1.0
+
+
+class SequenceGenerator:
+    def __init__(
+        self,
+        model: ChimeraInterlinguaModel,
+        settings: GeneratorSettings,
+        pad: int = 1,
+        eos: int = 2,
+        unk: int = 3,
+        bos: Optional[int] = None,
+    ):
+        self.model = model
+        self.s = settings
+        self.pad, self.eos, self.unk = pad, eos, unk
+        self.bos = eos if bos is None else bos
+        self._jit_generate = jax.jit(
+            self._generate_from_encoder, static_argnames=("beam_size",)
+        )
+        self._jit_encode_audio = jax.jit(self._encode_audio)
+        self._jit_encode_text = jax.jit(self._encode_text)
+
+    # -------------------------------------------------------------- encode
+
+    def _encode_audio(self, params, source, padding_mask):
+        return self.model.apply(
+            params, source, padding_mask, method=ChimeraInterlinguaModel.encode_audio
+        )
+
+    def _encode_text(self, params, src_tokens):
+        return self.model.apply(
+            params, src_tokens, method=ChimeraInterlinguaModel.encode_text
+        )
+
+    # -------------------------------------------------------------- decode
+
+    def _generate_from_encoder(
+        self,
+        params,
+        encoder_out: jax.Array,  # [B, S, C]
+        encoder_padding_mask: Optional[jax.Array],  # [B, S] or None
+        max_lens: Optional[jax.Array],  # [B] or None
+        beam_size: int,
+    ):
+        B, S, _ = encoder_out.shape
+        K = beam_size
+        max_len = self.s.max_decode_len
+        c = self.model.cfg
+
+        # per-sentence encoder K/V projected once, expanded across beams
+        enc_kv = self.model.apply(
+            params,
+            encoder_out,
+            method=lambda m, e: m.decoder.precompute_encoder_kv(e),
+        )
+        enc_kv = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, K, axis=0), enc_kv
+        )  # [B*K, S, H, D]
+        enc_mask = (
+            None
+            if encoder_padding_mask is None
+            else jnp.repeat(encoder_padding_mask, K, axis=0)
+        )
+
+        head_dim = c.decoder_embed_dim // c.decoder_heads
+        kv_shape = (B * K, max_len + 1, c.decoder_heads, head_dim)
+        init_caches = [
+            {
+                "k": jnp.zeros(kv_shape, self.model.dtype),
+                "v": jnp.zeros(kv_shape, self.model.dtype),
+            }
+            for _ in range(c.decoder_layers)
+        ]
+
+        def step_fn(tokens_t, index, caches):
+            logits, new_caches = self.model.apply(
+                params,
+                tokens_t,
+                index,
+                caches,
+                enc_kv,
+                enc_mask,
+                method=lambda m, t, i, c, ekv, em: m.decoder.step(t, i, c, ekv, em),
+            )
+            if self.s.temperature != 1.0:
+                logits = logits / self.s.temperature
+            logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return logprobs, new_caches
+
+        return beam_search(
+            step_fn,
+            init_caches,
+            batch_size=B,
+            beam_size=K,
+            max_len=max_len,
+            eos=self.eos,
+            pad=self.pad,
+            bos=self.bos,
+            min_len=self.s.min_len,
+            len_penalty=self.s.len_penalty,
+            unk=self.unk,
+            unk_penalty=self.s.unk_penalty,
+            max_lens=max_lens,
+        )
+
+    # ----------------------------------------------------------- public API
+
+    def max_lens_for_src(self, src_lengths: jax.Array) -> jax.Array:
+        """reference: max_len = a * src_len + b (sequence_generator.py:247)."""
+        ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
+        return jnp.minimum(ml, self.s.max_decode_len)
+
+    def generate_audio(
+        self,
+        params,
+        source: jax.Array,  # [B, T] waveform
+        padding_mask: jax.Array,
+        src_lengths: Optional[jax.Array] = None,
+    ):
+        enc, enc_mask = self._jit_encode_audio(params, source, padding_mask)
+        max_lens = (
+            self.max_lens_for_src(src_lengths) if src_lengths is not None else None
+        )
+        return self._jit_generate(
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size
+        )
+
+    def generate_text(
+        self,
+        params,
+        src_tokens: jax.Array,
+        src_lengths: Optional[jax.Array] = None,
+    ):
+        enc, enc_mask = self._jit_encode_text(params, src_tokens)
+        max_lens = (
+            self.max_lens_for_src(src_lengths) if src_lengths is not None else None
+        )
+        return self._jit_generate(
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size
+        )
+
+    def to_hypotheses(
+        self, tokens, scores, lens, nbest: int = 1
+    ) -> List[List[Dict[str, Any]]]:
+        """Host-side: [B, K, L] arrays -> fairseq-style hypo dicts."""
+        tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
+        out = []
+        for b in range(tokens.shape[0]):
+            hyps = []
+            for k in range(min(nbest, tokens.shape[1])):
+                L = int(lens[b, k])
+                hyps.append(
+                    {
+                        "tokens": tokens[b, k, :L],
+                        "score": float(scores[b, k]),
+                    }
+                )
+            out.append(hyps)
+        return out

@@ -1,0 +1,17 @@
+from ..config.registry import ARCHITECTURES, MODELS
+from .interlingua import ChimeraInterlinguaModel, InterlinguaConfig
+
+
+def build_model_from_arch(arch: str, cfg_dict=None, **kw):
+    """Resolve an architecture preset and build the flax module."""
+    model_name, preset = ARCHITECTURES.get(arch)
+    cfg_dict = preset(dict(cfg_dict or {}))
+    builder = MODELS.get(model_name)
+    return builder(cfg_dict, **kw)
+
+
+__all__ = [
+    "ChimeraInterlinguaModel",
+    "InterlinguaConfig",
+    "build_model_from_arch",
+]

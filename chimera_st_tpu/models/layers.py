@@ -1,0 +1,461 @@
+"""Core transformer building blocks (flax.linen, batch-major [B, T, C]).
+
+TPU-native re-design of the reference modules
+(reference: fairseq/modules/multihead_attention.py:20-488,
+fairseq/modules/transformer_layer.py, fairseq/modules/sinusoidal_positional_embedding.py):
+
+- batch-major layout (the reference is time-major TBC; BTC maps better onto
+  XLA/MXU tiling and mesh sharding along batch),
+- fp32 softmax/layernorm under bf16 compute,
+- functional KV caches (explicit pytrees in/out) instead of the reference's
+  UUID-keyed incremental-state dicts
+  (reference: fairseq/incremental_decoding_utils.py:12-47),
+- pre/post-LN switchable exactly like the reference's *_normalize_before.
+
+Param-tree naming mirrors the reference state-dict names (q_proj/k_proj/...,
+fc1/fc2, self_attn_layer_norm, ...) so the torch checkpoint importer is a
+plain name map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+def xavier_uniform_gain(gain: float):
+    base = nn.initializers.xavier_uniform()
+
+    def init(key, shape, dtype):
+        return base(key, shape, dtype) * gain
+
+    return init
+
+
+def fairseq_embed_init(key, shape, dtype):
+    # reference: fairseq/models/transformer.py Embedding(): normal(0, d^-0.5)
+    return jax.random.normal(key, shape, dtype) * (shape[-1] ** -0.5)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics and params, output in compute dtype."""
+
+    dim: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def get_activation(name: str) -> Callable:
+    if name == "relu":
+        return jax.nn.relu
+    if name == "gelu":
+        # torch nn.GELU default = exact erf gelu (reference uses exact)
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_fast" or name == "gelu_accurate":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "linear":
+        return lambda x: x
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def sinusoidal_positions(num_embeddings: int, dim: int, padding_idx: int = 1):
+    """fairseq-layout sinusoid table: [sin(all) | cos(all)] concatenated,
+    row `padding_idx` zeroed, positions offset by padding_idx + 1
+    (reference: fairseq/modules/sinusoidal_positional_embedding.py get_embedding).
+
+    Returns [num_embeddings + padding_idx + 1, dim] table indexed by absolute
+    position id (position id of timestep t is ``padding_idx + 1 + t``).
+    """
+    half = dim // 2
+    n = num_embeddings + padding_idx + 1
+    freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+    angles = jnp.arange(n, dtype=jnp.float32)[:, None] * freq[None, :]
+    table = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=1)
+    if dim % 2 == 1:
+        table = jnp.concatenate([table, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    table = table.at[padding_idx].set(0.0)
+    return table
+
+
+def positional_embedding_from_mask(
+    padding_mask: jax.Array,  # [B, T] True = pad
+    dim: int,
+    padding_idx: int = 1,
+) -> jax.Array:
+    """Sinusoidal positions for (possibly padded) sequences, [B, T, dim].
+
+    Position ids follow the reference's make_positions
+    (reference: fairseq/utils.py make_positions): non-pad position t gets id
+    padding_idx + 1 + t, pads get id padding_idx (the zero row). Use
+    :func:`position_at_step` for incremental decode.
+    """
+    _, T = padding_mask.shape
+    table = sinusoidal_positions(T, dim, padding_idx)
+    nonpad = ~padding_mask
+    pos = (
+        jnp.cumsum(nonpad.astype(jnp.int32), axis=1) * nonpad.astype(jnp.int32)
+        + padding_idx
+    )
+    return table[pos]
+
+
+def position_at_step(step: jax.Array, dim: int, padding_idx: int = 1, max_len: int = 4096):
+    """Sinusoid vector for a scalar decode step (0-based), [dim]."""
+    table = sinusoidal_positions(max_len, dim, padding_idx)
+    return table[padding_idx + 1 + step]
+
+
+class MultiheadAttention(nn.Module):
+    """Multi-head attention with functional KV cache.
+
+    reference: fairseq/modules/multihead_attention.py:20-488 (the incremental
+    k/v buffer + static_kv branches become explicit `cache` pytrees here).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    qkv_same_dim_init: bool = True
+
+    def setup(self):
+        d = self.embed_dim
+        gain = 1.0 / math.sqrt(2) if self.qkv_same_dim_init else 1.0
+        dense = lambda name, g: nn.Dense(
+            d,
+            use_bias=self.bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=xavier_uniform_gain(g),
+            name=name,
+        )
+        self.q_proj = dense("q_proj", gain)
+        self.k_proj = dense("k_proj", gain)
+        self.v_proj = dense("v_proj", gain)
+        self.out_proj = nn.Dense(
+            d,
+            use_bias=self.bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="out_proj",
+        )
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        h = self.num_heads
+        return x.reshape(B, T, h, self.embed_dim // h)
+
+    def compute_kv(self, kv: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Project keys/values once (for static cross-attention caches)."""
+        return self._split(self.k_proj(kv)), self._split(self.v_proj(kv))
+
+    def __call__(
+        self,
+        query: jax.Array,  # [B, Tq, C]
+        kv: Optional[jax.Array] = None,  # [B, Tk, C]; None = self-attention
+        *,
+        key_padding_mask: Optional[jax.Array] = None,  # [B, Tk] True = pad
+        attn_bias: Optional[jax.Array] = None,  # additive [.., Tq, Tk]
+        causal: bool = False,
+        precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        cache: Optional[Dict[str, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        """Returns (out [B, Tq, C], new_cache or None).
+
+        Self-attn incremental decode: pass `cache` = {'k','v'} preallocated
+        [B, Tmax, H, D] and scalar `cache_index`; query must be [B, 1, C].
+        """
+        q = self._split(self.q_proj(query))
+
+        new_cache = None
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        elif cache is not None:
+            assert query.shape[1] == 1, "cached decode is single-step"
+            k_new = self._split(self.k_proj(query))
+            v_new = self._split(self.v_proj(query))
+            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, cache_index, axis=1)
+            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, cache_index, axis=1)
+            new_cache = {"k": k, "v": v}
+            # mask out not-yet-written cache slots
+            t_max = k.shape[1]
+            pos = jnp.arange(t_max)[None, :]
+            future = pos > cache_index
+            key_padding_mask = (
+                future if key_padding_mask is None else (key_padding_mask | future)
+            )
+            causal = False
+        else:
+            src = query if kv is None else kv
+            k = self._split(self.k_proj(src))
+            v = self._split(self.v_proj(src))
+
+        dropout_rng = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out = dot_product_attention(
+            q,
+            k,
+            v,
+            key_padding_mask=key_padding_mask,
+            bias=attn_bias,
+            causal=causal,
+            dropout_rng=dropout_rng,
+            dropout_rate=self.dropout if not deterministic else 0.0,
+        )
+        B, Tq = out.shape[0], out.shape[1]
+        out = self.out_proj(out.reshape(B, Tq, self.embed_dim))
+        return out, new_cache
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre/post-LN encoder layer (reference: fairseq/modules/transformer_layer.py:14-150)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            self.embed_dim,
+            self.num_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="self_attn",
+        )
+        self.self_attn_layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        self.fc1 = nn.Dense(
+            self.ffn_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc1",
+        )
+        self.fc2 = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc2",
+        )
+        self.final_layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        self.act = get_activation(self.activation)
+        self.dropout_layer = nn.Dropout(self.dropout)
+        self.activation_dropout_layer = nn.Dropout(self.activation_dropout)
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C]
+        encoder_padding_mask: Optional[jax.Array] = None,  # [B, T] True = pad
+        attn_bias: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, _ = self.self_attn(
+            x,
+            key_padding_mask=encoder_padding_mask,
+            attn_bias=attn_bias,
+            deterministic=deterministic,
+        )
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = self.act(self.fc1(x))
+        x = self.activation_dropout_layer(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x
+
+    def cross_only(
+        self,
+        queries: jax.Array,  # [B, M, C] (memory slots)
+        keys: jax.Array,  # [B, T, C] (encoder states)
+        key_padding_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Interlingua-layer fast path.
+
+        The reference runs full self-attention over [h; mem] with a column mask
+        that blocks everyone from attending to the mem columns
+        (reference: fairseq/models/chimera/w2v2_transformer_interlingua.py:284-298),
+        then keeps only the mem rows. For mem queries that reduces *exactly* to
+        cross-attention mem -> h with this layer's self-attn parameters, so we
+        compute only the M memory rows: O(M*T) instead of O((T+M)^2).
+        """
+        residual = queries
+        if self.normalize_before:
+            q = self.self_attn_layer_norm(queries)
+            k = self.self_attn_layer_norm(keys)
+        else:
+            q, k = queries, keys
+        x, _ = self.self_attn(
+            q, kv=k, key_padding_mask=key_padding_mask, deterministic=deterministic
+        )
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = self.act(self.fc1(x))
+        x = self.activation_dropout_layer(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Pre/post-LN decoder layer with functional caches
+    (reference: fairseq/modules/transformer_layer.py:152-423)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        mk_attn = lambda name: MultiheadAttention(
+            self.embed_dim,
+            self.num_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        self.self_attn = mk_attn("self_attn")
+        self.encoder_attn = mk_attn("encoder_attn")
+        self.self_attn_layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        self.encoder_attn_layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        self.fc1 = nn.Dense(
+            self.ffn_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc1",
+        )
+        self.fc2 = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="fc2",
+        )
+        self.final_layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        self.act = get_activation(self.activation)
+        self.dropout_layer = nn.Dropout(self.dropout)
+        self.activation_dropout_layer = nn.Dropout(self.activation_dropout)
+
+    def compute_encoder_kv(self, encoder_out: jax.Array):
+        return self.encoder_attn.compute_kv(encoder_out)
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C]
+        encoder_out: Optional[jax.Array] = None,  # [B, S, C]
+        encoder_padding_mask: Optional[jax.Array] = None,  # [B, S]
+        self_attn_padding_mask: Optional[jax.Array] = None,  # [B, T]
+        encoder_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+        self_cache: Optional[Dict[str, jax.Array]] = None,
+        cache_index: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        """Returns (y, new_self_cache)."""
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, new_cache = self.self_attn(
+            x,
+            key_padding_mask=self_attn_padding_mask if self_cache is None else None,
+            causal=self_cache is None,
+            cache=self_cache,
+            cache_index=cache_index,
+            deterministic=deterministic,
+        )
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        if encoder_out is not None or encoder_kv is not None:
+            residual = x
+            if self.normalize_before:
+                x = self.encoder_attn_layer_norm(x)
+            x, _ = self.encoder_attn(
+                x,
+                kv=encoder_out,
+                precomputed_kv=encoder_kv,
+                key_padding_mask=encoder_padding_mask,
+                deterministic=deterministic,
+            )
+            x = self.dropout_layer(x, deterministic=deterministic)
+            x = residual + x
+            if not self.normalize_before:
+                x = self.encoder_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = self.act(self.fc1(x))
+        x = self.activation_dropout_layer(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x, new_cache

@@ -1,0 +1,175 @@
+"""Transformer decoder with tied embeddings and functional KV caches.
+
+TPU-native rebuild of the reference decoder
+(reference: fairseq/models/transformer.py:530-879 TransformerDecoder /
+fairseq/models/speech_to_text/s2t_transformer.py TransformerDecoderScriptable):
+
+- full-sequence teacher-forced forward for training,
+- `step`: single-token incremental decode against preallocated HBM caches
+  (replaces the reference's UUID-keyed incremental-state + dynamic reorder;
+  beam reorder is a gather over the cache pytree done by the generator),
+- sinusoidal positions with fairseq's padding_idx offset so positions match
+  released checkpoints bit-for-bit (they are parameter-free).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embedding import Embed
+from .layers import (
+    LayerNorm,
+    TransformerDecoderLayer,
+    position_at_step,
+    positional_embedding_from_mask,
+)
+
+Dtype = Any
+
+
+class TransformerDecoder(nn.Module):
+    vocab_size: int
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    padding_idx: int = 1
+    share_input_output_embed: bool = True
+    no_scale_embedding: bool = False
+    max_target_positions: int = 1024
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = Embed(
+            self.vocab_size,
+            self.embed_dim,
+            padding_idx=self.padding_idx,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="embed_tokens",
+        )
+        self.layers = [
+            TransformerDecoderLayer(
+                self.embed_dim,
+                self.ffn_dim,
+                self.num_heads,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                activation_dropout=self.activation_dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.normalize_before:
+            self.layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
+        else:
+            self.layer_norm = None
+        if not self.share_input_output_embed:
+            self.output_projection = nn.Dense(
+                self.vocab_size,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="output_projection",
+            )
+        self.embed_scale = 1.0 if self.no_scale_embedding else math.sqrt(self.embed_dim)
+        self.dropout_layer = nn.Dropout(self.dropout)
+
+    def _output_layer(self, x: jax.Array) -> jax.Array:
+        if self.share_input_output_embed:
+            return self.embed_tokens.attend(x)
+        return self.output_projection(x)
+
+    def __call__(
+        self,
+        prev_output_tokens: jax.Array,  # [B, T] int
+        encoder_out: jax.Array,  # [B, S, C]
+        encoder_padding_mask: Optional[jax.Array] = None,  # [B, S]
+        deterministic: bool = True,
+        features_only: bool = False,
+    ) -> jax.Array:
+        """Teacher-forced forward -> logits [B, T, V] (fp32)."""
+        pad_mask = prev_output_tokens == self.padding_idx
+        x = self.embed_scale * self.embed_tokens(prev_output_tokens)
+        pos = positional_embedding_from_mask(
+            pad_mask, self.embed_dim, self.padding_idx
+        )
+        x = x + pos.astype(x.dtype)
+        x = self.dropout_layer(x, deterministic=deterministic)
+
+        for layer in self.layers:
+            x, _ = layer(
+                x,
+                encoder_out=encoder_out,
+                encoder_padding_mask=encoder_padding_mask,
+                self_attn_padding_mask=pad_mask,
+                deterministic=deterministic,
+            )
+        if self.layer_norm is not None:
+            x = self.layer_norm(x)
+        if features_only:
+            return x
+        return self._output_layer(x)
+
+    # ------------------------------------------------------- incremental API
+
+    def init_cache(self, batch: int, max_len: int) -> List[Dict[str, jax.Array]]:
+        head_dim = self.embed_dim // self.num_heads
+        shape = (batch, max_len, self.num_heads, head_dim)
+        return [
+            {
+                "k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype),
+            }
+            for _ in range(self.num_layers)
+        ]
+
+    def precompute_encoder_kv(
+        self, encoder_out: jax.Array
+    ) -> List[Tuple[jax.Array, jax.Array]]:
+        return [layer.compute_encoder_kv(encoder_out) for layer in self.layers]
+
+    def step(
+        self,
+        tokens_t: jax.Array,  # [B, 1] int — token at current step
+        step_index: jax.Array,  # scalar int
+        caches: List[Dict[str, jax.Array]],
+        encoder_kv: List[Tuple[jax.Array, jax.Array]],
+        encoder_padding_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+        """One decode step -> (logits [B, V] fp32, new caches)."""
+        x = self.embed_scale * self.embed_tokens(tokens_t)
+        pos = position_at_step(
+            step_index, self.embed_dim, self.padding_idx, self.max_target_positions
+        )
+        x = x + pos[None, None, :].astype(x.dtype)
+
+        new_caches = []
+        for layer, cache, ekv in zip(self.layers, caches, encoder_kv):
+            x, new_cache = layer(
+                x,
+                encoder_kv=ekv,
+                encoder_padding_mask=encoder_padding_mask,
+                self_cache=cache,
+                cache_index=step_index,
+                deterministic=True,
+            )
+            new_caches.append(new_cache)
+        if self.layer_norm is not None:
+            x = self.layer_norm(x)
+        return self._output_layer(x)[:, 0, :], new_caches

@@ -1,0 +1,66 @@
+"""Attention compute ops.
+
+TPU-native replacement for the reference's MultiheadAttention inner loop
+(reference: fairseq/modules/multihead_attention.py:20-488). Layout is
+batch-major [B, T, H, D] so XLA tiles the two matmuls onto the MXU; softmax
+runs in fp32 regardless of compute dtype (bf16-safe). Masks follow the
+reference convention: ``key_padding_mask`` True = padded (ignored), additive
+``bias`` uses large-negative (not -inf, to avoid NaN rows for fully-masked
+queries — the reference uses -1e8, see fairseq/modules/transformer_layer.py:127).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e8
+
+
+def dot_product_attention(
+    q: jax.Array,  # [B, Tq, H, D] (pre-scaled or not; see scale)
+    k: jax.Array,  # [B, Tk, H, D]
+    v: jax.Array,  # [B, Tk, H, D]
+    key_padding_mask: Optional[jax.Array] = None,  # [B, Tk] True = pad
+    bias: Optional[jax.Array] = None,  # additive, broadcastable to [B, H, Tq, Tk]
+    causal: bool = False,
+    scale: Optional[float] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+) -> jax.Array:
+    """Returns [B, Tq, H, D]."""
+    orig_dtype = q.dtype
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * jnp.float32(scale)
+
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        # offset so the last query attends to all keys (supports cached decode)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + (tk - tq)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+        logits = jnp.where(ki > qi, NEG_INF, logits)
+    if key_padding_mask is not None:
+        logits = jnp.where(
+            key_padding_mask[:, None, None, :], NEG_INF, logits
+        )
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        probs.astype(orig_dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)

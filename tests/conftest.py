@@ -1,15 +1,22 @@
 """Test configuration: force an 8-device CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (set BEFORE jax import)."""
+paths are exercised without TPU hardware.
+
+Note: in this environment the ``JAX_PLATFORMS`` env var is overridden by the
+axon TPU plugin — ``jax.config.update("jax_platforms", ...)`` is authoritative
+and must run before any computation."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
