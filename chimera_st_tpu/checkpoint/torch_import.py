@@ -1,0 +1,309 @@
+"""PyTorch checkpoint importer: fairseq state dicts -> flax param trees.
+
+Loads the released ``Chimera_EN2XX.pt`` / ``wav2vec_small.pt`` checkpoints
+(reference format: fairseq/checkpoint_utils.py:225-311 load_checkpoint_to_cpu —
+a pickle with ``args`` (argparse Namespace), ``model`` (state dict), optimizer
+history) and converts to this package's param layout.
+
+Layout transforms (torch -> flax):
+- Linear:   weight [out, in]           -> kernel [in, out] (transpose)
+- Conv1d:   weight [out, in/groups, k] -> kernel [k, in/groups, out]
+- Norms:    weight -> scale
+- Embedding: weight -> embedding
+- weight-normed pos_conv (reference: wav2vec2.py:783 nn.utils.weight_norm with
+  dim=2): folded into a plain kernel, w = g * v / ||v||_{dims (0,1)}.
+
+Shared decoder in/out embedding: the reference stores
+``decoder.output_projection.weight`` aliased to ``decoder.embed_tokens.weight``
+(fairseq/models/transformer.py:625-648); we import the embedding once and drop
+the alias. Skipped key families (pretraining-only heads, parameter-free
+sinusoidal position dummies) are allowlisted explicitly — anything else
+unmatched is an error, so silent drift is impossible.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# key families that have no equivalent in the inference/training graph we build
+SKIP_PATTERNS = [
+    r"\.embed_positions\._float_tensor$",  # sinusoidal dummy buffer
+    r"encoder\.stashed_weights",  # joint-task swap scratch (reference quirk)
+    r"decoder\.stashed_weights",
+    r"\.version$",
+    r"^_ema\.",
+]
+
+# wav2vec2 pretraining-only modules (not used by extract_features)
+W2V2_PRETRAIN_PATTERNS = [
+    r"mask_emb$",
+    r"quantizer\.",
+    r"project_q\.",
+    r"final_proj\.",
+    r"target_glu\.",
+    r"input_quantizer\.",
+    r"project_inp\.",
+]
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _to_np(t) -> np.ndarray:
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            return t.detach().cpu().float().numpy()
+    except ImportError:
+        pass
+    return np.asarray(t, dtype=np.float32)
+
+
+def _set(tree: Dict, path: List[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _linear(sd, key, out, path):
+    _set(out, path + ["kernel"], _to_np(sd[key + ".weight"]).T)
+    if key + ".bias" in sd:
+        _set(out, path + ["bias"], _to_np(sd[key + ".bias"]))
+
+
+def _norm(sd, key, out, path):
+    _set(out, path + ["scale"], _to_np(sd[key + ".weight"]))
+    _set(out, path + ["bias"], _to_np(sd[key + ".bias"]))
+
+
+def _conv1d(sd, key, out, path):
+    w = _to_np(sd[key + ".weight"])  # [out, in/groups, k]
+    _set(out, path + ["kernel"], w.transpose(2, 1, 0))
+    if key + ".bias" in sd:
+        _set(out, path + ["bias"], _to_np(sd[key + ".bias"]))
+
+
+def _embedding(sd, key, out, path):
+    _set(out, path + ["embedding"], _to_np(sd[key + ".weight"]))
+
+
+def _attn(sd, key, out, path):
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _linear(sd, f"{key}.{proj}", out, path + [proj])
+
+
+def _enc_layer(sd, key, out, path):
+    _attn(sd, f"{key}.self_attn", out, path + ["self_attn"])
+    _norm(sd, f"{key}.self_attn_layer_norm", out, path + ["self_attn_layer_norm"])
+    _linear(sd, f"{key}.fc1", out, path + ["fc1"])
+    _linear(sd, f"{key}.fc2", out, path + ["fc2"])
+    _norm(sd, f"{key}.final_layer_norm", out, path + ["final_layer_norm"])
+
+
+def _dec_layer(sd, key, out, path):
+    _enc_layer(sd, key, out, path)
+    _attn(sd, f"{key}.encoder_attn", out, path + ["encoder_attn"])
+    _norm(sd, f"{key}.encoder_attn_layer_norm", out, path + ["encoder_attn_layer_norm"])
+
+
+def _fold_weight_norm(sd, key) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold torch weight_norm(dim=2) into a plain conv weight."""
+    g = _to_np(sd[key + ".weight_g"])  # [1, 1, k]
+    v = _to_np(sd[key + ".weight_v"])  # [out, in/groups, k]
+    norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
+    w = g * v / np.maximum(norm, 1e-12)
+    return w, _to_np(sd[key + ".bias"])
+
+
+def _count_layers(sd, pattern: str) -> int:
+    idxs = set()
+    rx = re.compile(pattern)
+    for k in sd:
+        m = rx.match(k)
+        if m:
+            idxs.add(int(m.group(1)))
+    return (max(idxs) + 1) if idxs else 0
+
+
+def import_wav2vec2_state_dict(
+    sd: Dict[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """Import a Wav2Vec2Model state dict (keys under `prefix`) to the
+    Wav2Vec2Encoder param subtree."""
+    out: Dict[str, Any] = {}
+    p = prefix
+
+    n_conv = _count_layers(sd, re.escape(p) + r"feature_extractor\.conv_layers\.(\d+)\.0\.weight")
+    for i in range(n_conv):
+        _conv1d(sd, f"{p}feature_extractor.conv_layers.{i}.0", out, ["feature_extractor", f"conv_{i}"])
+    gn_key = f"{p}feature_extractor.conv_layers.0.2"
+    if gn_key + ".weight" in sd:
+        _norm(sd, gn_key, out, ["feature_extractor", "group_norm"])
+    # layer_norm extractor mode stores per-layer norms at index .2.1
+    for i in range(n_conv):
+        ln_key = f"{p}feature_extractor.conv_layers.{i}.2.1"
+        if ln_key + ".weight" in sd:
+            _norm(sd, ln_key, out, ["feature_extractor", f"ln_{i}"])
+
+    _norm(sd, f"{p}layer_norm", out, ["layer_norm"])
+    if f"{p}post_extract_proj.weight" in sd:
+        _linear(sd, f"{p}post_extract_proj", out, ["post_extract_proj"])
+
+    w, b = _fold_weight_norm(sd, f"{p}encoder.pos_conv.0")
+    _set(out, ["pos_conv", "conv", "kernel"], w.transpose(2, 1, 0))
+    _set(out, ["pos_conv", "conv", "bias"], b)
+
+    n_layers = _count_layers(sd, re.escape(p) + r"encoder\.layers\.(\d+)\.")
+    for i in range(n_layers):
+        _enc_layer(sd, f"{p}encoder.layers.{i}", out, [f"layers_{i}"])
+    _norm(sd, f"{p}encoder.layer_norm", out, ["encoder_layer_norm"])
+    return out
+
+
+def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Import a full Chimera interlingua model state dict
+    (reference model: s2t_transformer_w2v2_interlingua) to flax params."""
+    out: Dict[str, Any] = {}
+
+    handled = set()
+
+    def mark(prefix_key: str):
+        for k in sd:
+            if k.startswith(prefix_key):
+                handled.add(k)
+
+    # --- encoder.wav2vec_model
+    out["wav2vec_model"] = import_wav2vec2_state_dict(sd, "encoder.wav2vec_model.")
+    mark("encoder.wav2vec_model.")
+
+    # --- subsampler
+    n_sub = _count_layers(sd, r"encoder\.subsample\.conv_layers\.(\d+)\.weight")
+    for i in range(n_sub):
+        _conv1d(sd, f"encoder.subsample.conv_layers.{i}", out, ["subsample", f"conv_layers_{i}"])
+    mark("encoder.subsample.")
+
+    # --- text branch
+    if "encoder.text_embed_tokens.weight" in sd:
+        _embedding(sd, "encoder.text_embed_tokens", out, ["text_embed_tokens"])
+        mark("encoder.text_embed_tokens.")
+
+    # --- shared encoder stack
+    n_enc = _count_layers(sd, r"encoder\.transformer_layers\.(\d+)\.")
+    for i in range(n_enc):
+        _enc_layer(sd, f"encoder.transformer_layers.{i}", out, [f"transformer_layers_{i}"])
+    mark("encoder.transformer_layers.")
+    n_excl = _count_layers(sd, r"encoder\.audio_exclusive_layers\.(\d+)\.")
+    for i in range(n_excl):
+        _enc_layer(
+            sd, f"encoder.audio_exclusive_layers.{i}", out, [f"audio_exclusive_layers_{i}"]
+        )
+    mark("encoder.audio_exclusive_layers.")
+    if "encoder.layer_norm.weight" in sd:
+        _norm(sd, "encoder.layer_norm", out, ["encoder_layer_norm"])
+        mark("encoder.layer_norm.")
+
+    # --- interlingua
+    if "encoder.interlingua_embedding.weight" in sd:
+        _embedding(sd, "encoder.interlingua_embedding", out, ["interlingua_embedding"])
+        mark("encoder.interlingua_embedding.")
+    n_il = _count_layers(sd, r"encoder\.interlingua_layers\.(\d+)\.")
+    for i in range(n_il):
+        _enc_layer(sd, f"encoder.interlingua_layers.{i}", out, [f"interlingua_layers_{i}"])
+    mark("encoder.interlingua_layers.")
+    if "encoder.modal_embedding.weight" in sd:
+        _embedding(sd, "encoder.modal_embedding", out, ["modal_embedding"])
+        mark("encoder.modal_embedding.")
+
+    # --- decoder
+    _embedding(sd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
+    mark("decoder.embed_tokens.")
+    n_dec = _count_layers(sd, r"decoder\.layers\.(\d+)\.")
+    for i in range(n_dec):
+        _dec_layer(sd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
+    mark("decoder.layers.")
+    if "decoder.layer_norm.weight" in sd:
+        _norm(sd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
+        mark("decoder.layer_norm.")
+    if "decoder.output_projection.weight" in sd:
+        w_proj = _to_np(sd["decoder.output_projection.weight"])
+        w_emb = _to_np(sd["decoder.embed_tokens.weight"])
+        if w_proj.shape == w_emb.shape and np.allclose(w_proj, w_emb):
+            pass  # tied — already imported via the embedding
+        else:
+            _set(out, ["decoder", "output_projection", "kernel"], w_proj.T)
+        mark("decoder.output_projection.")
+
+    # --- completeness check
+    unmatched = []
+    for k in sd:
+        if k in handled:
+            continue
+        if any(re.search(pat, k) for pat in SKIP_PATTERNS):
+            continue
+        unmatched.append(k)
+    if unmatched:
+        raise ValueError(
+            f"unmatched checkpoint keys (importer out of date?): {unmatched[:20]}"
+        )
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def strip_w2v2_pretraining_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop pretraining-only heads from a raw wav2vec2 checkpoint state dict."""
+    out = {}
+    for k, v in sd.items():
+        if any(re.search(p, k) for p in W2V2_PRETRAIN_PATTERNS):
+            continue
+        if any(re.search(p, k) for p in SKIP_PATTERNS):
+            continue
+        out[k] = v
+    return out
+
+
+def infer_interlingua_config(ckpt_args, tgt_vocab: int, src_vocab: Optional[int]):
+    """Build an InterlinguaConfig from a checkpoint's argparse Namespace
+    (reference: ckpt['args'] written by fairseq-train)."""
+    from ..models.interlingua import InterlinguaConfig
+
+    g = lambda name, default: getattr(ckpt_args, name, default)
+    kernel_sizes = tuple(
+        int(k) for k in str(g("conv_kernel_sizes", "5,5")).split(",")
+    )
+    return InterlinguaConfig(
+        tgt_vocab_size=tgt_vocab,
+        src_vocab_size=src_vocab,
+        encoder_embed_dim=g("encoder_embed_dim", 512),
+        encoder_ffn_dim=g("encoder_ffn_embed_dim", 2048),
+        encoder_layers=g("encoder_layers", 12),
+        encoder_heads=g("encoder_attention_heads", 8),
+        decoder_embed_dim=g("decoder_embed_dim", 512),
+        decoder_ffn_dim=g("decoder_ffn_embed_dim", 2048),
+        decoder_layers=g("decoder_layers", 6),
+        decoder_heads=g("decoder_attention_heads", 8),
+        interlingua_length=g("interlingua_length", 16),
+        interlingua_layers=g("interlingua_layers", 3),
+        non_shared_encoder_layers=g("non_shared_encoder_layers", 0),
+        no_interlingua=g("no_interlingua", False),
+        conv_kernel_sizes=kernel_sizes,
+        conv_channels=g("conv_channels", 1024),
+        dropout=g("dropout", 0.1),
+        attention_dropout=g("attention_dropout", 0.1),
+        activation_dropout=g("activation_dropout", 0.1),
+        activation=g("activation_fn", "relu"),
+        share_decoder_input_output_embed=g("share_decoder_input_output_embed", True),
+        no_scale_embedding=g("no_scale_embedding", False),
+    )

@@ -28,7 +28,7 @@ TINY = InterlinguaConfig(
     w2v2_ffn_dim=32,
     w2v2_layers=2,
     w2v2_heads=2,
-    w2v2_conv_spec=((8, 10, 5), (16, 3, 2)),
+    w2v2_conv_spec=((8, 10, 5), (12, 3, 2)),  # 12 != 16: exercises post_extract_proj
     w2v2_conv_pos=8,
     w2v2_conv_pos_groups=4,
     max_target_positions=64,
