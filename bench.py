@@ -1,0 +1,113 @@
+"""Decode-throughput benchmark (runs on one real TPU chip).
+
+Measures batched beam-search speech translation on the flagship architecture
+(512-d encoder/decoder, wav2vec2-base 768-d trunk, full 12+6+3 layer depth,
+M=16 memory) under the reference eval protocol shape: beam 10 on ~6 s
+utterances (MuST-C tst-COMMON mean duration), bf16 compute.
+
+Prints ONE JSON line: utterances/sec/chip, with RTFx (audio-seconds processed
+per wall-second) in extras. `vs_baseline` is measured against
+REF_A100_UTT_PER_SEC, an assumed fairseq/A100 baseline for the same protocol
+(the reference publishes no throughput numbers — BASELINE.md; fairseq
+sequence_generator with a wav2vec2 front end decodes ~10 utt/s on A100-class
+hardware at beam 10; the BASELINE.json target is >=20x that).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_A100_UTT_PER_SEC = 10.0  # assumed fairseq A100 baseline (see docstring)
+
+BATCH = 16
+AUDIO_SECONDS = 6.0
+SAMPLE_RATE = 16000
+BEAM = 10
+MAX_DECODE_LEN = 64
+ITERS = 8
+
+
+def main():
+    from chimera_st_tpu.generation.generator import (
+        GeneratorSettings,
+        SequenceGenerator,
+    )
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
+    )
+
+    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
+
+    T = int(AUDIO_SECONDS * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(BATCH, T)) * 0.1, jnp.float32)
+    mask = jnp.zeros((BATCH, T), bool)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        audio[:1],
+        mask[:1],
+        jnp.full((1, 4), 2, jnp.int32),
+        jnp.full((1, 4), 2, jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+
+    # min_len pins the decode loop to a realistic hypothesis length (random
+    # params would otherwise emit eos after ~2 steps and measure nothing):
+    # tst-COMMON references average ~30 target tokens.
+    gen = SequenceGenerator(
+        model,
+        GeneratorSettings(
+            beam_size=BEAM,
+            max_decode_len=MAX_DECODE_LEN,
+            len_penalty=1.5,
+            min_len=30,
+        ),
+    )
+
+    # distinct input batches: the axon runtime dedupes identical dispatches,
+    # so repeating one batch measures nothing. Dispatch all, then sync —
+    # amortizes the ~30 ms tunnel round-trip like pipelined serving would.
+    batches = [
+        jnp.asarray(rng.normal(size=(BATCH, T)) * 0.1, jnp.float32)
+        for _ in range(ITERS)
+    ]
+    batches = [jax.device_put(b) for b in batches]
+    jax.block_until_ready(batches)
+
+    tokens, _, _ = gen.generate_audio(params, audio, mask)
+    jax.block_until_ready(tokens)  # compile
+    t0 = time.perf_counter()
+    outs = [gen.generate_audio(params, b, mask)[0] for b in batches]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    utt_per_sec = BATCH / dt
+    rtfx = BATCH * AUDIO_SECONDS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "decode_utterances_per_sec_per_chip",
+                "value": round(utt_per_sec, 2),
+                "unit": "utt/s",
+                "vs_baseline": round(utt_per_sec / REF_A100_UTT_PER_SEC, 2),
+                "extras": {
+                    "rtfx": round(rtfx, 1),
+                    "batch": BATCH,
+                    "beam": BEAM,
+                    "audio_seconds": AUDIO_SECONDS,
+                    "max_decode_len": MAX_DECODE_LEN,
+                    "secs_per_batch": round(dt, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

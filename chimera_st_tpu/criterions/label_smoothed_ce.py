@@ -1,0 +1,93 @@
+"""Label-smoothed cross entropy.
+
+Matches the reference formula exactly
+(reference: fairseq/criterions/label_smoothed_cross_entropy.py:13-31):
+loss = (1 - eps) * nll + (eps / V) * sum_v(-lprobs_v), pad positions zeroed.
+Log-softmax runs in fp32 (bf16-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.registry import register_criterion
+
+
+def label_smoothed_nll_loss(
+    lprobs: jax.Array,  # [..., V] log-probabilities (fp32)
+    target: jax.Array,  # [...] int
+    epsilon: float,
+    ignore_index: Optional[int] = 1,
+    reduce: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (loss, nll_loss); summed over non-pad positions if reduce."""
+    nll = -jnp.take_along_axis(lprobs, target[..., None], axis=-1)[..., 0]
+    smooth = -jnp.sum(lprobs, axis=-1)
+    if ignore_index is not None:
+        keep = target != ignore_index
+        nll = jnp.where(keep, nll, 0.0)
+        smooth = jnp.where(keep, smooth, 0.0)
+    if reduce:
+        nll = jnp.sum(nll)
+        smooth = jnp.sum(smooth)
+    eps_i = epsilon / lprobs.shape[-1]
+    loss = (1.0 - epsilon) * nll + eps_i * smooth
+    return loss, nll
+
+
+def ce_loss_from_logits(
+    logits: jax.Array,  # [B, T, V]
+    target: jax.Array,  # [B, T]
+    epsilon: float = 0.0,
+    ignore_index: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return label_smoothed_nll_loss(lprobs, target, epsilon, ignore_index)
+
+
+def accuracy_counts(logits, target, ignore_index: int = 1):
+    keep = target != ignore_index
+    pred = jnp.argmax(logits, axis=-1)
+    n_correct = jnp.sum((pred == target) & keep)
+    total = jnp.sum(keep)
+    return n_correct, total
+
+
+@register_criterion("label_smoothed_cross_entropy")
+def make_label_smoothed_ce(cfg: dict):
+    """Criterion factory. Returned fn: (model, params, batch, rngs) ->
+    (loss, sample_size, logging)."""
+    eps = float(cfg.get("label_smoothing", 0.1))
+    sentence_avg = bool(cfg.get("sentence_avg", False))
+    ignore_index = int(cfg.get("padding_idx", 1))
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        from ..models.interlingua import ChimeraInterlinguaModel
+
+        logits, _ = model.apply(
+            params,
+            batch["src_tokens"],
+            batch["prev_output_tokens"],
+            deterministic=not train,
+            rngs=rngs,
+            method=ChimeraInterlinguaModel.forward_text_with_internal,
+        )
+        loss, nll = ce_loss_from_logits(
+            logits, batch["target"], eps, ignore_index
+        )
+        ntokens = batch["ntokens"]
+        nsentences = batch["target"].shape[0]
+        sample_size = nsentences if sentence_avg else ntokens
+        logging = {
+            "loss": loss,
+            "nll_loss": nll,
+            "ntokens": ntokens,
+            "nsentences": nsentences,
+            "sample_size": sample_size,
+        }
+        return loss, sample_size, logging
+
+    return criterion

@@ -1,0 +1,100 @@
+"""Token-budget batch packing + static-shape length bucketing.
+
+`batch_by_size` reproduces the reference's packing semantics
+(reference: fairseq/data/data_utils.py:276 + data_utils_fast.pyx:27-123):
+walk indices (usually sorted by length), close a batch when adding the next
+item would push ``max(len) * (n+1)`` over ``max_tokens`` or hit
+``max_sentences``; closed batches are trimmed to a multiple of
+``required_batch_size_multiple`` when larger than it.
+
+On top of that — new for XLA — `quantile_buckets`/`pad_to_bucket` bound the
+number of distinct compiled shapes: each batch pads its time dimension up to
+a bucket edge instead of the ragged batch max (the reference pads to batch
+max, which is fine for eager CUDA but would recompile per shape under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+
+
+def batch_by_size(
+    indices: np.ndarray,
+    num_tokens_fn: Union[Callable[[int], int], np.ndarray],
+    max_tokens: Optional[int] = None,
+    max_sentences: Optional[int] = None,
+    required_batch_size_multiple: int = 1,
+) -> List[np.ndarray]:
+    if isinstance(num_tokens_fn, np.ndarray):
+        sizes = num_tokens_fn[indices]
+    else:
+        sizes = np.asarray([num_tokens_fn(int(i)) for i in indices], dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    max_tokens = max_tokens if max_tokens is not None else np.iinfo(np.int64).max
+    max_sentences = (
+        max_sentences if max_sentences is not None else np.iinfo(np.int64).max
+    )
+    bsz_mult = required_batch_size_multiple
+
+    batches: List[np.ndarray] = []
+    batch: List[int] = []
+    batch_sizes: List[int] = []
+    sample_len = 0
+    for idx, sz in zip(indices, sizes):
+        sz = int(sz)
+        sample_len = max(sample_len, sz)
+        assert sz <= max_tokens, (
+            f"sentence at index {idx} of size {sz} exceeds max_tokens {max_tokens}"
+        )
+        num_tokens = (len(batch) + 1) * sample_len
+        if batch and (len(batch) == max_sentences or num_tokens > max_tokens):
+            mod_len = max(
+                bsz_mult * (len(batch) // bsz_mult),
+                len(batch) % bsz_mult,
+            )
+            batches.append(np.asarray(batch[:mod_len], dtype=np.int64))
+            batch, batch_sizes = batch[mod_len:], batch_sizes[mod_len:]
+            sample_len = max(batch_sizes + [sz])
+        batch.append(int(idx))
+        batch_sizes.append(sz)
+    if batch:
+        batches.append(np.asarray(batch, dtype=np.int64))
+    return batches
+
+
+def quantile_buckets(lengths: Sequence[int], n_buckets: int = 10) -> np.ndarray:
+    """Bucket edges at length quantiles; last edge = max length."""
+    lengths = np.asarray(lengths)
+    qs = np.quantile(lengths, np.linspace(1.0 / n_buckets, 1.0, n_buckets))
+    edges = np.unique(np.ceil(qs).astype(np.int64))
+    edges[-1] = max(edges[-1], lengths.max())
+    return edges
+
+
+def pad_to_bucket(length: int, edges: np.ndarray) -> int:
+    """Smallest bucket edge >= length (static-shape padding target)."""
+    i = int(np.searchsorted(edges, length, side="left"))
+    return int(edges[min(i, len(edges) - 1)]) if length <= edges[-1] else int(length)
+
+
+def collate_tokens(
+    sequences: List[np.ndarray],
+    pad_value: Union[int, float],
+    target_len: Optional[int] = None,
+    dtype=None,
+    left_pad: bool = False,
+) -> np.ndarray:
+    """Pad 1-D arrays into [B, T] (reference: data_utils.py:34 collate_tokens,
+    extended with a static target_len for bucketed shapes)."""
+    max_len = max(len(s) for s in sequences)
+    T = max(max_len, target_len or 0)
+    dtype = dtype or np.asarray(sequences[0]).dtype
+    out = np.full((len(sequences), T), pad_value, dtype=dtype)
+    for i, s in enumerate(sequences):
+        if left_pad:
+            out[i, T - len(s) :] = s
+        else:
+            out[i, : len(s)] = s
+    return out

@@ -1,0 +1,225 @@
+"""Epoch batch iterators (reference: fairseq/data/iterators.py:27-566).
+
+`EpochBatchIterator` keeps the reference's contract — frozen batch list,
+per-epoch shuffle seeded by (seed, epoch), shard slicing with fill, and a
+checkpointable ``state_dict`` with ``iterations_in_epoch`` for mid-epoch
+resume — plus a background-thread prefetcher that overlaps host-side collation
+with device compute (replaces BufferedIterator, iterators.py:503-566)."""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Any, Callable, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+
+class CountingIterator:
+    """Iterator wrapper that counts elements (reference: iterators.py:27)."""
+
+    def __init__(self, iterable, start: int = 0, total: Optional[int] = None):
+        self._itr = iter(iterable)
+        self.n = start
+        self.total = (
+            start + len(iterable) if total is None and hasattr(iterable, "__len__")
+            else total
+        )
+
+    def __len__(self):
+        return self.total if self.total is not None else 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.total is not None and self.n >= self.total:
+            raise StopIteration
+        x = next(self._itr)
+        self.n += 1
+        return x
+
+    def has_next(self) -> bool:
+        return self.total is None or self.n < self.total
+
+    def skip(self, n: int) -> "CountingIterator":
+        next(itertools.islice(self._itr, n, n), None)
+        self.n += n
+        return self
+
+
+class GroupedIterator(CountingIterator):
+    """Groups `chunk_size` elements (update_freq; reference: iterators.py:438)."""
+
+    def __init__(self, iterable, chunk_size: int):
+        self.chunk_size = chunk_size
+        inner_len = len(iterable) if hasattr(iterable, "__len__") else None
+        total = (
+            -(-inner_len // chunk_size) if inner_len is not None else None
+        )
+        self._inner = iter(iterable)
+        self.n = 0
+        self.total = total
+
+    def __next__(self):
+        chunk = list(itertools.islice(self._inner, self.chunk_size))
+        if not chunk:
+            raise StopIteration
+        self.n += 1
+        return chunk
+
+
+class BackgroundPrefetcher:
+    """Prefetch from an iterator on a daemon thread (bounded queue)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, buffer_size: int = 4):
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(buffer_size, 1))
+        self._len = len(iterable) if hasattr(iterable, "__len__") else None
+        self._thread = threading.Thread(
+            target=self._worker, args=(iter(iterable),), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, itr):
+        try:
+            for x in itr:
+                self._queue.put(x)
+        finally:
+            self._queue.put(self._SENTINEL)
+
+    def __len__(self):
+        return self._len if self._len is not None else 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = self._queue.get()
+        if x is self._SENTINEL:
+            raise StopIteration
+        return x
+
+
+class EpochBatchIterator:
+    """reference: iterators.py:195-437.
+
+    Args:
+        dataset_collate: fn(list_of_indices) -> batch (host-side collation)
+        batches: frozen list of index arrays (from batch_by_size)
+    """
+
+    def __init__(
+        self,
+        dataset_collate: Callable[[np.ndarray], Any],
+        batches: List[np.ndarray],
+        seed: int = 1,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        buffer_size: int = 4,
+        skip_remainder_batch: bool = False,
+    ):
+        self.collate = dataset_collate
+        self.frozen_batches = list(batches)
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.buffer_size = buffer_size
+        self.skip_remainder_batch = skip_remainder_batch
+        self.epoch = 1
+        self._cur: Optional[CountingIterator] = None
+        self._next_epoch_itr: Optional[CountingIterator] = None
+        self.shuffle = True
+
+    @property
+    def first_batch(self):
+        if not self.frozen_batches:
+            return None
+        return self.collate(self.frozen_batches[0])
+
+    def __len__(self):
+        return -(-len(self.frozen_batches) // self.num_shards)
+
+    @property
+    def n(self) -> int:
+        return self.iterations_in_epoch
+
+    @property
+    def iterations_in_epoch(self) -> int:
+        if self._cur is not None:
+            return self._cur.n
+        return 0
+
+    def _shuffled(self, epoch: int, shuffle: bool) -> List[np.ndarray]:
+        batches = list(self.frozen_batches)
+        if shuffle:
+            rng = np.random.default_rng([self.seed, epoch])
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        # shard with fill so every shard sees the same number of batches
+        # (reference: ShardedIterator fill batches)
+        n = len(batches)
+        per = -(-n // self.num_shards)
+        sharded = [
+            batches[(self.shard_id + i * self.num_shards) % max(n, 1)]
+            for i in range(per)
+        ] if n else []
+        return sharded
+
+    def next_epoch_itr(self, shuffle: bool = True, offset: int = 0):
+        if self._next_epoch_itr is not None:
+            itr = self._next_epoch_itr
+            self._next_epoch_itr = None
+        else:
+            batches = self._shuffled(self.epoch, shuffle)
+            gen = (self.collate(b) for b in batches)
+            source = BackgroundPrefetcher(
+                _SizedGenerator(gen, len(batches)), self.buffer_size
+            ) if self.buffer_size > 0 else _SizedGenerator(gen, len(batches))
+            itr = CountingIterator(source, total=len(batches))
+            if offset > 0:
+                itr.skip(offset)
+        self.shuffle = shuffle
+        self._cur = itr
+        return itr
+
+    def end_of_epoch(self) -> bool:
+        return self._cur is None or not self._cur.has_next()
+
+    def next_epoch(self):
+        self.epoch += 1
+        self._cur = None
+
+    def state_dict(self):
+        return {
+            "epoch": self.epoch,
+            "iterations_in_epoch": self.iterations_in_epoch,
+            "shuffle": self.shuffle,
+        }
+
+    def load_state_dict(self, state):
+        self.epoch = state.get("epoch", 1)
+        offset = state.get("iterations_in_epoch", 0)
+        shuffle = state.get("shuffle", True)
+        if offset > 0 and offset < len(self):
+            self._next_epoch_itr = None
+            itr = self.next_epoch_itr(shuffle=shuffle, offset=offset)
+            self._next_epoch_itr = itr
+            self._cur = None
+        else:
+            if offset >= len(self) > 0:
+                self.epoch += 1  # checkpoint was at epoch boundary
+
+
+class _SizedGenerator:
+    def __init__(self, gen, n):
+        self._gen = gen
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        return iter(self._gen)

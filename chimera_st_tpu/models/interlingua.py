@@ -101,6 +101,11 @@ class InterlinguaConfig:
     w2v2_layer_norm_first: bool = False
     w2v2_conv_pos: int = 128
     w2v2_conv_pos_groups: int = 16
+    # wav2vec2 regularization (from the w2v2 checkpoint args in the reference,
+    # w2v2_transformer.py:255-267 — independent of the ST model's dropout)
+    w2v2_dropout: float = 0.1
+    w2v2_attention_dropout: float = 0.1
+    w2v2_activation_dropout: float = 0.0
     # regularization / misc
     dropout: float = 0.1
     attention_dropout: float = 0.1
@@ -133,6 +138,9 @@ class ChimeraInterlinguaModel(nn.Module):
             layer_norm_first=c.w2v2_layer_norm_first,
             conv_pos=c.w2v2_conv_pos,
             conv_pos_groups=c.w2v2_conv_pos_groups,
+            dropout=c.w2v2_dropout,
+            attention_dropout=c.w2v2_attention_dropout,
+            activation_dropout=c.w2v2_activation_dropout,
             name="wav2vec_model",
             **common,
         )

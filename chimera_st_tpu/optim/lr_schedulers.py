@@ -1,0 +1,118 @@
+"""Learning-rate schedules (reference: fairseq/optim/lr_scheduler/*).
+
+Pure functions step -> lr, registered by name. `inverse_sqrt` is the one all
+Chimera recipes use (reference:
+fairseq/optim/lr_scheduler/inverse_square_root_schedule.py:87-94: linear
+warmup from warmup_init_lr, then decay_factor * step^-0.5 with
+decay_factor = lr * sqrt(warmup_updates)).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from ..config.registry import LR_SCHEDULERS, register_lr_scheduler
+
+
+@register_lr_scheduler("fixed")
+def fixed(cfg: Dict) -> Callable:
+    lr = float(cfg.get("lr", 0.25))
+    warmup = int(cfg.get("warmup_updates", 0))
+    warmup_init = float(cfg.get("warmup_init_lr", lr if warmup == 0 else 0.0))
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup > 0:
+            warm = warmup_init + (lr - warmup_init) * jnp.minimum(step, warmup) / warmup
+            return jnp.where(step < warmup, warm, lr)
+        return jnp.full_like(step, lr)
+
+    return sched
+
+
+@register_lr_scheduler("inverse_sqrt")
+def inverse_sqrt(cfg: Dict) -> Callable:
+    lr = float(cfg.get("lr", 5e-4))
+    warmup = int(cfg.get("warmup_updates", 4000))
+    warmup_init = float(cfg.get("warmup_init_lr", -1))
+    if warmup_init < 0:
+        warmup_init = 0.0 if warmup > 0 else lr
+    lr_step = (lr - warmup_init) / max(warmup, 1)
+    decay_factor = lr * math.sqrt(max(warmup, 1))
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init + step * lr_step
+        decay = decay_factor * jnp.power(jnp.maximum(step, 1.0), -0.5)
+        return jnp.where(step < warmup, warm, decay)
+
+    return sched
+
+
+@register_lr_scheduler("cosine")
+def cosine(cfg: Dict) -> Callable:
+    max_lr = float(cfg.get("max_lr", cfg.get("lr", 5e-4)))
+    min_lr = float(cfg.get("min_lr", 1e-5))
+    warmup = int(cfg.get("warmup_updates", 0))
+    warmup_init = float(cfg.get("warmup_init_lr", min_lr))
+    period = float(cfg.get("lr_period_updates", 50000))
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_init + (max_lr - warmup_init) * jnp.minimum(step, max(warmup, 1)) / max(
+            warmup, 1
+        )
+        t = jnp.minimum((step - warmup) / period, 1.0)
+        cos = min_lr + 0.5 * (max_lr - min_lr) * (1 + jnp.cos(math.pi * t))
+        return jnp.where(step < warmup, warm, cos)
+
+    return sched
+
+
+@register_lr_scheduler("polynomial_decay")
+def polynomial_decay(cfg: Dict) -> Callable:
+    lr = float(cfg.get("lr", 5e-4))
+    warmup = int(cfg.get("warmup_updates", 0))
+    total = float(cfg.get("total_num_update", 100000))
+    end_lr = float(cfg.get("end_learning_rate", 0.0))
+    power = float(cfg.get("power", 1.0))
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.minimum(step, max(warmup, 1)) / max(warmup, 1)
+        frac = jnp.clip((total - step) / jnp.maximum(total - warmup, 1.0), 0.0, 1.0)
+        decay = (lr - end_lr) * jnp.power(frac, power) + end_lr
+        return jnp.where(step < warmup, warm, decay)
+
+    return sched
+
+
+@register_lr_scheduler("tri_stage")
+def tri_stage(cfg: Dict) -> Callable:
+    peak = float(cfg.get("lr", 5e-4))
+    init_scale = float(cfg.get("init_lr_scale", 0.01))
+    final_scale = float(cfg.get("final_lr_scale", 0.01))
+    w, h, d = cfg.get("phase_ratio", None) or (0.1, 0.4, 0.5)
+    total = float(cfg.get("max_update", 100000))
+    warmup, hold = total * w, total * h
+    decay = total * d
+    init_lr, final_lr = peak * init_scale, peak * final_scale
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        lr_warm = init_lr + (peak - init_lr) * jnp.minimum(step / jnp.maximum(warmup, 1), 1.0)
+        in_decay = jnp.clip((step - warmup - hold) / jnp.maximum(decay, 1), 0.0, 1.0)
+        lr_decay = peak * jnp.exp(jnp.log(final_scale) * in_decay)
+        return jnp.where(
+            step < warmup, lr_warm, jnp.where(step < warmup + hold, peak, lr_decay)
+        )
+
+    return sched
+
+
+def build_lr_schedule(cfg: Dict) -> Callable:
+    name = cfg.get("_name", "fixed")
+    return LR_SCHEDULERS.get(name)(cfg)

@@ -1,0 +1,56 @@
+"""Device mesh construction.
+
+TPU-native replacement for the reference's process-group / DDP world
+(reference: fairseq/distributed_utils.py:200-340): one jit'ed SPMD program
+over a `jax.sharding.Mesh` with axes
+
+- ``data``  — batch (data parallel; grad all-reduce rides ICI, inserted by XLA),
+- ``model`` — tensor parallel (Megatron-style shardings are PartitionSpecs
+  here, replacing the reference's model_parallel/ module tree, which in the
+  reference depends on a missing megatron submodule).
+
+Multi-host: call `initialize_distributed` per host (replaces SLURM/env://
+init-method inference, reference: distributed_utils.py:32-197).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data_parallel == -1:
+        assert n % model_parallel == 0, (n, model_parallel)
+        data_parallel = n // model_parallel
+    assert data_parallel * model_parallel <= n, (
+        f"mesh {data_parallel}x{model_parallel} needs more than {n} devices"
+    )
+    used = devices[: data_parallel * model_parallel]
+    arr = np.asarray(used).reshape(data_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host runtime init (no-op on single host)."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

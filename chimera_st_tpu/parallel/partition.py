@@ -1,0 +1,93 @@
+"""Parameter/batch partition specs.
+
+Megatron-style tensor parallelism expressed as sharding annotations (the
+reference carries a whole model_parallel/ code tree for this,
+fairseq/model_parallel/*, 2693 LoC; under XLA SPMD it is a PartitionSpec per
+parameter and the compiler inserts the collectives):
+
+- q/k/v projections and fc1 shard their OUTPUT dim on ``model`` (column
+  parallel), out_proj and fc2 shard their INPUT dim (row parallel) — the
+  all-reduce after out_proj/fc2 is inserted by XLA,
+- embeddings/norms/conv kernels are replicated (vocabs here are 10k — tiny),
+- optimizer state inherits param specs; with ``zero_sharding='os'`` the
+  replicated-param optimizer moments are additionally sharded over ``data``
+  on their largest divisible axis (ZeRO-1,
+  reference equivalent: fairseq/optim/shard.py via fairscale OSS).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec) — first match wins; paths are '/'-joined param paths
+TP_RULES = [
+    (r"(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r"(q_proj|k_proj|v_proj)/bias$", P("model")),
+    (r"out_proj/kernel$", P("model", None)),
+    (r"out_proj/bias$", P(None)),
+    (r"fc1/kernel$", P(None, "model")),
+    (r"fc1/bias$", P("model")),
+    (r"fc2/kernel$", P("model", None)),
+    (r"fc2/bias$", P(None)),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_partition_specs(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec pytree for params (TP rules when mesh has a model axis)."""
+    use_tp = mesh.shape.get("model", 1) > 1
+
+    def spec_for(path, leaf):
+        if use_tp:
+            p = _path_str(path)
+            for rx, spec in TP_RULES:
+                if re.search(rx, p):
+                    return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def zero1_opt_state_specs(opt_state: Any, mesh: Mesh, param_specs: Any) -> Any:
+    """Shard large replicated optimizer moments over the data axis (ZeRO-1)."""
+    n_data = mesh.shape.get("data", 1)
+
+    def spec_for(path, leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return P()
+        # keep TP-sharded params' moments on their TP spec; shard the rest
+        for i, d in enumerate(leaf.shape):
+            if d % n_data == 0 and d >= n_data:
+                spec = [None] * leaf.ndim
+                spec[i] = "data"
+                return P(*spec)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+
+
+def shard_params(params: Any, mesh: Mesh, specs: Optional[Any] = None) -> Any:
+    if specs is None:
+        specs = param_partition_specs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_sharding(mesh: Mesh, ndim_map: Optional[Dict[str, int]] = None):
+    """NamedSharding for batches: leading dim over ``data``."""
+
+    def shard(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P("data"))
+
+    return shard
