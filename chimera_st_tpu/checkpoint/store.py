@@ -1,0 +1,208 @@
+"""Native checkpoint store (reference: fairseq/checkpoint_utils.py:30-133
+save_checkpoint / :134-223 load_checkpoint).
+
+Checkpoints are single files holding the train state (params + optimizer
+state as numpy trees via flax serialization state-dicts, robust to optax
+class-layout changes) plus extra state: epoch/iterator position, best metric,
+metrics aggregator state, cumulative train time — the same resume contract as
+the reference (trainer.py:267-360). File naming and retention mirror the
+reference: checkpoint_last / checkpoint_best / checkpoint{N}.ep /
+checkpoint_{N}.up with keep-last-N pruning.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import re
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+SUFFIX = ".ckpt"
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_state(path: str, state, extra: Dict[str, Any]) -> None:
+    payload = {
+        "step": int(state.step),
+        "params": _to_host(serialization.to_state_dict(state.params)),
+        "opt_state": _to_host(serialization.to_state_dict(state.opt_state)),
+        "extra": extra,
+        "format_version": 1,
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    Path(tmp).replace(path)
+
+
+def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into the shape of `state_template` (a freshly built TrainState)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    import jax.numpy as jnp
+
+    params = serialization.from_state_dict(state_template.params, payload["params"])
+    opt_state = serialization.from_state_dict(
+        state_template.opt_state, payload["opt_state"]
+    )
+    state = state_template._replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=params,
+        opt_state=opt_state,
+    )
+    return state, payload.get("extra", {})
+
+
+def load_params_only(path: str, params_template):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return serialization.from_state_dict(params_template, payload["params"])
+
+
+class CheckpointManager:
+    """Naming/retention/best-tracking (reference: checkpoint_utils.py:30-133)."""
+
+    def __init__(
+        self,
+        save_dir: str,
+        best_metric: str = "loss",
+        maximize_best: bool = False,
+        keep_last_epochs: int = -1,
+        keep_interval_updates: int = -1,
+        keep_best_checkpoints: int = -1,
+        no_last: bool = False,
+        no_epoch: bool = False,
+        no_save: bool = False,
+    ):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.best_metric = best_metric
+        self.maximize_best = maximize_best
+        self.keep_last_epochs = keep_last_epochs
+        self.keep_interval_updates = keep_interval_updates
+        self.keep_best_checkpoints = keep_best_checkpoints
+        self.no_last = no_last
+        self.no_epoch = no_epoch
+        self.no_save = no_save
+        self.best: Optional[float] = None
+        self.verify_writable()
+
+    def verify_writable(self):
+        """reference: checkpoint_utils.py:600 verify_checkpoint_directory."""
+        probe = self.save_dir / "dummy"
+        try:
+            with open(probe, "w") as f:
+                f.write("ok")
+        finally:
+            probe.unlink(missing_ok=True)
+
+    def is_better(self, val: float) -> bool:
+        if self.best is None:
+            return True
+        return val > self.best if self.maximize_best else val < self.best
+
+    def save(
+        self,
+        state,
+        extra: Dict[str, Any],
+        epoch: int,
+        updates: int,
+        val_metric: Optional[float] = None,
+        end_of_epoch: bool = True,
+        save_interval_updates: int = 0,
+    ):
+        if self.no_save:
+            return
+        extra = dict(extra)
+        extra["best"] = self.best
+        wrote = []
+        t0 = time.time()
+
+        def _save(name):
+            save_state(str(self.save_dir / name), state, extra)
+            wrote.append(name)
+
+        is_best = val_metric is not None and self.is_better(val_metric)
+        if is_best:
+            self.best = val_metric
+            extra["best"] = self.best
+
+        # write once, then copy (reference: copy-first-then-replicate)
+        primary = None
+        if end_of_epoch and not self.no_epoch:
+            primary = f"checkpoint{epoch}{SUFFIX}"
+            _save(primary)
+        elif not end_of_epoch and save_interval_updates > 0:
+            primary = f"checkpoint_{epoch}_{updates}{SUFFIX}"
+            _save(primary)
+
+        import shutil
+
+        def _replicate(name):
+            if primary is not None:
+                shutil.copyfile(
+                    str(self.save_dir / primary), str(self.save_dir / name)
+                )
+            else:
+                _save(name)
+            if name not in wrote:
+                wrote.append(name)
+
+        if is_best:
+            _replicate(f"checkpoint_best{SUFFIX}")
+        if not self.no_last:
+            _replicate(f"checkpoint_last{SUFFIX}")
+
+        self._prune()
+        logger.info(
+            f"saved checkpoint(s) {wrote} (epoch {epoch}, {updates} updates, "
+            f"{time.time() - t0:.1f}s)"
+        )
+
+    def _prune(self):
+        if self.keep_last_epochs > 0:
+            ckpts = sorted(
+                self.save_dir.glob(f"checkpoint[0-9]*{SUFFIX}"),
+                key=lambda p: int(re.match(r"checkpoint(\d+)", p.stem).group(1)),
+            )
+            for p in ckpts[: -self.keep_last_epochs]:
+                p.unlink(missing_ok=True)
+        if self.keep_interval_updates > 0:
+            ckpts = sorted(
+                self.save_dir.glob(f"checkpoint_*_*{SUFFIX}"),
+                key=lambda p: int(p.stem.split("_")[-1]),
+            )
+            for p in ckpts[: -self.keep_interval_updates]:
+                p.unlink(missing_ok=True)
+
+    def last_checkpoint_path(self) -> Optional[str]:
+        p = self.save_dir / f"checkpoint_last{SUFFIX}"
+        return str(p) if p.is_file() else None
+
+
+def average_checkpoints(paths, state_template):
+    """Parameter averaging (replaces the reference's missing
+    scripts/average_checkpoints.py that chimera/tools/eval-average-checkpoint.py
+    depends on)."""
+    acc = None
+    n = 0
+    for p in paths:
+        params = load_params_only(p, state_template)
+        host = _to_host(params)
+        if acc is None:
+            acc = jax.tree_util.tree_map(lambda x: x.astype(np.float64), host)
+        else:
+            acc = jax.tree_util.tree_map(lambda a, x: a + x, acc, host)
+        n += 1
+    return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)

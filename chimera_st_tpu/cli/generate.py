@@ -1,0 +1,187 @@
+"""chimera-generate: batched beam-search evaluation
+(reference: fairseq_cli/generate.py:34-398 — same output protocol:
+S-/T-/H-/D-/P- lines + final corpus score line)."""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+
+logger = logging.getLogger("chimera_st_tpu.generate")
+
+
+def load_model_and_params(path: str, task, dtype, gen_model_overrides=None):
+    """Load either a native .ckpt or a fairseq torch .pt checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.interlingua import ChimeraInterlinguaModel
+
+    if path.endswith(".pt"):
+        from ..checkpoint.torch_import import (
+            import_interlingua_state_dict,
+            infer_interlingua_config,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(path)
+        cfg = infer_interlingua_config(
+            ckpt["args"],
+            tgt_vocab=len(task.target_dictionary),
+            src_vocab=len(task.source_dictionary)
+            if task.source_dictionary is not None
+            else None,
+        )
+        model = ChimeraInterlinguaModel(cfg, dtype=dtype)
+        params = {"params": import_interlingua_state_dict(ckpt["model"])}
+        return model, params
+    # native checkpoint: the train CLI stores model_cfg in extra, so the
+    # exact model rebuilds without repeating arch flags
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    model_cfg = dict(payload.get("extra", {}).get("model_cfg") or {})
+    model_cfg.update(gen_model_overrides or {})
+    model = task.build_model(model_cfg, dtype=dtype)
+
+    from flax import serialization
+
+    from .train import init_params_for_task
+
+    class _A:
+        seed = 0
+        w2v2_model_path = None
+
+    template = init_params_for_task(model, task, _A())
+    params = serialization.from_state_dict(template, payload["params"])
+    return model, params
+
+
+def main(argv=None) -> None:
+    from . import options
+
+    p = options.base_parser("chimera-generate")
+    options.add_generation_args(p)
+    args, model_overrides = options.parse_with_model_overrides(p, argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s | %(message)s")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import chimera_st_tpu.models  # noqa: F401
+    import chimera_st_tpu.scoring  # noqa: F401
+    from ..scoring import build_scorer
+    from ..tasks import setup_task
+
+    task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
+                "source_lang": args.source_lang, "target_lang": args.target_lang}
+    task = setup_task(task_cfg)
+    task.load_dataset(args.gen_subset)
+    dataset = task.dataset(args.gen_subset)
+    tgt_dict = task.target_dictionary
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model_overrides["arch"] = model_overrides.get("arch", "s2t_transformer_w2v2_interlingua_base")
+    model, params = load_model_and_params(args.path, task, dtype, model_overrides)
+
+    class GenCfg:
+        beam = args.beam
+        max_len_a = args.max_len_a
+        max_len_b = args.max_len_b
+        min_len = args.min_len
+        lenpen = args.lenpen
+        unkpen = args.unkpen
+        temperature = args.temperature
+        max_decode_len = args.max_decode_len
+
+    generator = task.build_generator(model, GenCfg)
+    scorer = build_scorer({"_name": args.scoring}, tgt_dict)
+
+    itr = task.make_batch_iterator(
+        dataset,
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        seed=args.seed,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+
+    out = open(Path(args.results_path) / f"generate-{args.gen_subset}.txt", "w") \
+        if args.results_path else sys.stdout
+    strip = task.lang_tag_indices() if hasattr(task, "lang_tag_indices") else set()
+
+    n_sent = 0
+    n_tokens = 0
+    t0 = time.time()
+    for batch in itr:
+        ids = batch["id"]
+        if "audio" in batch:
+            tokens, scores, lens = generator.generate_audio(
+                params,
+                jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_padding_mask"]),
+                src_lengths=jnp.asarray(batch["audio_lengths"]),
+            )
+        else:
+            tokens, scores, lens = generator.generate_text(
+                params,
+                jnp.asarray(batch["src_tokens"]),
+                src_lengths=jnp.asarray(batch["src_lengths"]),
+            )
+        tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
+        for b in range(tokens.shape[0]):
+            sid = int(ids[b])
+            target = batch.get("target")
+            ref_str = None
+            if target is not None:
+                ref_str = tgt_dict.string(
+                    target[b], bpe_symbol=args.remove_bpe,
+                    extra_symbols_to_ignore=strip,
+                )
+            if not args.quiet:
+                print(f"S-{sid}\t", file=out)
+                if ref_str is not None:
+                    print(f"T-{sid}\t{ref_str}", file=out)
+            for k in range(min(args.nbest, tokens.shape[1])):
+                L = int(lens[b, k])
+                hyp_ids = tokens[b, k, :L]
+                hyp_str = tgt_dict.string(
+                    hyp_ids, bpe_symbol=args.remove_bpe,
+                    extra_symbols_to_ignore=strip,
+                )
+                if not args.quiet:
+                    print(f"H-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
+                    print(f"D-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
+                    print(f"P-{sid}\t{scores[b, k]:.4f}", file=out)
+                if k == 0 and ref_str is not None:
+                    if hasattr(scorer, "add_string"):
+                        scorer.add_string(ref_str, hyp_str)
+                    else:
+                        scorer.add(
+                            [int(t) for t in target[b]], [int(t) for t in hyp_ids]
+                        )
+                    n_tokens += L
+            n_sent += 1
+    dt = time.time() - t0
+    logger.info(
+        f"Translated {n_sent} sentences ({n_tokens} tokens) in {dt:.1f}s "
+        f"({n_sent / max(dt, 1e-9):.2f} sentences/s, {n_tokens / max(dt, 1e-9):.2f} tokens/s)"
+    )
+    if n_sent and hasattr(scorer, "result_string"):
+        print(
+            f"Generate {args.gen_subset} with beam={args.beam}: {scorer.result_string()}",
+            file=out,
+        )
+    if out is not sys.stdout:
+        out.close()
+
+
+def cli_main():
+    main()
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,101 @@
+"""chimera-interactive: stdin-driven inference
+(reference: fairseq_cli/interactive.py:42-317 — for the triplet task, input
+lines are .wav file paths; output is S-/W-/H-/D-/P- lines)."""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+logger = logging.getLogger("chimera_st_tpu.interactive")
+
+
+def buffered_read(input_fh, buffer_size: int):
+    buf = []
+    for line in input_fh:
+        line = line.strip()
+        if not line:
+            continue
+        buf.append(line)
+        if len(buf) >= buffer_size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def main(argv=None) -> None:
+    from . import options
+
+    p = options.base_parser("chimera-interactive")
+    options.add_generation_args(p)
+    p.add_argument("--buffer-size", type=int, default=1)
+    p.add_argument("--input", default="-")
+    args, model_overrides = options.parse_with_model_overrides(p, argv)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s | %(message)s")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import chimera_st_tpu.models  # noqa: F401
+    from ..tasks import setup_task
+    from .generate import load_model_and_params
+
+    task_cfg = {"_name": args.task, "data": args.data,
+                "config_yaml": args.config_yaml}
+    task = setup_task(task_cfg)
+    tgt_dict = task.target_dictionary
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, params = load_model_and_params(args.path, task, dtype, model_overrides)
+
+    class GenCfg:
+        beam = args.beam
+        max_len_a = args.max_len_a
+        max_len_b = args.max_len_b
+        min_len = args.min_len
+        lenpen = args.lenpen
+        unkpen = args.unkpen
+        temperature = args.temperature
+        max_decode_len = args.max_decode_len
+
+    generator = task.build_generator(model, GenCfg)
+    logger.info("Type a .wav file path per line and press Enter:")
+
+    input_fh = sys.stdin if args.input == "-" else open(args.input)
+    start_id = 0
+    for lines in buffered_read(input_fh, args.buffer_size):
+        t0 = time.time()
+        wavs = task.get_interactive_examples(lines)
+        batch = task.batch_interactive(wavs)
+        tokens, scores, lens = generator.generate_audio(
+            params,
+            jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["audio_padding_mask"]),
+            src_lengths=jnp.asarray(batch["audio_lengths"]),
+        )
+        tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
+        for b, line in enumerate(lines):
+            sid = start_id + b
+            print(f"S-{sid}\t{line}")
+            print(f"W-{sid}\t{time.time() - t0:.3f}\tseconds")
+            for k in range(min(args.nbest, tokens.shape[1])):
+                L = int(lens[b, k])
+                hyp = tgt_dict.string(
+                    tokens[b, k, :L], bpe_symbol=args.remove_bpe
+                )
+                print(f"H-{sid}\t{scores[b, k]:.4f}\t{hyp}")
+                print(f"D-{sid}\t{scores[b, k]:.4f}\t{hyp}")
+                print(f"P-{sid}\t{scores[b, k]:.4f}")
+        start_id += len(lines)
+        sys.stdout.flush()
+
+
+def cli_main():
+    main()
+
+
+if __name__ == "__main__":
+    cli_main()

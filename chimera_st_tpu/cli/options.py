@@ -1,0 +1,149 @@
+"""CLI argument parsing (reference: fairseq/options.py:29-120).
+
+Core flags are declared explicitly; any unrecognized ``--some-flag value``
+pairs are folded into the model config dict (the reference achieves the same
+surface with a two-pass parse where ``--arch`` registers model args,
+options.py:77 parse_args_and_arch)."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+from typing import Any, Dict, List, Tuple
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("data", nargs="?", help="data directory")
+    p.add_argument("--task", default="triplet")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--log-format", default=None)
+    p.add_argument("--tensorboard-logdir", default=None)
+    p.add_argument("--config-yaml", default="config_wave.yaml")
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--fp16", action="store_true",
+                   help="accepted for recipe compat; maps to bf16 on TPU")
+    p.add_argument("--max-tokens", type=float, default=None)
+    p.add_argument("--batch-size", "--max-sentences", type=int, default=None)
+    p.add_argument("--required-batch-size-multiple", type=int, default=1)
+    p.add_argument("--num-length-buckets", type=int, default=10)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--shard-id", type=int, default=0)
+    p.add_argument("--model-parallel-size", type=int, default=1)
+    p.add_argument("--source-lang", "-s", default=None)
+    p.add_argument("--target-lang", "-t", default=None)
+    p.add_argument("--max-source-positions", type=int, default=6000000)
+    p.add_argument("--max-target-positions", type=int, default=1024)
+    p.add_argument("--skip-invalid-size-inputs-valid-test", action="store_true")
+    return p
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--arch", "-a", default="s2t_transformer_w2v2_interlingua_base")
+    p.add_argument("--criterion", default="label_smoothed_cross_entropy")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--loss-ratio", type=float, nargs="+", default=[1.0, 1.0, 1.0])
+    p.add_argument("--contrastive-temp", type=float, default=0.1)
+    p.add_argument("--contrastive-increase-until", type=int, default=None)
+    p.add_argument("--sentence-avg", action="store_true")
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--adam-betas", default="(0.9, 0.999)")
+    p.add_argument("--adam-eps", type=float, default=1e-8)
+    p.add_argument("--weight-decay", "--wd", type=float, default=0.0)
+    p.add_argument("--clip-norm", type=float, default=0.0)
+    p.add_argument("--lr", type=str, default="0.25")
+    p.add_argument("--lr-scheduler", default="fixed")
+    p.add_argument("--warmup-updates", type=int, default=0)
+    p.add_argument("--warmup-init-lr", type=float, default=-1)
+    p.add_argument("--stop-min-lr", type=float, default=-1.0)
+    p.add_argument("--update-freq", type=str, default="1")
+    p.add_argument("--max-update", type=int, default=0)
+    p.add_argument("--max-epoch", type=int, default=0)
+    p.add_argument("--stop-time-hours", type=float, default=0)
+    p.add_argument("--train-subset", default="train")
+    p.add_argument("--valid-subset", default="valid")
+    p.add_argument("--validate-interval", type=int, default=1)
+    p.add_argument("--validate-interval-updates", type=int, default=0)
+    p.add_argument("--disable-validation", action="store_true")
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--restore-file", default="checkpoint_last.ckpt")
+    p.add_argument("--reset-optimizer", action="store_true")
+    p.add_argument("--reset-dataloader", action="store_true")
+    p.add_argument("--reset-lr-scheduler", action="store_true")
+    p.add_argument("--reset-meters", action="store_true")
+    p.add_argument("--save-interval", type=int, default=1)
+    p.add_argument("--save-interval-updates", type=int, default=0)
+    p.add_argument("--keep-last-epochs", type=int, default=-1)
+    p.add_argument("--keep-interval-updates", type=int, default=-1)
+    p.add_argument("--no-save", action="store_true")
+    p.add_argument("--no-epoch-checkpoints", action="store_true")
+    p.add_argument("--best-checkpoint-metric", default="loss")
+    p.add_argument("--maximize-best-checkpoint-metric", action="store_true")
+    p.add_argument("--patience", type=int, default=-1)
+    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--data-buffer-size", type=int, default=4)
+    p.add_argument("--ddp-backend", default=None,
+                   help="accepted for recipe compat; SPMD mesh is always used")
+    return p
+
+
+def add_generation_args(p: argparse.ArgumentParser):
+    p.add_argument("--path", default=None, help="checkpoint path(s), ':' separated")
+    p.add_argument("--gen-subset", default="test")
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--nbest", type=int, default=1)
+    p.add_argument("--max-len-a", type=float, default=0)
+    p.add_argument("--max-len-b", type=int, default=200)
+    p.add_argument("--min-len", type=int, default=1)
+    p.add_argument("--lenpen", type=float, default=1)
+    p.add_argument("--unkpen", type=float, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--max-decode-len", type=int, default=256)
+    p.add_argument("--prefix-size", type=int, default=0)
+    p.add_argument("--sampling", action="store_true")
+    p.add_argument("--sampling-topk", type=int, default=-1)
+    p.add_argument("--sampling-topp", type=float, default=-1.0)
+    p.add_argument("--remove-bpe", "--post-process", dest="remove_bpe",
+                   nargs="?", const="subword_nmt", default=None)
+    p.add_argument("--scoring", default="sacrebleu")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--results-path", default=None)
+    return p
+
+
+def parse_with_model_overrides(
+    p: argparse.ArgumentParser, argv=None
+) -> Tuple[argparse.Namespace, Dict[str, Any]]:
+    """Parse known args; fold leftover --flag[=]value pairs into a dict."""
+    args, leftover = p.parse_known_args(argv)
+    extra: Dict[str, Any] = {}
+    i = 0
+    while i < len(leftover):
+        tok = leftover[i]
+        if not tok.startswith("--"):
+            raise SystemExit(f"unrecognized argument: {tok}")
+        key = tok[2:]
+        val: Any = True
+        if "=" in key:
+            key, val = key.split("=", 1)
+        elif i + 1 < len(leftover) and not leftover[i + 1].startswith("--"):
+            val = leftover[i + 1]
+            i += 1
+        if isinstance(val, str):
+            try:
+                val = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                pass
+        extra[key.replace("-", "_")] = val
+        i += 1
+    return args, extra
+
+
+def parse_lr(lr_str: str) -> float:
+    """'--lr 5e-4' or '--lr 0.25,0.1' -> first value (reference takes a list)."""
+    return float(str(lr_str).split(",")[0])
+
+
+def parse_update_freq(s: str) -> int:
+    return int(str(s).split(",")[0])

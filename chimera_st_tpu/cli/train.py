@@ -1,0 +1,287 @@
+"""chimera-train: training entry point
+(reference: fairseq_cli/train.py:51-411 — same loop skeleton: epoch iterator
+-> update_freq-grouped microbatches -> train step -> periodic validate+save,
+with max_update/max_epoch/patience/stop_time stopping)."""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+import time
+from typing import Dict, List, Optional
+
+logger = logging.getLogger("chimera_st_tpu.train")
+
+
+def main(argv=None) -> None:
+    from . import options
+    from .options import parse_lr, parse_update_freq
+
+    p = options.base_parser("chimera-train")
+    options.add_train_args(p)
+    args, model_overrides = options.parse_with_model_overrides(p, argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout,
+    )
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import chimera_st_tpu.criterions  # noqa: F401 — registration
+    import chimera_st_tpu.models  # noqa: F401
+    import chimera_st_tpu.scoring  # noqa: F401
+    from ..checkpoint.store import CheckpointManager, load_state
+    from ..data.iterators import GroupedIterator
+    from ..logging import metrics as metrics_mod
+    from ..logging.progress_bar import progress_bar
+    from ..models.interlingua import ChimeraInterlinguaModel
+    from ..optim import build_lr_schedule, build_optimizer
+    from ..parallel import make_mesh, shard_params
+    from ..tasks import setup_task
+    from ..train.trainer import Trainer
+
+    np.random.seed(args.seed)
+
+    # ----------------------------------------------------------- components
+    task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
+                "source_lang": args.source_lang, "target_lang": args.target_lang}
+    task = setup_task(task_cfg)
+    task.load_dataset(args.valid_subset) if not args.disable_validation else None
+    task.load_dataset(args.train_subset)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" or args.fp16 else jnp.float32
+    model_cfg = {"arch": args.arch, **model_overrides}
+    model = task.build_model(model_cfg, dtype=dtype)
+    logger.info(f"model arch {args.arch} ({type(model).__name__})")
+
+    lr = parse_lr(args.lr)
+    sched_cfg = {
+        "_name": args.lr_scheduler,
+        "lr": lr,
+        "warmup_updates": args.warmup_updates,
+        "warmup_init_lr": args.warmup_init_lr,
+        "max_update": args.max_update,
+    }
+    lr_schedule = build_lr_schedule(sched_cfg)
+    tx = build_optimizer(
+        {"_name": args.optimizer, "adam_betas": args.adam_betas,
+         "adam_eps": args.adam_eps, "weight_decay": args.weight_decay},
+        lr_schedule,
+        clip_norm=args.clip_norm,
+    )
+
+    crit_cfg = {
+        "_name": args.criterion,
+        "label_smoothing": args.label_smoothing,
+        "loss_ratio": tuple(args.loss_ratio),
+        "contrastive_temp": args.contrastive_temp,
+        "contrastive_increase_until": args.contrastive_increase_until,
+        "sentence_avg": args.sentence_avg,
+    }
+    criterion = task.build_criterion(crit_cfg)
+
+    # ----------------------------------------------------------- init params
+    params = init_params_for_task(model, task, args)
+    mesh = make_mesh(model_parallel=args.model_parallel_size)
+    if mesh.devices.size > 1:
+        params = shard_params(params, mesh)
+    logger.info(
+        f"mesh: {dict(mesh.shape)}; params: "
+        f"{sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)) / 1e6:.1f}M"
+    )
+
+    trainer = Trainer(model, criterion, tx, params, lr_schedule=lr_schedule)
+    # persisted so generate/validate can rebuild the model from the checkpoint
+    run_cfg = {"model_cfg": model_cfg, "task_cfg": task_cfg, "criterion_cfg": crit_cfg}
+
+    ckpt_mgr = CheckpointManager(
+        args.save_dir,
+        best_metric=args.best_checkpoint_metric,
+        maximize_best=args.maximize_best_checkpoint_metric,
+        keep_last_epochs=args.keep_last_epochs,
+        keep_interval_updates=args.keep_interval_updates,
+        no_epoch=args.no_epoch_checkpoints,
+        no_save=args.no_save,
+    )
+
+    # ----------------------------------------------------------- batch iters
+    update_freq = parse_update_freq(args.update_freq)
+    train_itr = task.make_batch_iterator(
+        task.dataset(args.train_subset),
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        required_batch_size_multiple=args.required_batch_size_multiple,
+        seed=args.seed,
+        num_shards=args.num_shards,
+        shard_id=args.shard_id,
+        num_length_buckets=args.num_length_buckets,
+        buffer_size=args.data_buffer_size,
+    )
+
+    # ----------------------------------------------------------- restore
+    epoch = 1
+    restore = ckpt_mgr.save_dir / args.restore_file
+    if restore.is_file():
+        state, extra = load_state(str(restore), trainer.state)
+        if not args.reset_optimizer:
+            trainer.state = state
+        else:
+            trainer.state = trainer.state._replace(params=state.params)
+        if not args.reset_meters:
+            trainer.load_extra_state(extra, None if args.reset_dataloader else train_itr)
+        ckpt_mgr.best = extra.get("best")
+        epoch = extra.get("train_iterator", {}).get("epoch", 1)
+        logger.info(
+            f"restored {restore} (epoch {epoch}, {trainer.num_updates} updates)"
+        )
+
+    # ----------------------------------------------------------- train loop
+    start = time.time()
+    patience_left = args.patience
+    stop = False
+    while not stop:
+        if args.max_epoch and epoch > args.max_epoch:
+            break
+        train_itr.epoch = epoch
+        itr = train_itr.next_epoch_itr(shuffle=True)
+        grouped = GroupedIterator(itr, update_freq)
+        pbar = progress_bar(
+            grouped,
+            log_format=args.log_format,
+            log_interval=args.log_interval,
+            epoch=epoch,
+            tensorboard_logdir=args.tensorboard_logdir,
+        )
+        with metrics_mod.aggregate("train_inner") as agg:
+            for i, microbatches in enumerate(pbar):
+                trainer.train_step(microbatches, seed=args.seed + trainer.num_updates)
+                num_updates = trainer.num_updates
+                if num_updates % args.log_interval == 0:
+                    pbar.log(agg.get_smoothed_values(), step=num_updates)
+                    metrics_mod.reset_meters("train_inner")
+                if (
+                    args.save_interval_updates > 0
+                    and num_updates % args.save_interval_updates == 0
+                ):
+                    val = validate_and_metric(args, task, trainer, criterion)
+                    ckpt_mgr.save(
+                        trainer.state,
+                        {**trainer.extra_state(train_itr, val, ckpt_mgr.best), **run_cfg},
+                        epoch,
+                        num_updates,
+                        val_metric=val,
+                        end_of_epoch=False,
+                        save_interval_updates=args.save_interval_updates,
+                    )
+                if args.max_update and num_updates >= args.max_update:
+                    stop = True
+                    break
+                if args.stop_time_hours and (time.time() - start) / 3600 > args.stop_time_hours:
+                    stop = True
+                    break
+        train_itr.next_epoch()
+
+        val = None
+        if not args.disable_validation and (epoch % args.validate_interval == 0 or stop):
+            val = validate_and_metric(args, task, trainer, criterion)
+            if val is not None and args.patience > 0:
+                if ckpt_mgr.is_better(val):
+                    patience_left = args.patience
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        logger.info(f"early stop: patience {args.patience} exhausted")
+                        stop = True
+        if epoch % args.save_interval == 0 or stop:
+            ckpt_mgr.save(
+                trainer.state,
+                {**trainer.extra_state(train_itr, val, ckpt_mgr.best), **run_cfg},
+                epoch,
+                trainer.num_updates,
+                val_metric=val,
+                end_of_epoch=True,
+            )
+        with metrics_mod.aggregate("train") as agg:
+            pass
+        epoch += 1
+
+    logger.info(f"done training in {time.time() - start:.1f}s "
+                f"({trainer.num_updates} updates)")
+
+
+def init_params_for_task(model, task, args):
+    """Fresh init (optionally loading a pretrained wav2vec2 .pt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.interlingua import ChimeraInterlinguaModel
+
+    B, T = 2, 4000
+    audio = jnp.zeros((B, T), jnp.float32)
+    mask = jnp.zeros((B, T), bool)
+    src = jnp.full((B, 4), 2, jnp.int32)
+    prev = jnp.full((B, 4), 2, jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(args.seed), audio, mask, src, prev,
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    w2v_path = getattr(args, "w2v2_model_path", None)
+    if w2v_path:
+        from ..checkpoint.torch_import import (
+            import_wav2vec2_state_dict,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(w2v_path)
+        sub = import_wav2vec2_state_dict(ckpt["model"])
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["wav2vec_model"] = sub
+        logger.info(f"loaded pretrained wav2vec2 from {w2v_path}")
+    return params
+
+
+def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
+    if args.disable_validation:
+        return None
+    import numpy as np
+
+    from ..logging import metrics as metrics_mod
+
+    itr = task.make_batch_iterator(
+        task.dataset(args.valid_subset),
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        seed=args.seed,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+    totals: Dict[str, float] = {}
+    for batch in itr:
+        logging = trainer.valid_step(batch)
+        for k, v in logging.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    ss = max(totals.get("sample_size", 1.0), 1.0)
+    stats = {k: v / ss / math.log(2) for k, v in totals.items()
+             if k.endswith("loss")}
+    logger.info(
+        "validation | " + " | ".join(f"{k} {v:.3f}" for k, v in sorted(stats.items()))
+    )
+    metric = args.best_checkpoint_metric
+    if metric in stats:
+        return stats[metric]
+    if metric == "loss":
+        return stats.get("loss")
+    return stats.get("loss")
+
+
+def cli_main():
+    main()
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -32,6 +32,20 @@ def batch_by_size(
     else:
         sizes = np.asarray([num_tokens_fn(int(i)) for i in indices], dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
+
+    # native C++ fast path (hot over ~250k indices on the MuST-C+WMT corpora)
+    try:
+        from ..clib import batch_by_size_native
+
+        if max_tokens is None or sizes.max(initial=0) <= max_tokens:
+            ends = batch_by_size_native(
+                sizes, max_tokens, max_sentences, required_batch_size_multiple
+            )
+            if ends is not None:
+                return list(np.split(indices, ends[:-1]))
+    except ImportError:
+        pass
+
     max_tokens = max_tokens if max_tokens is not None else np.iinfo(np.int64).max
     max_sentences = (
         max_sentences if max_sentences is not None else np.iinfo(np.int64).max

@@ -1,0 +1,177 @@
+"""Task base class (reference: fairseq/tasks/fairseq_task.py:22-451).
+
+A task owns dictionaries, datasets, and the glue that builds models,
+criterions, generators and batch iterators. Differences from the reference,
+all driven by XLA's static-shape model:
+
+- `make_batch_iterator` produces bucket-padded batches (bounded compile
+  count) instead of ragged pad-to-max batches,
+- train/valid stepping lives in the jitted step functions
+  (chimera_st_tpu/train), not on the task; tasks provide the criterion and
+  batch schema.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registry import ARCHITECTURES, CRITERIONS, MODELS
+from ..data.batching import batch_by_size, pad_to_bucket, quantile_buckets
+from ..data.dictionary import Dictionary
+from ..data.iterators import EpochBatchIterator
+
+logger = logging.getLogger(__name__)
+
+
+class ChimeraTask:
+    def __init__(self, cfg: Dict):
+        self.cfg = cfg
+        self.datasets: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------- factory
+
+    @classmethod
+    def setup_task(cls, cfg: Dict, **kwargs) -> "ChimeraTask":
+        return cls(cfg)
+
+    @classmethod
+    def load_dictionary(cls, filename: str) -> Dictionary:
+        return Dictionary.load(filename)
+
+    # --------------------------------------------------------------- data
+
+    def load_dataset(self, split: str, **kwargs):
+        raise NotImplementedError
+
+    def dataset(self, split: str):
+        if split not in self.datasets:
+            self.load_dataset(split)
+        return self.datasets[split]
+
+    # ------------------------------------------------------------ builders
+
+    def build_model(self, model_cfg: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+        import chimera_st_tpu.models  # noqa: F401 — registration side effects
+
+        arch = model_cfg.get("arch") or model_cfg.get("_name")
+        full_cfg = self.model_config_overrides(dict(model_cfg))
+        if arch in ARCHITECTURES:
+            model_name, preset = ARCHITECTURES.get(arch)
+            full_cfg = preset(full_cfg)
+            builder = MODELS.get(model_name)
+        else:
+            builder = MODELS.get(arch)
+        return builder(full_cfg, dtype=dtype, param_dtype=param_dtype)
+
+    def model_config_overrides(self, cfg: Dict) -> Dict:
+        """Inject task-derived fields (vocab sizes) into the model config."""
+        if self.target_dictionary is not None:
+            cfg.setdefault("tgt_vocab_size", len(self.target_dictionary))
+        cfg.setdefault(
+            "src_vocab_size",
+            len(self.source_dictionary) if self.source_dictionary else None,
+        )
+        return cfg
+
+    def build_criterion(self, crit_cfg: Dict):
+        import chimera_st_tpu.criterions  # noqa: F401 — registration side effects
+
+        cfg = dict(crit_cfg)
+        if self.target_dictionary is not None:
+            cfg.setdefault("padding_idx", self.target_dictionary.pad())
+        return CRITERIONS.get(cfg["_name"])(cfg)
+
+    def build_generator(self, model, gen_cfg):
+        from ..generation.generator import GeneratorSettings, SequenceGenerator
+
+        g = gen_cfg
+        settings = GeneratorSettings(
+            beam_size=getattr(g, "beam", 5),
+            max_len_a=getattr(g, "max_len_a", 0.0),
+            max_len_b=getattr(g, "max_len_b", 200),
+            min_len=getattr(g, "min_len", 1),
+            len_penalty=getattr(g, "lenpen", 1.0),
+            unk_penalty=getattr(g, "unkpen", 0.0),
+            max_decode_len=getattr(g, "max_decode_len", 256),
+            temperature=getattr(g, "temperature", 1.0),
+        )
+        d = self.target_dictionary
+        return SequenceGenerator(
+            model, settings, pad=d.pad(), eos=d.eos(), unk=d.unk()
+        )
+
+    # ------------------------------------------------------------ batching
+
+    def filtered_indices(
+        self, dataset, max_positions: Optional[int] = None
+    ) -> np.ndarray:
+        order = np.argsort(
+            [-dataset.num_tokens(i) for i in range(len(dataset))], kind="stable"
+        )
+        if max_positions is not None:
+            order = np.asarray(
+                [i for i in order if dataset.num_tokens(int(i)) <= max_positions]
+            )
+        return order
+
+    def make_batch_iterator(
+        self,
+        dataset,
+        max_tokens: Optional[int] = None,
+        max_sentences: Optional[int] = None,
+        required_batch_size_multiple: int = 1,
+        seed: int = 1,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        num_length_buckets: int = 10,
+        max_positions: Optional[int] = None,
+        buffer_size: int = 4,
+    ) -> EpochBatchIterator:
+        order = self.filtered_indices(dataset, max_positions)
+        sizes = np.asarray([dataset.num_tokens(int(i)) for i in range(len(dataset))])
+        batches = batch_by_size(
+            order,
+            sizes,
+            max_tokens=max_tokens,
+            max_sentences=max_sentences,
+            required_batch_size_multiple=required_batch_size_multiple,
+        )
+        edges = quantile_buckets(sizes[sizes > 0] if (sizes > 0).any() else sizes, num_length_buckets)
+
+        def collate(idx: np.ndarray):
+            batch_max = int(sizes[idx].max())
+            target = pad_to_bucket(batch_max, edges)
+            return self.collate_indices(dataset, idx, target)
+
+        return EpochBatchIterator(
+            collate,
+            batches,
+            seed=seed,
+            num_shards=num_shards,
+            shard_id=shard_id,
+            buffer_size=buffer_size,
+        )
+
+    def collate_indices(self, dataset, idx: np.ndarray, audio_target_len: int):
+        samples = [dataset[int(i)] for i in idx]
+        return dataset.collater(samples, audio_target_len)
+
+    # --------------------------------------------------------------- dicts
+
+    @property
+    def source_dictionary(self) -> Optional[Dictionary]:
+        return None
+
+    @property
+    def target_dictionary(self) -> Optional[Dictionary]:
+        return None
+
+    # ------------------------------------------------------------- decode
+
+    def post_process_text(self, tokens: np.ndarray, bpe_symbol="sentencepiece") -> str:
+        d = self.target_dictionary
+        return d.string(tokens, bpe_symbol=bpe_symbol)

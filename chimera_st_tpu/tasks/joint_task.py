@@ -1,0 +1,174 @@
+"""Joint multi-task training (reference: fairseq/tasks/joint_task.py:29-373,
+fairseq/tasks/joint_mtst.py:42-104, fairseq/models/joint_model.py:20-133).
+
+TPU-native redesign: the reference swaps shared nn.Modules in and out of
+sub-models per step (ShiftModelContext / cache_module, joint_task.py:326-340)
+because torch modules own their parameters. In JAX parameters are one pytree,
+so "module sharing" is simply *one* parameter tree serving every sub-task:
+
+- `joint_task_mtst` (the Chimera MT+ST recipe): a single interlingua model —
+  its text branch is the MT model, its audio branch the ST model, the decoder
+  and interlingua memory shared by construction (exactly the sharing set the
+  reference configures via module swapping, joint_mtst.py:42-104, given the
+  joint SPM vocabulary the recipes use),
+- per-task datasets / criterions / sample ratios / metric namespaces
+  ("train:<task>", reference joint_task.py:342-373) are preserved,
+- batches carry ``task_name``; the joint criterion dispatches on it (the
+  dispatch is host-side, so each task gets its own compiled step — no
+  dynamic branching inside jit).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config.registry import CRITERIONS, register_task
+from ..data.joint_dataset import JointBatchSchedule
+from .base import ChimeraTask
+
+logger = logging.getLogger(__name__)
+
+
+@register_task("joint_task")
+class JointTrainingTask(ChimeraTask):
+    """Generic N-sub-task scheduler over one shared parameter tree."""
+
+    def __init__(self, cfg: Dict, sub_tasks: Dict[str, ChimeraTask],
+                 weights: Dict[str, float], ratios: Dict[str, float]):
+        super().__init__(cfg)
+        self.sub_tasks = sub_tasks
+        self.weights = weights
+        self.ratios = ratios
+        self.main_task_name = cfg.get("main_task") or next(iter(sub_tasks))
+
+    @classmethod
+    def setup_task(cls, cfg: Dict, **kwargs):
+        from . import setup_task as setup_sub
+
+        sub_tasks, weights, ratios = {}, {}, {}
+        for task_cfg in cfg["task_configs"]:
+            name = task_cfg["task_name"]
+            weights[name] = float(task_cfg.get("weight", 1.0))
+            ratios[name] = float(task_cfg.get("sample_ratio", 1.0))
+            sub_tasks[name] = setup_sub(dict(task_cfg["task"]))
+        logger.info(f"joint task with sub-tasks: {list(sub_tasks)}")
+        return cls(cfg, sub_tasks, weights, ratios)
+
+    @property
+    def main_task(self) -> ChimeraTask:
+        return self.sub_tasks[self.main_task_name]
+
+    @property
+    def source_dictionary(self):
+        return self.main_task.source_dictionary
+
+    @property
+    def target_dictionary(self):
+        return self.main_task.target_dictionary
+
+    def load_dataset(self, split: str, **kwargs):
+        for name, t in self.sub_tasks.items():
+            t.load_dataset(split)
+        self.datasets[split] = {n: t.dataset(split) for n, t in self.sub_tasks.items()}
+
+    def build_model(self, model_cfg: Dict, **kw):
+        # one shared model built against the main task's dictionaries
+        return self.main_task.build_model(model_cfg, **kw)
+
+    def build_criterion(self, crit_cfg: Dict):
+        """Returns a dispatching criterion: batch['task_name'] selects the
+        sub-criterion; the loss is weighted by the task weight."""
+        import chimera_st_tpu.criterions  # noqa: F401 — registration side effects
+
+        per_task: Dict[str, Callable] = {}
+        for task_cfg in self.cfg["task_configs"]:
+            name = task_cfg["task_name"]
+            sub_cfg = dict(task_cfg.get("criterion", crit_cfg))
+            if self.sub_tasks[name].target_dictionary is not None:
+                sub_cfg.setdefault(
+                    "padding_idx", self.sub_tasks[name].target_dictionary.pad()
+                )
+            per_task[name] = CRITERIONS.get(sub_cfg["_name"])(sub_cfg)
+        weights = self.weights
+
+        def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+            name = batch["task_name"]
+            sub_batch = {k: v for k, v in batch.items() if k != "task_name"}
+            loss, ss, logging = per_task[name](
+                model, params, sub_batch, rngs=rngs, num_updates=num_updates,
+                train=train,
+            )
+            return weights.get(name, 1.0) * loss, ss, logging
+
+        criterion.per_task = per_task
+        return criterion
+
+    def make_joint_iterator(
+        self,
+        split: str,
+        max_tokens: Optional[int] = None,
+        max_sentences: Optional[int] = None,
+        seed: int = 1,
+        num_length_buckets: int = 10,
+        epoch: int = 1,
+    ):
+        """Yields task-tagged batches interleaved by sample ratio."""
+        from ..data.batching import batch_by_size, pad_to_bucket, quantile_buckets
+
+        per_task_batches = {}
+        collate_fns = {}
+        for name, t in self.sub_tasks.items():
+            ds = t.dataset(split)
+            sizes = np.asarray([ds.num_tokens(i) for i in range(len(ds))])
+            order = np.argsort(-sizes, kind="stable")
+            batches = batch_by_size(
+                order, sizes, max_tokens=max_tokens, max_sentences=max_sentences
+            )
+            edges = quantile_buckets(sizes, num_length_buckets)
+            per_task_batches[name] = batches
+
+            def make_collate(t=t, ds=ds, sizes=sizes, edges=edges):
+                def collate(idx):
+                    target = pad_to_bucket(int(sizes[idx].max()), edges)
+                    return t.collate_indices(ds, idx, target)
+
+                return collate
+
+            collate_fns[name] = make_collate()
+
+        schedule = JointBatchSchedule(per_task_batches, self.ratios, seed=seed)
+
+        def gen():
+            for name, bi in schedule.epoch_schedule(epoch):
+                batch = collate_fns[name](per_task_batches[name][bi])
+                batch["task_name"] = name
+                yield batch
+
+        return gen()
+
+
+@register_task("joint_task_mtst")
+class JointTrainingMTSTTask(JointTrainingTask):
+    """Chimera MT+ST joint fine-tuning (reference: joint_mtst.py:42-104).
+
+    Both sub-tasks drive one interlingua model: the sharing set the reference
+    builds by swapping decoder embeddings / transformer stacks is realized
+    structurally (single parameter tree). Requires the joint vocabulary the
+    Chimera recipes use (asserted at setup)."""
+
+    @classmethod
+    def setup_task(cls, cfg: Dict, **kwargs):
+        task = super().setup_task(cfg, **kwargs)
+        dicts = [
+            t.target_dictionary
+            for t in task.sub_tasks.values()
+            if t.target_dictionary is not None
+        ]
+        assert all(d == dicts[0] for d in dicts), (
+            "joint_task_mtst shares the decoder across sub-tasks and requires "
+            "a joint target vocabulary (the Chimera recipes use a joint SPM)"
+        )
+        return task

@@ -1,0 +1,221 @@
+"""Trainer: epoch orchestration around the jitted step functions.
+
+TPU-native rebuild of the reference Trainer (reference:
+fairseq/trainer.py:31-1169). Structural deltas:
+
+- gradient accumulation happens OUTSIDE one jit when microbatches land in
+  different shape buckets: a jitted grad step per bucket + a jitted
+  accumulate/apply pair (each bucket compiles once; the reference instead
+  pays ragged-shape eagerness per batch),
+- no FP16 loss-scaler state machine (bf16 compute),
+- no OOM-recovery dance (XLA preallocates; shapes are static),
+- non-finite-gradient protection: the update is skipped on non-finite grad
+  norm (replaces the reference's NanDetector re-run + overflow handling,
+  trainer.py:629-641),
+- distributed stat sync is implicit: metrics come out of the SPMD program
+  already globally reduced.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..logging import metrics as metrics_mod
+from .train_step import TrainState, create_train_state, global_norm
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        criterion: Callable,
+        tx: optax.GradientTransformation,
+        params,
+        lr_schedule: Optional[Callable] = None,
+        skip_nonfinite: bool = True,
+    ):
+        self.model = model
+        self.criterion = criterion
+        self.tx = tx
+        self.lr_schedule = lr_schedule
+        self.state = create_train_state(params, tx)
+        self.skip_nonfinite = skip_nonfinite
+        self.cumulative_training_time = 0.0
+        self._t_start = time.time()
+
+        crit = criterion
+        mdl = model
+        self._grad_jits: Dict[Any, Callable] = {}
+
+        def make_grad_fn(task_name: Optional[str]):
+            def grad_fn(params, batch, rng, step):
+                def loss_for_grad(p):
+                    b = dict(batch)
+                    if task_name is not None:
+                        # static tag: joint-task criterion dispatch happens at
+                        # trace time, one compiled step per sub-task
+                        b["task_name"] = task_name
+                    loss, ss, logging = crit(
+                        mdl, p, b, rngs={"dropout": rng}, num_updates=step,
+                        train=True,
+                    )
+                    logging = {k: v for k, v in logging.items()
+                               if not isinstance(v, str)}
+                    return loss, (ss, logging)
+
+                (loss, (ss, logging)), grads = jax.value_and_grad(
+                    loss_for_grad, has_aux=True
+                )(params)
+                return grads, jnp.asarray(ss, jnp.float32), logging
+
+            return jax.jit(grad_fn)
+
+        self._make_grad_fn = make_grad_fn
+
+        def accum_fn(acc, grads, ss, acc_ss):
+            new = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return new, acc_ss + ss
+
+        def apply_fn(state: TrainState, grads, sample_size):
+            grads = jax.tree_util.tree_map(
+                lambda g: g / jnp.maximum(sample_size, 1.0), grads
+            )
+            gnorm = global_norm(grads)
+            finite = jnp.isfinite(gnorm)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            return (
+                TrainState(
+                    step=state.step + 1,
+                    params=keep(new_params, state.params),
+                    opt_state=keep(new_opt, state.opt_state),
+                ),
+                gnorm,
+                finite,
+            )
+
+        self._valid_jits: Dict[Any, Callable] = {}
+
+        def make_valid_fn(task_name: Optional[str]):
+            def valid_fn(params, batch):
+                b = dict(batch)
+                if task_name is not None:
+                    b["task_name"] = task_name
+                _, _, logging = crit(
+                    mdl, params, b, rngs=None, num_updates=None, train=False
+                )
+                return {k: v for k, v in logging.items() if not isinstance(v, str)}
+
+            return jax.jit(valid_fn)
+
+        self._make_valid_fn = make_valid_fn
+
+        self._accum_fn = jax.jit(accum_fn, donate_argnums=(0,))
+        self._apply_fn = jax.jit(apply_fn, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------- stepping
+
+    @property
+    def num_updates(self) -> int:
+        return int(self.state.step)
+
+    def to_device(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            k: jnp.asarray(v) if isinstance(v, (np.ndarray, float, int)) else v
+            for k, v in batch.items()
+        }
+
+    def train_step(self, microbatches: List[Dict[str, Any]], seed: int = 0):
+        """One optimizer update over `update_freq` microbatches."""
+        t0 = time.time()
+        rng = jax.random.PRNGKey(seed)
+        grads = None
+        total_ss = jnp.zeros((), jnp.float32)
+        logging_sum: Dict[str, Any] = {}
+        for i, mb in enumerate(microbatches):
+            mb = dict(mb)
+            task_name = mb.pop("task_name", None)
+            mb = self.to_device(mb)
+            mb.pop("id", None)
+            if task_name not in self._grad_jits:
+                self._grad_jits[task_name] = self._make_grad_fn(task_name)
+            g, ss, logging = self._grad_jits[task_name](
+                self.state.params, mb, jax.random.fold_in(rng, i), self.state.step
+            )
+            if grads is None:
+                grads, total_ss = g, ss
+                logging_sum = dict(logging)
+            else:
+                grads, total_ss = self._accum_fn(grads, g, ss, total_ss)
+                for k in logging_sum:
+                    logging_sum[k] = logging_sum[k] + logging[k]
+        self.state, gnorm, finite = self._apply_fn(self.state, grads, total_ss)
+        self.cumulative_training_time += time.time() - t0
+
+        out = {k: np.asarray(v) for k, v in logging_sum.items()}
+        out["gnorm"] = float(gnorm)
+        if not bool(finite):
+            logger.warning(
+                f"non-finite gradient norm at update {self.num_updates}; "
+                "update skipped"
+            )
+            out["nonfinite_grad"] = 1.0
+        if self.lr_schedule is not None:
+            out["lr"] = float(self.lr_schedule(self.num_updates))
+        ss = max(float(total_ss), 1.0)
+        for key in ("loss", "nll_loss", "st_loss", "st_nll_loss", "mt_loss",
+                    "mt_nll_loss", "contrastive_loss"):
+            if key in out:
+                metrics_mod.log_scalar(key, float(out[key]) / ss / np.log(2), ss, round=3)
+        metrics_mod.log_scalar("gnorm", out["gnorm"], priority=400, round=3)
+        if "lr" in out:
+            metrics_mod.log_scalar("lr", out["lr"], priority=300)
+        metrics_mod.log_speed("ups", 1.0, priority=100)
+        if "ntokens" in out:
+            metrics_mod.log_speed("wps", float(out["ntokens"]), priority=90)
+        return out
+
+    def valid_step(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        batch = dict(batch)
+        task_name = batch.pop("task_name", None)
+        batch = self.to_device(batch)
+        batch.pop("id", None)
+        if task_name not in self._valid_jits:
+            self._valid_jits[task_name] = self._make_valid_fn(task_name)
+        logging = self._valid_jits[task_name](self.state.params, batch)
+        return {k: np.asarray(v) for k, v in logging.items()}
+
+    # ----------------------------------------------------------- persistence
+
+    def extra_state(self, epoch_itr=None, val_loss=None, best=None) -> Dict[str, Any]:
+        ex: Dict[str, Any] = {
+            "metrics": metrics_mod.state_dict(),
+            "previous_training_time": self.cumulative_training_time,
+            "val_loss": val_loss,
+            "best": best,
+        }
+        if epoch_itr is not None:
+            ex["train_iterator"] = epoch_itr.state_dict()
+        return ex
+
+    def load_extra_state(self, extra: Dict[str, Any], epoch_itr=None):
+        if "metrics" in extra:
+            try:
+                metrics_mod.load_state_dict(extra["metrics"])
+            except Exception:  # metrics format drift is non-fatal
+                logger.warning("could not restore metrics state")
+        self.cumulative_training_time = extra.get("previous_training_time", 0.0)
+        if epoch_itr is not None and "train_iterator" in extra:
+            epoch_itr.load_state_dict(extra["train_iterator"])

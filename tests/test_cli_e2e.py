@@ -1,0 +1,122 @@
+"""End-to-end CLI smoke tests on tiny synthetic data (the reference's
+test_binaries.py pattern): train -> resume -> generate -> validate, and
+preprocess -> MT train."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.synthetic_data import TINY_ARCH_FLAGS, make_parallel_text, make_triplet_dir
+
+
+@pytest.fixture(scope="module")
+def triplet_dir(tmp_path_factory):
+    return make_triplet_dir(str(tmp_path_factory.mktemp("triplet")))
+
+
+def _train_args(data_dir, save_dir, extra=None):
+    return [
+        data_dir, "--task", "triplet",
+        "--arch", "s2t_transformer_w2v2_interlingua_base",
+        *TINY_ARCH_FLAGS,
+        "--criterion", "triplet_st_mt_contrastive",
+        "--label-smoothing", "0.1",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--batch-size", "4", "--update-freq", "2",
+        "--save-dir", save_dir, "--log-interval", "1",
+        "--dtype", "float32", "--num-length-buckets", "2",
+        "--best-checkpoint-metric", "st_loss",
+        *(extra or []),
+    ]
+
+
+def test_train_generate_validate_roundtrip(triplet_dir, tmp_path):
+    from chimera_st_tpu.cli import generate, train, validate
+
+    save_dir = str(tmp_path / "ckpt")
+    train.main(_train_args(triplet_dir, save_dir, ["--max-update", "3"]))
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+    assert (Path(save_dir) / "checkpoint_best.ckpt").is_file()
+
+    # resume: 2 more updates from checkpoint_last
+    train.main(_train_args(triplet_dir, save_dir, ["--max-update", "5"]))
+
+    import pickle
+
+    with open(Path(save_dir) / "checkpoint_last.ckpt", "rb") as f:
+        payload = pickle.load(f)
+    assert payload["step"] == 5
+    assert payload["extra"]["model_cfg"]["arch"] == "s2t_transformer_w2v2_interlingua_base"
+
+    # generate from the native checkpoint
+    out_dir = str(tmp_path / "gen")
+    os.makedirs(out_dir, exist_ok=True)
+    generate.main([
+        triplet_dir, "--task", "triplet",
+        "--path", str(Path(save_dir) / "checkpoint_best.ckpt"),
+        "--gen-subset", "test", "--beam", "2", "--max-decode-len", "8",
+        "--batch-size", "4", "--dtype", "float32",
+        "--results-path", out_dir, "--num-length-buckets", "2",
+    ])
+    text = (Path(out_dir) / "generate-test.txt").read_text()
+    assert "H-" in text and "Generate test with beam=2" in text
+
+    # validate CLI on the checkpoint
+    validate.main([
+        triplet_dir, "--task", "triplet",
+        "--path", str(Path(save_dir) / "checkpoint_best.ckpt"),
+        "--criterion", "triplet_st_mt_contrastive",
+        "--valid-subset", "valid", "--batch-size", "4",
+        "--dtype", "float32", "--num-length-buckets", "2",
+    ])
+
+
+def test_preprocess_and_mt_train(tmp_path):
+    from chimera_st_tpu.cli import preprocess, train
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+    bin_dir = str(tmp_path / "bin")
+    preprocess.main([
+        "-s", "de", "-t", "en",
+        "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
+        "--destdir", bin_dir, "--joined-dictionary",
+    ])
+    assert (Path(bin_dir) / "train.de-en.de.bin").is_file()
+    assert (Path(bin_dir) / "dict.de.txt").is_file()
+
+    # fairseq-format readback
+    from chimera_st_tpu.data.indexed_dataset import MMapIndexedDataset
+
+    ds = MMapIndexedDataset(str(Path(bin_dir) / "train.de-en.de"))
+    assert len(ds) == 32
+    assert ds[0][-1] == 2  # eos
+
+    save_dir = str(tmp_path / "mt_ckpt")
+    train.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--arch", "s2t_transformer_w2v2_interlingua_base",
+        *TINY_ARCH_FLAGS,
+        "--criterion", "label_smoothed_cross_entropy",
+        "--label-smoothing", "0.1",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "inverse_sqrt",
+        "--warmup-updates", "2", "--batch-size", "8",
+        "--save-dir", save_dir, "--max-update", "2",
+        "--dtype", "float32", "--log-interval", "1",
+        "--num-length-buckets", "2",
+    ])
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+
+
+def test_score_cli(tmp_path, capsys):
+    from chimera_st_tpu.cli import score
+
+    sys_f = tmp_path / "sys.txt"
+    ref_f = tmp_path / "ref.txt"
+    sys_f.write_text("the cat sat on the mat\nhello world\n")
+    ref_f.write_text("the cat sat on the mat\nhello there world\n")
+    score.main(["-s", str(sys_f), "-r", str(ref_f), "--scoring", "sacrebleu"])
+    out = capsys.readouterr().out
+    assert "BLEU" in out
