@@ -14,9 +14,19 @@ hardware at beam 10; the BASELINE.json target is >=20x that).
 """
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: first-run compiles of the flagship model take
+# minutes over the remote-TPU tunnel; later runs hit the cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/chimera_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,21 +80,20 @@ def main():
         ),
     )
 
-    # distinct input batches: the axon runtime dedupes identical dispatches,
-    # so repeating one batch measures nothing. Dispatch all, then sync —
-    # amortizes the ~30 ms tunnel round-trip like pipelined serving would.
+    # distinct input batches: the axon runtime dedupes identical dispatches.
+    # Sync via host materialization (np.asarray) — block_until_ready returns
+    # early on this remote platform and measures fiction.
     batches = [
         jnp.asarray(rng.normal(size=(BATCH, T)) * 0.1, jnp.float32)
         for _ in range(ITERS)
     ]
-    batches = [jax.device_put(b) for b in batches]
     jax.block_until_ready(batches)
 
-    tokens, _, _ = gen.generate_audio(params, audio, mask)
-    jax.block_until_ready(tokens)  # compile
+    np.asarray(gen.generate_audio(params, audio, mask)[0])  # compile + sync
     t0 = time.perf_counter()
     outs = [gen.generate_audio(params, b, mask)[0] for b in batches]
-    jax.block_until_ready(outs)
+    for o in outs:
+        np.asarray(o)
     dt = (time.perf_counter() - t0) / ITERS
 
     utt_per_sec = BATCH / dt

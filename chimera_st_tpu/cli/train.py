@@ -49,7 +49,8 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- components
     task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
-                "source_lang": args.source_lang, "target_lang": args.target_lang}
+                "source_lang": args.source_lang, "target_lang": args.target_lang,
+                **model_overrides}  # unknown flags reach both task and model cfgs
     task = setup_task(task_cfg)
     task.load_dataset(args.valid_subset) if not args.disable_validation else None
     task.load_dataset(args.train_subset)
@@ -220,14 +221,26 @@ def init_params_for_task(model, task, args):
     import jax.numpy as jnp
 
     from ..models.interlingua import ChimeraInterlinguaModel
+    from ..models.wav2vec2_pretraining import Wav2Vec2PretrainModel
 
+    seed = getattr(args, "seed", 0)
     B, T = 2, 4000
     audio = jnp.zeros((B, T), jnp.float32)
     mask = jnp.zeros((B, T), bool)
+    if isinstance(model, Wav2Vec2PretrainModel):
+        from ..models.wav2vec2 import extractor_output_length
+
+        frames = extractor_output_length(T, model.cfg.conv_spec)
+        span = jnp.zeros((B, frames), bool).at[:, :4].set(True)
+        negs = jnp.zeros((B, frames, model.cfg.num_negatives), jnp.int32)
+        return model.init(
+            {"params": jax.random.PRNGKey(seed), "gumbel": jax.random.PRNGKey(1)},
+            audio, mask, span, negs,
+        )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
     params = model.init(
-        jax.random.PRNGKey(args.seed), audio, mask, src, prev,
+        jax.random.PRNGKey(seed), audio, mask, src, prev,
         method=ChimeraInterlinguaModel.init_everything,
     )
     w2v_path = getattr(args, "w2v2_model_path", None)

@@ -1,0 +1,88 @@
+"""Raw-audio dataset for self-supervised pretraining
+(reference: fairseq/data/audio/raw_audio_dataset.py — crop/pad waveforms).
+
+The collater crops every utterance to one static target length (min of batch
+max and max_sample_size) and samples the span masks + negative indices
+host-side so the jitted pretraining step sees only arrays."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .audio import get_features_or_waveform
+from .manifests import load_tsv
+
+
+class RawAudioDataset:
+    def __init__(
+        self,
+        manifest_rows: List[Dict[str, str]],
+        audio_root: str = "",
+        max_sample_size: int = 250000,
+        min_sample_size: int = 32000,
+        mask_prob: float = 0.65,
+        mask_length: int = 10,
+        num_negatives: int = 100,
+        frames_fn=None,  # raw samples -> model frames (conv downsampling)
+        seed: int = 1,
+    ):
+        self.rows = [
+            r for r in manifest_rows if int(r["n_frames"]) >= min_sample_size
+        ]
+        self.audio_root = audio_root
+        self.max_sample_size = max_sample_size
+        self.mask_prob = mask_prob
+        self.mask_length = mask_length
+        self.num_negatives = num_negatives
+        self.frames_fn = frames_fn or (lambda n: n // 320)
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_tsv(cls, path: str, audio_root: str = "", **kw):
+        return cls(load_tsv(path), audio_root=audio_root, **kw)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def num_tokens(self, i: int) -> int:
+        return min(int(self.rows[i]["n_frames"]), self.max_sample_size)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        wav = get_features_or_waveform(
+            self.rows[i]["audio"], use_audio_input=True, audio_root=self.audio_root
+        )
+        if len(wav) > self.max_sample_size:
+            start = self.rng.integers(0, len(wav) - self.max_sample_size)
+            wav = wav[start : start + self.max_sample_size]
+        return wav.astype(np.float32)
+
+    def collater(self, wavs: List[np.ndarray], target_len: Optional[int] = None):
+        from ..models.wav2vec2_pretraining import (
+            compute_mask_indices,
+            sample_negative_indices,
+        )
+
+        T = min(min(len(w) for w in wavs), target_len or self.max_sample_size)
+        B = len(wavs)
+        audio = np.zeros((B, T), np.float32)
+        for i, w in enumerate(wavs):
+            if len(w) >= T:
+                start = self.rng.integers(0, len(w) - T + 1)
+                audio[i] = w[start : start + T]
+            else:
+                audio[i, : len(w)] = w
+        frames = self.frames_fn(T)
+        mask = compute_mask_indices(
+            (B, frames), None, self.mask_prob, self.mask_length, rng=self.rng
+        )
+        negs = sample_negative_indices(B, frames, self.num_negatives, rng=self.rng)
+        return {
+            "audio": audio,
+            "audio_padding_mask": None,
+            "mask_indices": mask,
+            "negative_indices": negs,
+            "ntokens": float(mask.sum()),
+            "nsentences": B,
+        }

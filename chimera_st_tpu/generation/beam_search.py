@@ -177,11 +177,19 @@ def beam_search(
                 has_force[:, None, None], forced_row[:, None, :], logprobs
             )
 
-        cand_scores = state.alive_scores[:, :, None] + logprobs  # [B, K, V]
-        flat = cand_scores.reshape(B, K * V)
-        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
-        topk_beam = topk_idx // V
-        topk_tok = topk_idx % V
+        # two-stage top-k: per-beam top-2K over V first (the global top-2K can
+        # contain at most 2K candidates from any single beam), then combine
+        # over the K*2K shortlist — avoids a 100k-wide top_k per step, which
+        # dominates decode time on TPU
+        s = min(2 * K, V)  # per-beam shortlist (tiny-vocab safe)
+        lp_short, tok_short = jax.lax.top_k(logprobs, s)  # [B, K, s]
+        cand_short = state.alive_scores[:, :, None] + lp_short
+        flat = cand_short.reshape(B, K * s)
+        topk_scores, short_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+        topk_beam = short_idx // s
+        topk_tok = jnp.take_along_axis(
+            tok_short.reshape(B, K * s), short_idx, axis=1
+        )
 
         # gather candidate sequences and write the new token
         cand_seq = _gather_beams(state.alive_seq, topk_beam)

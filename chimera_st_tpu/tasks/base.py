@@ -131,6 +131,11 @@ class ChimeraTask:
         max_positions: Optional[int] = None,
         buffer_size: int = 4,
     ) -> EpochBatchIterator:
+        if len(dataset) == 0:
+            raise ValueError(
+                "dataset is empty after size filtering — check "
+                "min/max sample-size limits against the manifest"
+            )
         order = self.filtered_indices(dataset, max_positions)
         sizes = np.asarray([dataset.num_tokens(int(i)) for i in range(len(dataset))])
         batches = batch_by_size(

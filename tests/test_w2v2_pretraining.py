@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chimera_st_tpu.config.registry import CRITERIONS
+import chimera_st_tpu.criterions  # noqa: F401
+from chimera_st_tpu.models.wav2vec2_pretraining import (
+    GumbelVectorQuantizer,
+    W2V2PretrainConfig,
+    Wav2Vec2PretrainModel,
+    compute_mask_indices,
+    sample_negative_indices,
+)
+
+TINY = W2V2PretrainConfig(
+    encoder_embed_dim=16,
+    encoder_ffn_dim=32,
+    encoder_layers=1,
+    encoder_heads=2,
+    conv_spec=((8, 10, 5), (12, 3, 2)),
+    final_dim=8,
+    latent_vars=16,
+    latent_groups=2,
+    num_negatives=4,
+    conv_pos=8,
+    conv_pos_groups=4,
+)
+
+
+def test_compute_mask_indices():
+    rng = np.random.default_rng(0)
+    pad = np.zeros((2, 100), bool)
+    pad[1, 60:] = True
+    mask = compute_mask_indices((2, 100), pad, mask_prob=0.5, mask_length=5, rng=rng)
+    assert mask.shape == (2, 100)
+    assert mask[0].sum() > 0
+    assert not mask[1, 60:].any()  # no masks on padding
+
+
+def test_sample_negative_indices_avoid_positive():
+    rng = np.random.default_rng(1)
+    neg = sample_negative_indices(2, 50, 8, rng=rng)
+    pos = np.arange(50)[None, :, None]
+    assert (neg != pos).all()
+    assert (neg >= 0).all() and (neg < 50).all()
+
+
+def test_quantizer_shapes_and_ppl():
+    q = GumbelVectorQuantizer(12, num_vars=16, groups=2, vq_dim=8)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 10, 12)), jnp.float32)
+    params = q.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = q.apply(params, x, train=False)
+    assert out["x"].shape == (2, 10, 8)
+    assert 1.0 <= float(out["prob_perplexity"]) <= 32.0
+    # train mode with gumbel noise
+    out2 = q.apply(params, x, train=True, rng=jax.random.PRNGKey(1))
+    assert out2["x"].shape == (2, 10, 8)
+
+
+@pytest.fixture(scope="module")
+def pretrain_setup():
+    model = Wav2Vec2PretrainModel(TINY)
+    rng = np.random.default_rng(3)
+    B, T = 2, 400
+    audio = jnp.asarray(rng.normal(size=(B, T)), jnp.float32)
+    from chimera_st_tpu.models.wav2vec2 import extractor_output_length
+
+    frames = extractor_output_length(T, TINY.conv_spec)
+    mask = jnp.asarray(compute_mask_indices((B, frames), None, 0.5, 3, rng=rng))
+    negs = jnp.asarray(sample_negative_indices(B, frames, TINY.num_negatives, rng=rng))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        audio, None, mask, negs,
+    )
+    batch = {
+        "audio": audio,
+        "audio_padding_mask": None,
+        "mask_indices": mask,
+        "negative_indices": negs,
+        "ntokens": float(np.asarray(mask).sum()),
+    }
+    return model, params, batch
+
+
+def test_pretrain_forward(pretrain_setup):
+    model, params, batch = pretrain_setup
+    out = model.apply(
+        params, batch["audio"], None, batch["mask_indices"],
+        batch["negative_indices"], deterministic=True,
+    )
+    B, F = batch["mask_indices"].shape
+    assert out["logits"].shape == (B, F, 1 + TINY.num_negatives)
+    assert np.isfinite(np.asarray(out["features_pen"]))
+
+
+def test_wav2vec_criterion_trains(pretrain_setup):
+    model, params, batch = pretrain_setup
+    crit = CRITERIONS.get("wav2vec")({})
+    loss, ss, logging = crit(
+        model, params, batch,
+        rngs={"dropout": jax.random.PRNGKey(0)}, train=True,
+    )
+    assert np.isfinite(float(loss)) and float(ss) > 0
+    assert 0 <= float(logging["n_correct"]) <= float(logging["total"])
+
+    # gradient flows to codebook and mask embedding
+    def loss_fn(p):
+        return crit(model, p, batch, rngs={"dropout": jax.random.PRNGKey(0)}, train=True)[0]
+
+    g = jax.grad(loss_fn)(params)
+    gn = float(
+        jnp.linalg.norm(g["params"]["quantizer"]["codebook"].astype(jnp.float32))
+    )
+    assert gn > 0
+    assert float(jnp.linalg.norm(g["params"]["mask_emb"])) > 0
+
+
+def test_raw_audio_dataset_collater(tmp_path):
+    from chimera_st_tpu.data.audio import write_wav
+    from chimera_st_tpu.data.raw_audio_dataset import RawAudioDataset
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(3):
+        n = int(rng.integers(600, 1000))
+        write_wav(str(tmp_path / f"u{i}.wav"), rng.normal(size=n).astype(np.float32) * 0.1)
+        rows.append({"audio": f"u{i}.wav", "n_frames": str(n)})
+    ds = RawAudioDataset(
+        rows, audio_root=str(tmp_path), max_sample_size=800, min_sample_size=100,
+        num_negatives=4, frames_fn=lambda n: max(n // 10, 4),
+    )
+    batch = ds.collater([ds[i] for i in range(3)])
+    assert batch["audio"].shape[0] == 3
+    assert batch["mask_indices"].shape[0] == 3
+    assert batch["negative_indices"].shape[-1] == 4
