@@ -97,6 +97,10 @@ def main(argv=None) -> None:
         unkpen = args.unkpen
         temperature = args.temperature
         max_decode_len = args.max_decode_len
+        no_repeat_ngram_size = getattr(args, "no_repeat_ngram_size", 0)
+        sampling = args.sampling
+        sampling_topk = args.sampling_topk
+        sampling_topp = args.sampling_topp
 
     generator = task.build_generator(model, GenCfg)
     scorer = build_scorer({"_name": args.scoring}, tgt_dict)

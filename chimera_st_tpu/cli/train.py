@@ -239,6 +239,12 @@ def init_params_for_task(model, task, args):
         )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
+    from ..models.transformer_mt import TransformerLM, TransformerModel
+
+    if isinstance(model, TransformerLM):
+        return model.init(jax.random.PRNGKey(seed), prev)
+    if isinstance(model, TransformerModel):
+        return model.init(jax.random.PRNGKey(seed), src, prev)
     params = model.init(
         jax.random.PRNGKey(seed), audio, mask, src, prev,
         method=ChimeraInterlinguaModel.init_everything,

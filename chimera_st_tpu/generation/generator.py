@@ -36,6 +36,11 @@ class GeneratorSettings:
     unk_penalty: float = 0.0
     max_decode_len: int = 256  # static bound for the compiled loop
     temperature: float = 1.0
+    no_repeat_ngram_size: int = 0
+    # sampling mode (reference: --sampling --sampling-topk/--sampling-topp)
+    sampling: bool = False
+    sampling_topk: int = -1
+    sampling_topp: float = -1.0
 
 
 class SequenceGenerator:
@@ -125,6 +130,25 @@ class SequenceGenerator:
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return logprobs, new_caches
 
+        if self.s.sampling:
+            from .sampling import sample_decode
+
+            return sample_decode(
+                step_fn,
+                init_caches,
+                batch_size=B,
+                num_samples=K,
+                max_len=max_len,
+                eos=self.eos,
+                pad=self.pad,
+                rng=jax.random.PRNGKey(0),
+                bos=self.bos,
+                temperature=self.s.temperature,
+                top_k=max(self.s.sampling_topk, 0),
+                top_p=max(self.s.sampling_topp, 0.0),
+                min_len=self.s.min_len,
+                max_lens=max_lens,
+            )
         return beam_search(
             step_fn,
             init_caches,
@@ -139,6 +163,7 @@ class SequenceGenerator:
             unk=self.unk,
             unk_penalty=self.s.unk_penalty,
             max_lens=max_lens,
+            no_repeat_ngram_size=self.s.no_repeat_ngram_size,
         )
 
     # ----------------------------------------------------------- public API

@@ -1,0 +1,236 @@
+"""Standalone text transformer models.
+
+- `TransformerModel` — encoder-decoder MT transformer
+  (reference: fairseq/models/transformer.py:39-1025, arch "transformer"),
+- `TransformerLM` — decoder-only language model
+  (reference: fairseq/models/transformer_lm.py).
+
+Both reuse the shared layer stack; the MT model is the text-only subset of
+the interlingua model without memory slots."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.registry import register_model, register_model_architecture
+from .embedding import Embed
+from .layers import (
+    LayerNorm,
+    TransformerEncoderLayer,
+    positional_embedding_from_mask,
+)
+from .transformer_decoder import TransformerDecoder
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class TransformerMTConfig:
+    src_vocab_size: int = 8
+    tgt_vocab_size: int = 8
+    padding_idx: int = 1
+    encoder_embed_dim: int = 512
+    encoder_ffn_dim: int = 2048
+    encoder_layers: int = 6
+    encoder_heads: int = 8
+    encoder_normalize_before: bool = False
+    decoder_embed_dim: int = 512
+    decoder_ffn_dim: int = 2048
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    decoder_normalize_before: bool = False
+    share_decoder_input_output_embed: bool = True
+    share_all_embeddings: bool = False
+    max_target_positions: int = 1024
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation: str = "relu"
+    no_scale_embedding: bool = False
+
+
+class TransformerModel(nn.Module):
+    cfg: TransformerMTConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.embed_tokens = Embed(
+            c.src_vocab_size, c.encoder_embed_dim, padding_idx=c.padding_idx,
+            name="embed_tokens", **common,
+        )
+        self.encoder_layers_list = [
+            TransformerEncoderLayer(
+                c.encoder_embed_dim, c.encoder_ffn_dim, c.encoder_heads,
+                dropout=c.dropout, attention_dropout=c.attention_dropout,
+                activation_dropout=c.activation_dropout, activation=c.activation,
+                normalize_before=c.encoder_normalize_before,
+                name=f"layers_{i}", **common,
+            )
+            for i in range(c.encoder_layers)
+        ]
+        if c.encoder_normalize_before:
+            self.encoder_layer_norm = LayerNorm(
+                c.encoder_embed_dim, dtype=self.dtype, name="encoder_layer_norm"
+            )
+        self.decoder = TransformerDecoder(
+            vocab_size=c.tgt_vocab_size,
+            embed_dim=c.decoder_embed_dim,
+            ffn_dim=c.decoder_ffn_dim,
+            num_layers=c.decoder_layers,
+            num_heads=c.decoder_heads,
+            dropout=c.dropout,
+            attention_dropout=c.attention_dropout,
+            activation_dropout=c.activation_dropout,
+            activation=c.activation,
+            normalize_before=c.decoder_normalize_before,
+            padding_idx=c.padding_idx,
+            share_input_output_embed=c.share_decoder_input_output_embed,
+            no_scale_embedding=c.no_scale_embedding,
+            max_target_positions=c.max_target_positions,
+            name="decoder", **common,
+        )
+        self.embed_scale = (
+            1.0 if c.no_scale_embedding else math.sqrt(c.encoder_embed_dim)
+        )
+        self.dropout_layer = nn.Dropout(c.dropout)
+
+    def encode(self, src_tokens: jax.Array, deterministic: bool = True):
+        c = self.cfg
+        pad_mask = src_tokens == c.padding_idx
+        x = self.embed_scale * self.embed_tokens(src_tokens)
+        pos = positional_embedding_from_mask(pad_mask, c.encoder_embed_dim, c.padding_idx)
+        x = x + pos.astype(x.dtype)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        for layer in self.encoder_layers_list:
+            x = layer(x, encoder_padding_mask=pad_mask, deterministic=deterministic)
+        if c.encoder_normalize_before:
+            x = self.encoder_layer_norm(x)
+        return x, pad_mask
+
+    def __call__(self, src_tokens, prev_output_tokens, deterministic: bool = True):
+        enc, enc_mask = self.encode(src_tokens, deterministic)
+        return self.decoder(
+            prev_output_tokens, enc, enc_mask, deterministic=deterministic
+        )
+
+    # text-branch API parity with the interlingua model so criterions work
+    def encode_text(self, src_tokens, deterministic: bool = True):
+        return self.encode(src_tokens, deterministic)
+
+    def forward_text_with_internal(self, src_tokens, prev_output_tokens,
+                                   deterministic: bool = True):
+        enc, enc_mask = self.encode(src_tokens, deterministic)
+        logits = self.decoder(prev_output_tokens, enc, enc_mask,
+                              deterministic=deterministic)
+        return logits, enc
+
+
+@dataclass(frozen=True)
+class TransformerLMConfig:
+    vocab_size: int = 8
+    padding_idx: int = 1
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    layers: int = 6
+    heads: int = 8
+    normalize_before: bool = True
+    max_target_positions: int = 1024
+    dropout: float = 0.1
+    activation: str = "relu"
+
+
+class TransformerLM(nn.Module):
+    """Decoder-only LM: the shared TransformerDecoder without cross-attention
+    inputs (encoder_out=None skips encoder_attn)."""
+
+    cfg: TransformerLMConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.decoder = TransformerDecoder(
+            vocab_size=c.vocab_size,
+            embed_dim=c.embed_dim,
+            ffn_dim=c.ffn_dim,
+            num_layers=c.layers,
+            num_heads=c.heads,
+            dropout=c.dropout,
+            activation=c.activation,
+            normalize_before=c.normalize_before,
+            padding_idx=c.padding_idx,
+            max_target_positions=c.max_target_positions,
+            name="decoder",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    def __call__(self, tokens: jax.Array, deterministic: bool = True):
+        """[B, T] tokens -> logits [B, T, V] (causal)."""
+        return self.decoder(tokens, None, None, deterministic=deterministic)
+
+
+@register_model("transformer")
+def build_transformer(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    known = {f.name for f in dataclasses.fields(TransformerMTConfig)}
+    cfg = TransformerMTConfig(**{k: v for k, v in cfg_dict.items() if k in known})
+    return TransformerModel(cfg, dtype=dtype, param_dtype=param_dtype)
+
+
+@register_model("transformer_lm")
+def build_transformer_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    known = {f.name for f in dataclasses.fields(TransformerLMConfig)}
+    d = dict(cfg_dict)
+    d.setdefault("vocab_size", d.pop("tgt_vocab_size", 8))
+    cfg = TransformerLMConfig(**{k: v for k, v in d.items() if k in known})
+    return TransformerLM(cfg, dtype=dtype, param_dtype=param_dtype)
+
+
+@register_model_architecture("transformer", "transformer")
+def transformer_base(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 512)
+    d.setdefault("encoder_ffn_dim", 2048)
+    d.setdefault("encoder_layers", 6)
+    d.setdefault("encoder_heads", 8)
+    d.setdefault("decoder_embed_dim", d["encoder_embed_dim"])
+    d.setdefault("decoder_ffn_dim", d["encoder_ffn_dim"])
+    d.setdefault("decoder_layers", 6)
+    d.setdefault("decoder_heads", 8)
+    return d
+
+
+@register_model_architecture("transformer", "transformer_iwslt_de_en")
+def transformer_iwslt(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 512)
+    d.setdefault("encoder_ffn_dim", 1024)
+    d.setdefault("encoder_heads", 4)
+    d.setdefault("decoder_ffn_dim", 1024)
+    d.setdefault("decoder_heads", 4)
+    return transformer_base(d)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big")
+def transformer_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 1024)
+    d.setdefault("encoder_ffn_dim", 4096)
+    d.setdefault("encoder_heads", 16)
+    d.setdefault("dropout", 0.3)
+    return transformer_base(d)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm")
+def transformer_lm_base(cfg: Dict) -> Dict:
+    return dict(cfg)

@@ -98,6 +98,10 @@ class ChimeraTask:
             unk_penalty=getattr(g, "unkpen", 0.0),
             max_decode_len=getattr(g, "max_decode_len", 256),
             temperature=getattr(g, "temperature", 1.0),
+            no_repeat_ngram_size=getattr(g, "no_repeat_ngram_size", 0),
+            sampling=getattr(g, "sampling", False),
+            sampling_topk=getattr(g, "sampling_topk", -1),
+            sampling_topp=getattr(g, "sampling_topp", -1.0),
         )
         d = self.target_dictionary
         return SequenceGenerator(
