@@ -36,6 +36,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--max-source-positions", type=int, default=6000000)
     p.add_argument("--max-target-positions", type=int, default=1024)
     p.add_argument("--skip-invalid-size-inputs-valid-test", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR "
+                        "(replaces the reference's nvtx/cuda profiler hooks)")
     return p
 
 

@@ -142,6 +142,10 @@ def main(argv=None) -> None:
         )
 
     # ----------------------------------------------------------- train loop
+    if args.profile:
+        # reference: --profile wraps training in cuda profiler + nvtx ranges
+        # (fairseq_cli/train.py:399-402); here a jax.profiler trace
+        jax.profiler.start_trace(args.profile)
     start = time.time()
     patience_left = args.patience
     stop = False
@@ -211,6 +215,9 @@ def main(argv=None) -> None:
             pass
         epoch += 1
 
+    if args.profile:
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {args.profile}")
     logger.info(f"done training in {time.time() - start:.1f}s "
                 f"({trainer.num_updates} updates)")
 

@@ -67,6 +67,17 @@ def _make_triplet(cfg: dict, contrastive_fn):
     ramp_until = cfg.get("contrastive_increase_until", None)
     sentence_avg = bool(cfg.get("sentence_avg", False))
     ignore_index = int(cfg.get("padding_idx", 1))
+    # per-sample distillation reweighting by id parity
+    # (reference: triplet_st_mt_contrastive.py:80-96 --kd-ratio a b:
+    # even-id samples weighted a, odd-id ("teacher") samples weighted b;
+    # only valid with loss_ratio (1, 0, 0))
+    kd_ratio = cfg.get("kd_ratio", None)
+    if kd_ratio is not None and tuple(kd_ratio) == (None, None):
+        kd_ratio = None
+    if kd_ratio is not None:
+        assert tuple(ratios) == (1.0, 0.0, 0.0), (
+            "--kd-ratio requires --loss-ratio 1 0 0 (reference assertion)"
+        )
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
         from ..models.interlingua import ChimeraInterlinguaModel
@@ -81,9 +92,21 @@ def _make_triplet(cfg: dict, contrastive_fn):
             rngs=rngs,
             method=ChimeraInterlinguaModel.forward_audio_with_internal,
         )
-        st_loss, st_nll = ce_loss_from_logits(
-            st_logits, batch["target"], eps, ignore_index
-        )
+        if kd_ratio is None:
+            st_loss, st_nll = ce_loss_from_logits(
+                st_logits, batch["target"], eps, ignore_index
+            )
+        else:
+            lprobs = jax.nn.log_softmax(st_logits.astype(jnp.float32), axis=-1)
+            from .label_smoothed_ce import label_smoothed_nll_loss
+
+            per_tok, per_tok_nll = label_smoothed_nll_loss(
+                lprobs, batch["target"], eps, ignore_index, reduce=False
+            )
+            is_teacher = (batch["id"] % 2).astype(jnp.float32)  # [B]
+            w = is_teacher * kd_ratio[1] + (1.0 - is_teacher) * kd_ratio[0]
+            st_loss = jnp.sum(per_tok * w[:, None])
+            st_nll = jnp.sum(per_tok_nll * w[:, None])
 
         if ratios[1] != 0.0 or ratios[2] != 0.0:
             mt_logits, text_mem = model.apply(

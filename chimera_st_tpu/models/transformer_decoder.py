@@ -159,6 +159,8 @@ class TransformerDecoder(nn.Module):
         )
         x = x + pos[None, None, :].astype(x.dtype)
 
+        if encoder_kv is None:  # decoder-only (LM) stepping
+            encoder_kv = [None] * len(self.layers)
         new_caches = []
         for layer, cache, ekv in zip(self.layers, caches, encoder_kv):
             x, new_cache = layer(

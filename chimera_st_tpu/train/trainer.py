@@ -148,7 +148,6 @@ class Trainer:
             mb = dict(mb)
             task_name = mb.pop("task_name", None)
             mb = self.to_device(mb)
-            mb.pop("id", None)
             if task_name not in self._grad_jits:
                 self._grad_jits[task_name] = self._make_grad_fn(task_name)
             g, ss, logging = self._grad_jits[task_name](
@@ -191,7 +190,6 @@ class Trainer:
         batch = dict(batch)
         task_name = batch.pop("task_name", None)
         batch = self.to_device(batch)
-        batch.pop("id", None)
         if task_name not in self._valid_jits:
             self._valid_jits[task_name] = self._make_valid_fn(task_name)
         logging = self._valid_jits[task_name](self.state.params, batch)
