@@ -98,6 +98,8 @@ def main(argv=None) -> None:
         temperature = args.temperature
         max_decode_len = args.max_decode_len
         no_repeat_ngram_size = getattr(args, "no_repeat_ngram_size", 0)
+        diverse_beam_groups = max(args.diverse_beam_groups, 0)
+        diverse_beam_strength = args.diverse_beam_strength
         sampling = args.sampling
         sampling_topk = args.sampling_topk
         sampling_topp = args.sampling_topp

@@ -105,6 +105,8 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--max-decode-len", type=int, default=256)
     p.add_argument("--prefix-size", type=int, default=0)
     p.add_argument("--no-repeat-ngram-size", type=int, default=0)
+    p.add_argument("--diverse-beam-groups", type=int, default=-1)
+    p.add_argument("--diverse-beam-strength", type=float, default=0.5)
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling-topk", type=int, default=-1)
     p.add_argument("--sampling-topp", type=float, default=-1.0)

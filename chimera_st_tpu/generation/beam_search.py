@@ -104,6 +104,8 @@ def beam_search(
     max_lens: Optional[jax.Array] = None,  # [B] per-sentence max generated len
     prefix_tokens: Optional[jax.Array] = None,  # [B, P] forced prefix (pad = none)
     no_repeat_ngram_size: int = 0,
+    diverse_beam_groups: int = 0,  # >1: diverse beam search
+    diverse_beam_strength: float = 0.5,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -224,13 +226,38 @@ def beam_search(
             ].max(match)
             logprobs = jnp.where(bans, NEG_INF, logprobs)
 
-        # flat top-2K over [B, K*V]: measured 3.5x faster than the two-stage
-        # per-beam shortlist on TPU (0.56 vs 1.95 ms/step at K=10, V=10k)
-        cand_scores = state.alive_scores[:, :, None] + logprobs  # [B, K, V]
-        flat = cand_scores.reshape(B, K * V)
-        topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
-        topk_beam = topk_idx // V
-        topk_tok = topk_idx % V
+        if diverse_beam_groups > 1:
+            # diverse beam search (reference: search.py:551 DiverseBeamSearch):
+            # beams split into G groups; group g's log-probs are penalized by
+            # strength * counts of tokens already chosen by groups < g this
+            # step; each group runs an independent 2k' candidate selection
+            G = diverse_beam_groups
+            assert K % G == 0, "beam size must be divisible by diverse groups"
+            kp = K // G
+            counts = jnp.zeros((B, V), jnp.float32)
+            parts = []
+            for g in range(G):
+                lp_g = logprobs[:, g * kp : (g + 1) * kp, :]
+                lp_g = lp_g - diverse_beam_strength * counts[:, None, :]
+                cand_g = state.alive_scores[:, g * kp : (g + 1) * kp, None] + lp_g
+                sc, idx = jax.lax.top_k(cand_g.reshape(B, kp * V), 2 * kp)
+                beam_g = idx // V + g * kp  # global beam index
+                tok_g = idx % V
+                counts = counts + jnp.sum(
+                    jax.nn.one_hot(tok_g[:, :kp], V, dtype=jnp.float32), axis=1
+                )
+                parts.append((sc, beam_g, tok_g))
+            topk_scores = jnp.concatenate([p[0] for p in parts], axis=1)
+            topk_beam = jnp.concatenate([p[1] for p in parts], axis=1)
+            topk_tok = jnp.concatenate([p[2] for p in parts], axis=1)
+        else:
+            # flat top-2K over [B, K*V]: measured 3.5x faster than the
+            # two-stage per-beam shortlist on TPU (0.56 vs 1.95 ms/step)
+            cand_scores = state.alive_scores[:, :, None] + logprobs  # [B, K, V]
+            flat = cand_scores.reshape(B, K * V)
+            topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+            topk_beam = topk_idx // V
+            topk_tok = topk_idx % V
 
         # gather candidate sequences and write the new token
         cand_seq = _gather_beams(state.alive_seq, topk_beam)
@@ -241,7 +268,20 @@ def beam_search(
 
         # ---- alive set: best K non-eos candidates
         alive_rank = jnp.where(is_eos, NEG_INF, topk_scores)
-        new_alive_scores, alive_pick = jax.lax.top_k(alive_rank, K)
+        if diverse_beam_groups > 1:
+            # keep the group structure: top k' within each group's 2k' slice
+            G = diverse_beam_groups
+            kp = K // G
+            picks, scores_g = [], []
+            for g in range(G):
+                sl = alive_rank[:, 2 * kp * g : 2 * kp * (g + 1)]
+                sc, ix = jax.lax.top_k(sl, kp)
+                picks.append(ix + 2 * kp * g)
+                scores_g.append(sc)
+            new_alive_scores = jnp.concatenate(scores_g, axis=1)
+            alive_pick = jnp.concatenate(picks, axis=1)
+        else:
+            new_alive_scores, alive_pick = jax.lax.top_k(alive_rank, K)
         new_alive_seq = _gather_beams(cand_seq, alive_pick)
         picked_beam = jnp.take_along_axis(topk_beam, alive_pick, axis=1)
         new_kv = _gather_flat_beams(new_caches, picked_beam, B, K)

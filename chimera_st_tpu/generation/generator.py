@@ -37,6 +37,8 @@ class GeneratorSettings:
     max_decode_len: int = 256  # static bound for the compiled loop
     temperature: float = 1.0
     no_repeat_ngram_size: int = 0
+    diverse_beam_groups: int = 0
+    diverse_beam_strength: float = 0.5
     # sampling mode (reference: --sampling --sampling-topk/--sampling-topp)
     sampling: bool = False
     sampling_topk: int = -1
@@ -164,6 +166,8 @@ class SequenceGenerator:
             unk_penalty=self.s.unk_penalty,
             max_lens=max_lens,
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
+            diverse_beam_groups=self.s.diverse_beam_groups,
+            diverse_beam_strength=self.s.diverse_beam_strength,
         )
 
     # ----------------------------------------------------------- public API

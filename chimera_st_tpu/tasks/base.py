@@ -99,6 +99,8 @@ class ChimeraTask:
             max_decode_len=getattr(g, "max_decode_len", 256),
             temperature=getattr(g, "temperature", 1.0),
             no_repeat_ngram_size=getattr(g, "no_repeat_ngram_size", 0),
+            diverse_beam_groups=getattr(g, "diverse_beam_groups", 0),
+            diverse_beam_strength=getattr(g, "diverse_beam_strength", 0.5),
             sampling=getattr(g, "sampling", False),
             sampling_topk=getattr(g, "sampling_topk", -1),
             sampling_topp=getattr(g, "sampling_topp", -1.0),
