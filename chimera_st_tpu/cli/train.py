@@ -294,15 +294,60 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
     ss = max(totals.get("sample_size", 1.0), 1.0)
     stats = {k: v / ss / math.log(2) for k, v in totals.items()
              if k.endswith("loss")}
+    if args.best_checkpoint_metric == "bleu":
+        # BLEU-during-validation drives checkpoint selection (reference:
+        # tasks/translation.py:218-239 / speech_to_text_bleu.py:207-297)
+        stats["bleu"] = validate_bleu(args, task, trainer)
     logger.info(
         "validation | " + " | ".join(f"{k} {v:.3f}" for k, v in sorted(stats.items()))
     )
     metric = args.best_checkpoint_metric
     if metric in stats:
         return stats[metric]
-    if metric == "loss":
-        return stats.get("loss")
     return stats.get("loss")
+
+
+def validate_bleu(args, task, trainer, beam: int = 4, max_decode_len: int = 64) -> float:
+    import jax.numpy as jnp
+    import numpy as np
+    import sacrebleu
+
+    class GenCfg:
+        pass
+
+    GenCfg.beam = beam
+    GenCfg.max_decode_len = max_decode_len
+    GenCfg.lenpen = 1.0
+    generator = task.build_generator(trainer.model, GenCfg)
+    tgt_dict = task.target_dictionary
+    strip = task.lang_tag_indices() if hasattr(task, "lang_tag_indices") else set()
+    itr = task.make_batch_iterator(
+        task.dataset(args.valid_subset),
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+    hyps, refs = [], []
+    for batch in itr:
+        if "audio" in batch:
+            tokens, _, lens = generator.generate_audio(
+                trainer.state.params,
+                jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_padding_mask"]),
+            )
+        else:
+            tokens, _, lens = generator.generate_text(
+                trainer.state.params, jnp.asarray(batch["src_tokens"])
+            )
+        tokens, lens = np.asarray(tokens), np.asarray(lens)
+        for b in range(tokens.shape[0]):
+            hyps.append(tgt_dict.string(
+                tokens[b, 0, : lens[b, 0]], bpe_symbol="sentencepiece",
+                extra_symbols_to_ignore=strip))
+            refs.append(tgt_dict.string(
+                batch["target"][b], bpe_symbol="sentencepiece",
+                extra_symbols_to_ignore=strip))
+    return sacrebleu.corpus_bleu(hyps, [refs], tokenize="13a").score
 
 
 def cli_main():
