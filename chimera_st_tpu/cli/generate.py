@@ -57,6 +57,7 @@ def load_model_and_params(path: str, task, dtype, gen_model_overrides=None):
 
     template = init_params_for_task(model, task, _A())
     params = serialization.from_state_dict(template, payload["params"])
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return model, params
 
 
@@ -86,7 +87,7 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model_overrides["arch"] = model_overrides.get("arch", "s2t_transformer_w2v2_interlingua_base")
-    model, params = load_model_and_params(args.path, task, dtype, model_overrides)
+    model, params = load_model_and_params(args.path.split(":")[0], task, dtype, model_overrides)
 
     class GenCfg:
         beam = args.beam
@@ -104,7 +105,49 @@ def main(argv=None) -> None:
         sampling_topk = args.sampling_topk
         sampling_topp = args.sampling_topp
 
-    generator = task.build_generator(model, GenCfg)
+    paths = args.path.split(":")
+    if len(paths) > 1 or args.lm_path:
+        # ensemble / LM-fusion decode (reference: generate.py:103-128)
+        from ..generation.ensemble import EnsembleSequenceGenerator
+        from ..generation.generator import GeneratorSettings
+
+        models, params_list = [model], [params]
+        for extra_path in paths[1:]:
+            m2, p2 = load_model_and_params(extra_path, task, dtype, model_overrides)
+            models.append(m2)
+            params_list.append(p2)
+        lm = None
+        if args.lm_path:
+            lm_model, lm_params = load_model_and_params(
+                args.lm_path, task, dtype, {"arch": "transformer_lm"}
+            )
+            lm = (lm_model, lm_params, args.lm_weight)
+        settings = GeneratorSettings(
+            beam_size=args.beam, max_len_a=args.max_len_a, max_len_b=args.max_len_b,
+            min_len=args.min_len, len_penalty=args.lenpen, unk_penalty=args.unkpen,
+            max_decode_len=args.max_decode_len, temperature=args.temperature,
+            no_repeat_ngram_size=args.no_repeat_ngram_size,
+        )
+        d = tgt_dict
+        ens = EnsembleSequenceGenerator(
+            models, params_list, settings, pad=d.pad(), eos=d.eos(), unk=d.unk(),
+            lm=lm,
+        )
+
+        class _EnsembleAdapter:
+            s = settings
+
+            def generate_audio(self, _params, audio, mask, src_lengths=None):
+                return ens.generate_audio(audio, mask, src_lengths)
+
+            def generate_text(self, _params, tokens, src_lengths=None):
+                raise NotImplementedError(
+                    "ensemble text decoding: use a single --path for text tasks"
+                )
+
+        generator = _EnsembleAdapter()
+    else:
+        generator = task.build_generator(model, GenCfg)
     scorer = build_scorer({"_name": args.scoring}, tgt_dict)
 
     itr = task.make_batch_iterator(

@@ -24,8 +24,6 @@ compose outside.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -96,7 +94,6 @@ def beam_search(
     eos: int,
     pad: int,
     bos: Optional[int] = None,  # first input token; defaults to eos (fairseq)
-    vocab_size: Optional[int] = None,
     min_len: int = 1,
     len_penalty: float = 1.0,
     unk: Optional[int] = None,

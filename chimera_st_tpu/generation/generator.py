@@ -15,7 +15,6 @@ reorder never touches it — only the self-attention caches are gathered).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
