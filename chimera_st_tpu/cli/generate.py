@@ -45,6 +45,7 @@ def load_model_and_params(path: str, task, dtype, gen_model_overrides=None):
         payload = pickle.load(f)
     model_cfg = dict(payload.get("extra", {}).get("model_cfg") or {})
     model_cfg.update(gen_model_overrides or {})
+    model_cfg.setdefault("arch", "s2t_transformer_w2v2_interlingua_base")
     model = task.build_model(model_cfg, dtype=dtype)
 
     from flax import serialization
@@ -86,7 +87,6 @@ def main(argv=None) -> None:
     tgt_dict = task.target_dictionary
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model_overrides["arch"] = model_overrides.get("arch", "s2t_transformer_w2v2_interlingua_base")
     model, params = load_model_and_params(args.path.split(":")[0], task, dtype, model_overrides)
 
     class GenCfg:

@@ -65,17 +65,32 @@ def main(argv=None) -> None:
     logger.info("Type a .wav file path per line and press Enter:")
 
     input_fh = sys.stdin if args.input == "-" else open(args.input)
+    is_audio_task = hasattr(task, "get_interactive_examples")
     start_id = 0
     for lines in buffered_read(input_fh, args.buffer_size):
         t0 = time.time()
-        wavs = task.get_interactive_examples(lines)
-        batch = task.batch_interactive(wavs)
-        tokens, scores, lens = generator.generate_audio(
-            params,
-            jnp.asarray(batch["audio"]),
-            jnp.asarray(batch["audio_padding_mask"]),
-            src_lengths=jnp.asarray(batch["audio_lengths"]),
-        )
+        if is_audio_task:
+            wavs = task.get_interactive_examples(lines)
+            batch = task.batch_interactive(wavs)
+            tokens, scores, lens = generator.generate_audio(
+                params,
+                jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_padding_mask"]),
+                src_lengths=jnp.asarray(batch["audio_lengths"]),
+            )
+        else:
+            # text task: lines are source sentences (reference:
+            # interactive.py for --task translation)
+            from ..data.batching import collate_tokens
+
+            src_dict = task.source_dictionary
+            encoded = [src_dict.encode_line(l) for l in lines]
+            T = ((max(len(e) for e in encoded) + 15) // 16) * 16
+            src = collate_tokens(encoded, src_dict.pad(), target_len=T)
+            lengths = np.asarray([len(e) for e in encoded], np.int32)
+            tokens, scores, lens = generator.generate_text(
+                params, jnp.asarray(src), src_lengths=jnp.asarray(lengths)
+            )
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
         for b, line in enumerate(lines):
             sid = start_id + b

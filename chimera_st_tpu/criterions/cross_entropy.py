@@ -12,15 +12,13 @@ def make_cross_entropy(cfg: dict):
     ignore_index = int(cfg.get("padding_idx", 1))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         logits, _ = model.apply(
             params,
             batch["src_tokens"],
             batch["prev_output_tokens"],
             deterministic=not train,
             rngs=rngs,
-            method=ChimeraInterlinguaModel.forward_text_with_internal,
+            method=type(model).forward_text_with_internal,
         )
         loss, nll = ce_loss_from_logits(logits, batch["target"], 0.0, ignore_index)
         ntokens = batch["ntokens"]

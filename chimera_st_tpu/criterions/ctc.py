@@ -21,8 +21,6 @@ def make_ctc_criterion(cfg: dict):
     zero_infinity = bool(cfg.get("zero_infinity", True))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         # encoder states -> per-frame vocabulary logits via the tied decoder
         # embedding (no extra head; a dedicated ctc head can be configured)
         enc, enc_mask = model.apply(
@@ -31,7 +29,7 @@ def make_ctc_criterion(cfg: dict):
             batch["audio_padding_mask"],
             deterministic=not train,
             rngs=rngs,
-            method=ChimeraInterlinguaModel.encode_audio,
+            method=type(model).encode_audio,
         )
         logits = model.apply(
             params, enc, method=lambda m, e: m.decoder.embed_tokens.attend(e)

@@ -65,15 +65,13 @@ def make_label_smoothed_ce(cfg: dict):
     ignore_index = int(cfg.get("padding_idx", 1))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         logits, _ = model.apply(
             params,
             batch["src_tokens"],
             batch["prev_output_tokens"],
             deterministic=not train,
             rngs=rngs,
-            method=ChimeraInterlinguaModel.forward_text_with_internal,
+            method=type(model).forward_text_with_internal,
         )
         loss, nll = ce_loss_from_logits(
             logits, batch["target"], eps, ignore_index

@@ -80,8 +80,6 @@ def _make_triplet(cfg: dict, contrastive_fn):
         )
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         det = not train
         st_logits, audio_mem = model.apply(
             params,
@@ -90,7 +88,7 @@ def _make_triplet(cfg: dict, contrastive_fn):
             batch["prev_output_tokens"],
             deterministic=det,
             rngs=rngs,
-            method=ChimeraInterlinguaModel.forward_audio_with_internal,
+            method=type(model).forward_audio_with_internal,
         )
         if kd_ratio is None:
             st_loss, st_nll = ce_loss_from_logits(
@@ -115,7 +113,7 @@ def _make_triplet(cfg: dict, contrastive_fn):
                 batch["prev_output_tokens"],
                 deterministic=det,
                 rngs=rngs,
-                method=ChimeraInterlinguaModel.forward_text_with_internal,
+                method=type(model).forward_text_with_internal,
             )
             mt_loss, mt_nll = ce_loss_from_logits(
                 mt_logits, batch["target"], eps, ignore_index

@@ -68,12 +68,12 @@ class SequenceGenerator:
 
     def _encode_audio(self, params, source, padding_mask):
         return self.model.apply(
-            params, source, padding_mask, method=ChimeraInterlinguaModel.encode_audio
+            params, source, padding_mask, method=type(self.model).encode_audio
         )
 
     def _encode_text(self, params, src_tokens):
         return self.model.apply(
-            params, src_tokens, method=ChimeraInterlinguaModel.encode_text
+            params, src_tokens, method=type(self.model).encode_text
         )
 
     # -------------------------------------------------------------- decode
