@@ -161,6 +161,10 @@ class CheckpointManager:
 
         if is_best:
             _replicate(f"checkpoint_best{SUFFIX}")
+        if self.keep_best_checkpoints > 0 and val_metric is not None:
+            # score-stamped copies pruned to the N best
+            # (reference: checkpoint.best_<score> files)
+            _replicate(f"checkpoint.best_{val_metric:.4f}_{updates}{SUFFIX}")
         if not self.no_last:
             _replicate(f"checkpoint_last{SUFFIX}")
 
@@ -178,6 +182,18 @@ class CheckpointManager:
             )
             for p in ckpts[: -self.keep_last_epochs]:
                 p.unlink(missing_ok=True)
+        if self.keep_best_checkpoints > 0:
+            def score_of(p):  # checkpoint.best_<score>_<updates>.ckpt
+                return float(p.stem.split("_")[-2])
+
+            ckpts = sorted(
+                self.save_dir.glob(f"checkpoint.best_*{SUFFIX}"),
+                key=score_of,
+                reverse=not self.maximize_best,  # worst-first for pruning
+            )
+            if len(ckpts) > self.keep_best_checkpoints:
+                for p in ckpts[: -self.keep_best_checkpoints]:
+                    p.unlink(missing_ok=True)
         if self.keep_interval_updates > 0:
             ckpts = sorted(
                 self.save_dir.glob(f"checkpoint_*_*{SUFFIX}"),

@@ -61,6 +61,7 @@ class SequenceGenerator:
         self._jit_generate = jax.jit(
             self._generate_from_encoder, static_argnames=("beam_size",)
         )
+        self._call_count = 0
         self._jit_encode_audio = jax.jit(self._encode_audio)
         self._jit_encode_text = jax.jit(self._encode_text)
 
@@ -85,6 +86,7 @@ class SequenceGenerator:
         encoder_padding_mask: Optional[jax.Array],  # [B, S] or None
         max_lens: Optional[jax.Array],  # [B] or None
         beam_size: int,
+        rng: Optional[jax.Array] = None,
     ):
         B, S, _ = encoder_out.shape
         K = beam_size
@@ -142,7 +144,7 @@ class SequenceGenerator:
                 max_len=max_len,
                 eos=self.eos,
                 pad=self.pad,
-                rng=jax.random.PRNGKey(0),
+                rng=rng if rng is not None else jax.random.PRNGKey(0),
                 bos=self.bos,
                 temperature=self.s.temperature,
                 top_k=max(self.s.sampling_topk, 0),
@@ -187,8 +189,12 @@ class SequenceGenerator:
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
+        self._call_count += 1
+        rng = (
+            jax.random.PRNGKey(self._call_count) if self.s.sampling else None
+        )
         return self._jit_generate(
-            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng
         )
 
     def generate_text(
@@ -201,8 +207,12 @@ class SequenceGenerator:
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
+        self._call_count += 1
+        rng = (
+            jax.random.PRNGKey(self._call_count) if self.s.sampling else None
+        )
         return self._jit_generate(
-            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng
         )
 
     def to_hypotheses(

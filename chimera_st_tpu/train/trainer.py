@@ -98,7 +98,10 @@ class Trainer:
             )
             return (
                 TrainState(
-                    step=state.step + 1,
+                    # skipped (non-finite) updates do not advance the step
+                    # counter, keeping the LR schedule aligned with applied
+                    # updates (reference: overflow steps are not counted)
+                    step=state.step + finite.astype(state.step.dtype),
                     params=keep(new_params, state.params),
                     opt_state=keep(new_opt, state.opt_state),
                 ),
@@ -158,8 +161,12 @@ class Trainer:
                 logging_sum = dict(logging)
             else:
                 grads, total_ss = self._accum_fn(grads, g, ss, total_ss)
-                for k in logging_sum:
-                    logging_sum[k] = logging_sum[k] + logging[k]
+                # joint training can emit different key sets per microbatch
+                for k in set(logging_sum) | set(logging):
+                    if k in logging_sum and k in logging:
+                        logging_sum[k] = logging_sum[k] + logging[k]
+                    elif k in logging:
+                        logging_sum[k] = logging[k]
         self.state, gnorm, finite = self._apply_fn(self.state, grads, total_ss)
         self.cumulative_training_time += time.time() - t0
 
