@@ -119,4 +119,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit a parseable line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_utterances_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "utt/s",
+                    "vs_baseline": 0.0,
+                    "extras": {"error": f"{type(e).__name__}: {e}"[:300]},
+                }
+            )
+        )
+        raise SystemExit(1)
