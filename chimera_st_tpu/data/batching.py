@@ -100,13 +100,16 @@ def collate_tokens(
     dtype=None,
     left_pad: bool = False,
 ) -> np.ndarray:
-    """Pad 1-D arrays into [B, T] (reference: data_utils.py:34 collate_tokens,
+    """Pad arrays along their first dim into [B, T, ...] (reference:
+    data_utils.py:34 collate_tokens + _collate_frames for 2-D features,
     extended with a static target_len for bucketed shapes)."""
-    max_len = max(len(s) for s in sequences)
+    seqs = [np.asarray(s) for s in sequences]
+    max_len = max(len(s) for s in seqs)
     T = max(max_len, target_len or 0)
-    dtype = dtype or np.asarray(sequences[0]).dtype
-    out = np.full((len(sequences), T), pad_value, dtype=dtype)
-    for i, s in enumerate(sequences):
+    dtype = dtype or seqs[0].dtype
+    rest = seqs[0].shape[1:]
+    out = np.full((len(seqs), T) + rest, pad_value, dtype=dtype)
+    for i, s in enumerate(seqs):
         if left_pad:
             out[i, T - len(s) :] = s
         else:

@@ -186,6 +186,19 @@ class SpeechToTextDataset:
             _tok_cfg_to_registry(data_cfg.pre_tokenizer)
         )
         self.bpe = build_bpe(_bpe_cfg_to_registry(data_cfg.bpe_tokenizer))
+        # fbank-mode feature transforms (specaugment/cmvn); wave mode has none
+        from .feature_transforms import CompositeAudioFeatureTransform
+
+        tf_list = data_cfg.get_feature_transforms(split, is_train_split)
+        self.feature_transforms = (
+            CompositeAudioFeatureTransform.from_config_dict(
+                {"transforms": tf_list,
+                 **{k: v for k, v in (data_cfg.config.get("transforms") or {}).items()
+                    if not k.startswith("_") and k != "*"}}
+            )
+            if tf_list and not data_cfg.use_audio_input
+            else None
+        )
         self.pad = tgt_dict.pad() if tgt_dict else 1
         self.eos = tgt_dict.eos() if tgt_dict else 2
         if data_cfg.prepend_tgt_lang_tag and tgt_dict is not None and tgt_langs:
@@ -224,6 +237,8 @@ class SpeechToTextDataset:
             use_audio_input=self.cfg.use_audio_input,
             audio_root=self.cfg.audio_root,
         ).astype(np.float32)
+        if self.feature_transforms is not None:
+            audio = self.feature_transforms(audio)
         return S2TExample(index, audio, self._get_tgt_tokens(index))
 
     # --------------------------------------------------------------- collate

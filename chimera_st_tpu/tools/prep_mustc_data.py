@@ -88,11 +88,19 @@ def process_split(
         utt_id = f"{wav_path.stem}_{i}"
         if task == "wave":
             audio = f"{wav_path}:{offset}:{n_frames}"
-        else:
-            raise NotImplementedError(
-                "fbank80 extraction: use --task wave (the Chimera recipe path); "
-                "fbank features can be computed with chimera_st_tpu.ops.fbank"
-            )
+        else:  # fbank80: extract log-mel features to .npy
+            import numpy as np
+
+            from ..data.audio import read_wav
+            from ..ops.fbank import logmel_numpy
+
+            feat_dir = lang_root / f"fbank80_{split}"
+            feat_dir.mkdir(exist_ok=True)
+            wav, sr2 = read_wav(str(wav_path), frame_offset=offset, frames=n_frames)
+            feats = logmel_numpy(wav, sample_rate=sr2)
+            np.save(feat_dir / f"{utt_id}.npy", feats)
+            audio = str(feat_dir / f"{utt_id}.npy")
+            n_frames = feats.shape[0]
         rows.append({
             "id": utt_id,
             "audio": audio,
@@ -116,7 +124,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("chimera-prep-mustc")
     p.add_argument("--data-root", required=True, help="MuST-C root (contains en-XX/)")
     p.add_argument("--langs", nargs="+", default=["de"])
-    p.add_argument("--task", default="wave", choices=["wave"])
+    p.add_argument("--task", default="wave", choices=["wave", "fbank80"])
     p.add_argument("--spm-model", required=True,
                    help="joint sentencepiece model (chimera/resources/*-spm)")
     p.add_argument("--vocab", required=True, help="fairseq-format vocab file")
@@ -145,8 +153,12 @@ def main(argv=None):
             lang_root,
             spm_model=str(lang_root / Path(args.spm_model).name),
             vocab_filename=Path(args.vocab).name,
+            yaml_filename=("config_wave.yaml" if args.task == "wave"
+                           else "config_fbank.yaml"),
+            use_audio_input=args.task == "wave",
             src_spm_model=str(lang_root / Path(args.spm_model).name),
             src_vocab_filename=Path(args.vocab).name,
+            specaugment=args.task != "wave",
         )
 
 

@@ -64,3 +64,46 @@ def test_prep_mustc_wave(fake_mustc):
     ex = ds[0]
     assert len(ex.audio) == int(1.5 * 16000)
     assert ex.target is not None and ex.source_text is not None
+
+
+def test_prep_mustc_fbank(fake_mustc):
+    prep_main([
+        "--data-root", str(fake_mustc), "--langs", "de", "--task", "fbank80",
+        "--spm-model", str(fake_mustc / "spm.model"),
+        "--vocab", str(fake_mustc / "vocab.txt"),
+    ])
+    lang_root = fake_mustc / "en-de"
+    tsv = (lang_root / "dev_fbank80.tsv").read_text().splitlines()
+    assert len(tsv) == 4
+    npy_path = tsv[1].split("\t")[1]
+    feats = np.load(npy_path)
+    assert feats.shape[1] == 80
+    # n_frames column matches the feature length
+    assert int(tsv[1].split("\t")[2]) == feats.shape[0]
+    cfg = yaml.safe_load((lang_root / "config_fbank.yaml").read_text())
+    assert cfg["use_audio_input"] is False
+    assert "specaugment" in cfg.get("transforms", {})
+
+
+def test_fbank_dataset_loads_with_transforms(fake_mustc):
+    """fbank manifests load as 2-D feature datasets with specaugment/cmvn
+    applied at train time and collate into [B, T, 80] batches."""
+    prep_main([
+        "--data-root", str(fake_mustc), "--langs", "de", "--task", "fbank80",
+        "--spm-model", str(fake_mustc / "spm.model"),
+        "--vocab", str(fake_mustc / "vocab.txt"),
+    ])
+    lang_root = fake_mustc / "en-de"
+    from chimera_st_tpu.data.dictionary import Dictionary
+    from chimera_st_tpu.data.manifests import S2TDataConfig, make_dataset_from_tsv
+
+    d = Dictionary()
+    for w in "hallo du zweite zeile dritte".split():
+        d.add_symbol(w)
+    cfg = S2TDataConfig(str(lang_root / "config_fbank.yaml"))
+    ds = make_dataset_from_tsv(str(lang_root), "dev_fbank80", cfg, d, True)
+    ex = ds[0]
+    assert ex.audio.ndim == 2 and ex.audio.shape[1] == 80
+    batch = ds.collater([ds[i] for i in range(3)], audio_target_len=256)
+    assert batch["audio"].shape == (3, 256, 80)
+    assert batch["audio_padding_mask"].shape == (3, 256)
