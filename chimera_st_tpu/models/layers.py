@@ -356,11 +356,14 @@ class TransformerEncoderLayer(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     """Pre/post-LN decoder layer with functional caches
-    (reference: fairseq/modules/transformer_layer.py:152-423)."""
+    (reference: fairseq/modules/transformer_layer.py:152-423).
+    ``causal=False`` gives the bidirectional decoder used by CMLM-style
+    non-autoregressive models."""
 
     embed_dim: int
     ffn_dim: int
     num_heads: int
+    causal: bool = True
     dropout: float = 0.1
     attention_dropout: float = 0.1
     activation_dropout: float = 0.1
@@ -422,7 +425,7 @@ class TransformerDecoderLayer(nn.Module):
         x, new_cache = self.self_attn(
             x,
             key_padding_mask=self_attn_padding_mask if self_cache is None else None,
-            causal=self_cache is None,
+            causal=self.causal and self_cache is None,
             cache=self_cache,
             cache_index=cache_index,
             deterministic=deterministic,

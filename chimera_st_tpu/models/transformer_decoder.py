@@ -47,6 +47,7 @@ class TransformerDecoder(nn.Module):
     share_input_output_embed: bool = True
     no_scale_embedding: bool = False
     max_target_positions: int = 1024
+    causal: bool = True  # False: bidirectional (CMLM / mask-predict)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -69,6 +70,7 @@ class TransformerDecoder(nn.Module):
                 activation_dropout=self.activation_dropout,
                 activation=self.activation,
                 normalize_before=self.normalize_before,
+                causal=self.causal,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",

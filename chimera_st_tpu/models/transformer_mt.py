@@ -49,6 +49,7 @@ class TransformerMTConfig:
     share_decoder_input_output_embed: bool = True
     share_all_embeddings: bool = False
     max_target_positions: int = 1024
+    decoder_causal: bool = True  # False: bidirectional (CMLM)
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
@@ -97,6 +98,7 @@ class TransformerModel(nn.Module):
             share_input_output_embed=c.share_decoder_input_output_embed,
             no_scale_embedding=c.no_scale_embedding,
             max_target_positions=c.max_target_positions,
+            causal=c.decoder_causal,
             name="decoder", **common,
         )
         self.embed_scale = (
