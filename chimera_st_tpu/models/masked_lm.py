@@ -1,0 +1,125 @@
+"""Bidirectional masked-LM encoder model (RoBERTa-style).
+
+reference: fairseq/models/masked_lm.py + fairseq/models/roberta/ — a
+transformer encoder with a tied-embedding LM head over masked positions.
+Reuses the shared encoder stack; the LM head is the fairseq roberta head
+(dense -> activation -> layer-norm -> tied projection + bias)."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.registry import register_model, register_model_architecture
+from .embedding import Embed
+from .layers import (
+    LayerNorm,
+    TransformerEncoderLayer,
+    get_activation,
+    positional_embedding_from_mask,
+)
+
+Dtype = Any
+
+
+@dataclass(frozen=True)
+class MaskedLMConfig:
+    vocab_size: int = 8
+    padding_idx: int = 1
+    embed_dim: int = 768
+    ffn_dim: int = 3072
+    layers: int = 12
+    heads: int = 12
+    normalize_before: bool = False  # roberta/bert: post-norm
+    activation: str = "gelu"
+    dropout: float = 0.1
+    max_positions: int = 512
+
+
+class MaskedLMModel(nn.Module):
+    cfg: MaskedLMConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.embed_tokens = Embed(
+            c.vocab_size, c.embed_dim, padding_idx=c.padding_idx,
+            name="embed_tokens", **common,
+        )
+        self.emb_layer_norm = LayerNorm(c.embed_dim, dtype=self.dtype,
+                                        name="emb_layer_norm")
+        self.layers_list = [
+            TransformerEncoderLayer(
+                c.embed_dim, c.ffn_dim, c.heads,
+                dropout=c.dropout, attention_dropout=c.dropout,
+                activation_dropout=0.0, activation=c.activation,
+                normalize_before=c.normalize_before,
+                name=f"layers_{i}", **common,
+            )
+            for i in range(c.layers)
+        ]
+        # roberta lm head
+        self.lm_head_dense = nn.Dense(c.embed_dim, name="lm_head_dense", **common)
+        self.lm_head_layer_norm = LayerNorm(
+            c.embed_dim, dtype=self.dtype, name="lm_head_layer_norm"
+        )
+        self.lm_head_bias = self.param(
+            "lm_head_bias", nn.initializers.zeros, (c.vocab_size,), self.param_dtype
+        )
+        self.dropout_layer = nn.Dropout(c.dropout)
+
+    def encode(self, tokens: jax.Array, deterministic: bool = True):
+        c = self.cfg
+        pad_mask = tokens == c.padding_idx
+        x = self.embed_tokens(tokens)
+        pos = positional_embedding_from_mask(pad_mask, c.embed_dim, c.padding_idx)
+        x = x + pos.astype(x.dtype)
+        x = self.emb_layer_norm(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        for layer in self.layers_list:
+            x = layer(x, encoder_padding_mask=pad_mask, deterministic=deterministic)
+        return x, pad_mask
+
+    def __call__(self, tokens: jax.Array, deterministic: bool = True):
+        """[B, T] -> masked-LM logits [B, T, V]."""
+        x, _ = self.encode(tokens, deterministic)
+        act = get_activation(self.cfg.activation)
+        x = self.lm_head_layer_norm(act(self.lm_head_dense(x)))
+        return self.embed_tokens.attend(x) + self.lm_head_bias.astype(jnp.float32)
+
+
+@register_model("masked_lm")
+def build_masked_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    known = {f.name for f in dataclasses.fields(MaskedLMConfig)}
+    d = dict(cfg_dict)
+    d.setdefault("vocab_size", d.pop("tgt_vocab_size", 8))
+    cfg = MaskedLMConfig(**{k: v for k, v in d.items() if k in known})
+    return MaskedLMModel(cfg, dtype=dtype, param_dtype=param_dtype)
+
+
+@register_model_architecture("masked_lm", "roberta_base")
+def roberta_base(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 768)
+    d.setdefault("ffn_dim", 3072)
+    d.setdefault("layers", 12)
+    d.setdefault("heads", 12)
+    return d
+
+
+@register_model_architecture("masked_lm", "roberta_large")
+def roberta_large(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("layers", 24)
+    d.setdefault("heads", 16)
+    return d
