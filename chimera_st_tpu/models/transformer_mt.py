@@ -149,6 +149,8 @@ class TransformerLMConfig:
     max_target_positions: int = 1024
     dropout: float = 0.1
     activation: str = "relu"
+    # reference: --adaptive-softmax-cutoff (fairseq/modules/adaptive_softmax.py)
+    adaptive_softmax_cutoffs: Optional[Tuple[int, ...]] = None
 
 
 class TransformerLM(nn.Module):
@@ -176,10 +178,33 @@ class TransformerLM(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if c.adaptive_softmax_cutoffs:
+            from .adaptive_softmax import AdaptiveSoftmax
+
+            self.adaptive_softmax = AdaptiveSoftmax(
+                c.vocab_size, c.embed_dim,
+                cutoffs=tuple(c.adaptive_softmax_cutoffs),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="adaptive_softmax",
+            )
+        else:
+            self.adaptive_softmax = None
 
     def __call__(self, tokens: jax.Array, deterministic: bool = True):
-        """[B, T] tokens -> logits [B, T, V] (causal)."""
+        """[B, T] tokens -> logits/log-probs [B, T, V] (causal)."""
+        if self.adaptive_softmax is not None:
+            feats = self.decoder(tokens, None, None, deterministic=deterministic,
+                                 features_only=True)
+            return self.adaptive_softmax.log_prob(feats)
         return self.decoder(tokens, None, None, deterministic=deterministic)
+
+    def adaptive_nll(self, tokens: jax.Array, target: jax.Array,
+                     deterministic: bool = True):
+        """Per-position clustered NLL (adaptive_loss criterion path)."""
+        assert self.adaptive_softmax is not None
+        feats = self.decoder(tokens, None, None, deterministic=deterministic,
+                             features_only=True)
+        return self.adaptive_softmax.nll(feats, target)
 
 
 @register_model("transformer")
