@@ -31,6 +31,13 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--model-parallel-size", type=int, default=1)
+    p.add_argument("--distributed-world-size", type=int, default=-1,
+                   help="number of devices to use (-1: all visible devices); "
+                        "under SPMD this bounds the mesh size rather than "
+                        "spawning processes")
+    p.add_argument("--zero-sharding", default="none", choices=["none", "os"],
+                   help="'os': shard optimizer state over the data axis "
+                        "(ZeRO-1; reference: fairseq/optim/shard.py)")
     p.add_argument("--source-lang", "-s", default=None)
     p.add_argument("--target-lang", "-t", default=None)
     p.add_argument("--max-source-positions", type=int, default=6000000)

@@ -88,7 +88,10 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- init params
     params = init_params_for_task(model, task, args)
-    mesh = make_mesh(model_parallel=args.model_parallel_size)
+    devices = jax.devices()
+    if args.distributed_world_size > 0:
+        devices = devices[: args.distributed_world_size]
+    mesh = make_mesh(model_parallel=args.model_parallel_size, devices=devices)
     if mesh.devices.size > 1:
         params = shard_params(params, mesh)
     logger.info(
@@ -96,7 +99,12 @@ def main(argv=None) -> None:
         f"{sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)) / 1e6:.1f}M"
     )
 
-    trainer = Trainer(model, criterion, tx, params, lr_schedule=lr_schedule)
+    trainer = Trainer(
+        model, criterion, tx, params,
+        lr_schedule=lr_schedule,
+        mesh=mesh,
+        zero_sharding=None if args.zero_sharding == "none" else args.zero_sharding,
+    )
     # persisted so generate/validate can rebuild the model from the checkpoint
     run_cfg = {"model_cfg": model_cfg, "task_cfg": task_cfg, "criterion_cfg": crit_cfg}
 

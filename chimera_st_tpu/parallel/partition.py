@@ -56,8 +56,12 @@ def param_partition_specs(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def zero1_opt_state_specs(opt_state: Any, mesh: Mesh, param_specs: Any) -> Any:
-    """Shard large replicated optimizer moments over the data axis (ZeRO-1)."""
+def zero1_opt_state_specs(opt_state: Any, mesh: Mesh, param_specs: Any = None) -> Any:
+    """Shard large replicated optimizer moments over the data axis (ZeRO-1).
+
+    Wired into ``create_train_state(..., zero_sharding='os')``
+    (train/train_step.py); the CLI flag is ``--zero-sharding os``
+    (reference equivalent: fairseq/optim/shard.py via fairscale OSS)."""
     n_data = mesh.shape.get("data", 1)
 
     def spec_for(path, leaf):
@@ -91,3 +95,25 @@ def batch_sharding(mesh: Mesh, ndim_map: Optional[Dict[str, int]] = None):
         return NamedSharding(mesh, P("data"))
 
     return shard
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put a batch dict with leading dims sharded over ``data``.
+
+    Leaves whose leading dim does not divide the data axis (or scalars) are
+    replicated. This is the single entry point the Trainer and CLIs use to
+    place host batches on the mesh (reference equivalent: the per-rank batch
+    split done by the dataloader sharding, fairseq/data/iterators.py
+    ShardedIterator — under SPMD one process feeds the global batch and XLA
+    splits it along the sharded dim)."""
+    import numpy as np
+
+    n_data = mesh.shape.get("data", 1)
+
+    def put(v):
+        arr = np.asarray(v) if not hasattr(v, "ndim") else v
+        if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
+            return jax.device_put(arr, NamedSharding(mesh, P("data")))
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
+    return {k: put(v) for k, v in batch.items()}

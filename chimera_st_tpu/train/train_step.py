@@ -1,28 +1,34 @@
-"""jit-compiled training step.
+"""jit-compiled training step — the single source of truth for step semantics.
 
 TPU-native replacement for the reference's Trainer.train_step inner loop
 (reference: fairseq/trainer.py:455-668):
 
-- gradient accumulation is a `lax.scan` over a leading microbatch axis
-  (replaces the reference's Python loop with no_sync on all but the last
-  microbatch, trainer.py:479-500),
-- gradients are normalized by the TOTAL sample size across microbatches and
-  data-parallel workers, matching the reference's
-  multiply_grads(world_size / sample_size) after the all-reduce
-  (trainer.py:601-611) — under SPMD the cross-worker sum is implicit in the
-  sharded batch dimensions,
-- grad-norm clipping composes inside the optax chain; the unclipped global
-  grad norm is logged like the reference's all-reduced norm (trainer.py:617),
-- bf16 compute with fp32 params — no loss scaler (delta vs the reference's
-  FP16Optimizer; bf16 has fp32's exponent range so overflow handling and the
-  DynamicLossScaler state machine are unnecessary),
-- one compiled program per (microbatch-shape) bucket; donation recycles the
-  param/opt-state buffers in HBM.
+- `make_microbatch_grad_fn` — gradients for ONE microbatch (the reference's
+  per-sample task.train_step + optimizer.backward, trainer.py:479-500),
+- `make_apply_gradients` — normalize by TOTAL sample size, global-norm
+  logging, non-finite skip, optimizer update (the reference's
+  multiply_grads(world/sample_size) + clip + NanDetector/overflow handling,
+  trainer.py:601-668). Skipped (non-finite) updates do not advance the step
+  counter, keeping the LR schedule aligned with applied updates,
+- `make_train_step` — a fully-jitted step with grad accumulation as a
+  `lax.scan` over a leading microbatch axis (used when all microbatches share
+  one shape bucket: dryrun, tests, benchmark loops),
+- the `Trainer` (trainer.py) composes the SAME two primitives with one jit
+  per shape bucket for ragged real-data batches.
+
+Under SPMD the cross-worker gradient sum is implicit in the sharded batch
+dimensions; optimizer-state sharding (ZeRO-1, reference: fairseq/optim/shard.py
+via fairscale OSS) is a PartitionSpec on the opt-state pytree applied in
+`create_train_state` and re-asserted after each update via
+with_sharding_constraint.
+
+bf16 compute with fp32 params — no loss scaler (delta vs the reference's
+FP16Optimizer: bf16 has fp32's exponent range so the DynamicLossScaler state
+machine is unnecessary).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -36,11 +42,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def create_train_state(params: Any, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params: Any,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    zero_sharding: Optional[str] = None,
+) -> TrainState:
+    """Init optimizer state; with ``zero_sharding='os'`` shard the large
+    replicated optimizer moments over the mesh's data axis (ZeRO-1)."""
+    opt_state = tx.init(params)
+    if mesh is not None and zero_sharding == "os" and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding
+
+        from ..parallel.partition import zero1_opt_state_specs
+
+        specs = zero1_opt_state_specs(opt_state, mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), opt_state, specs
+        )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
     )
 
 
@@ -51,6 +74,67 @@ def global_norm(tree) -> jax.Array:
     )
 
 
+def make_microbatch_grad_fn(model, criterion: Callable, task_name=None):
+    """(params, batch, rng, step) -> (grads, sample_size fp32, logging dict).
+
+    `task_name` is a static tag: joint-task criterion dispatch happens at
+    trace time, one compiled step per sub-task.
+    """
+
+    def grad_fn(params, batch, rng, step):
+        def loss_for_grad(p):
+            b = dict(batch)
+            if task_name is not None:
+                b["task_name"] = task_name
+            loss, ss, logging = criterion(
+                model, p, b, rngs={"dropout": rng}, num_updates=step, train=True
+            )
+            logging = {
+                k: v for k, v in logging.items() if not isinstance(v, str)
+            }
+            return loss, (ss, logging)
+
+        (_, (ss, logging)), grads = jax.value_and_grad(
+            loss_for_grad, has_aux=True
+        )(params)
+        return grads, jnp.asarray(ss, jnp.float32), logging
+
+    return grad_fn
+
+
+def make_apply_gradients(
+    tx: optax.GradientTransformation,
+    skip_nonfinite: bool = True,
+    opt_state_shardings: Any = None,
+):
+    """(state, grads, sample_size) -> (new_state, gnorm, finite)."""
+
+    def apply_fn(state: TrainState, grads, sample_size):
+        grads = jax.tree_util.tree_map(
+            lambda g: g / jnp.maximum(sample_size, 1.0), grads
+        )
+        gnorm = global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            new_step = state.step + finite.astype(state.step.dtype)
+        else:
+            new_step = state.step + 1
+        if opt_state_shardings is not None:
+            new_opt = jax.lax.with_sharding_constraint(
+                new_opt, opt_state_shardings
+            )
+        return TrainState(new_step, new_params, new_opt), gnorm, finite
+
+    return apply_fn
+
+
 def make_train_step(
     model,
     criterion: Callable,
@@ -58,25 +142,20 @@ def make_train_step(
     accum_steps: int = 1,
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
+    skip_nonfinite: bool = True,
+    opt_state_shardings: Any = None,
 ):
-    """Returns step(state, batch, rng) -> (state, metrics).
+    """Returns step(state, batch, rng) -> (state, metrics), fully jitted.
 
     With ``accum_steps > 1``, every batch leaf must have a leading
-    [accum_steps, ...] microbatch axis.
+    [accum_steps, ...] microbatch axis (grad accumulation via lax.scan,
+    replacing the reference's Python loop with no_sync on all but the last
+    microbatch, trainer.py:479-500).
     """
-
-    def loss_for_grad(params, micro, rng, step):
-        rngs = {"dropout": rng}
-        loss, sample_size, logging = criterion(
-            model, params, micro, rngs=rngs, num_updates=step, train=True
-        )
-        return loss, (sample_size, logging)
-
-    grad_fn = jax.value_and_grad(loss_for_grad, has_aux=True)
-
-    def single_micro(params, batch, rng, step):
-        (loss, (ss, logging)), grads = grad_fn(params, batch, rng, step)
-        return grads, jnp.asarray(ss, jnp.float32), logging
+    single_micro = make_microbatch_grad_fn(model, criterion)
+    apply_fn = make_apply_gradients(
+        tx, skip_nonfinite=skip_nonfinite, opt_state_shardings=opt_state_shardings
+    )
 
     def accumulated(params, batch, rng, step):
         def body(carry, micro):
@@ -88,40 +167,23 @@ def make_train_step(
             acc_log = jax.tree_util.tree_map(jnp.add, acc_log, logging)
             return (acc_grads, acc_ss + ss, acc_log, i + 1), None
 
-        zeros_g = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
-        )
         micro0 = jax.tree_util.tree_map(lambda x: x[0], batch)
         g0, ss0, log0 = single_micro(params, micro0, jax.random.fold_in(rng, 0), step)
         rest = jax.tree_util.tree_map(lambda x: x[1:], batch)
-        (grads, ss, logging, _), _ = jax.lax.scan(
-            body, (g0, ss0, log0, 1), rest
-        )
+        (grads, ss, logging, _), _ = jax.lax.scan(body, (g0, ss0, log0, 1), rest)
         return grads, ss, logging
 
     def step_fn(state: TrainState, batch: Dict, rng: jax.Array):
         params = state.params
         if accum_steps > 1:
-            grads, sample_size, logging = accumulated(
-                params, batch, rng, state.step
-            )
+            grads, sample_size, logging = accumulated(params, batch, rng, state.step)
         else:
-            grads, sample_size, logging = single_micro(
-                params, batch, rng, state.step
-            )
-        # normalize by total sample size (reference: trainer.py:601-611)
-        grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(sample_size, 1.0), grads
-        )
-        gnorm = global_norm(grads)
-        updates, new_opt_state = tx.update(grads, state.opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
-        )
+            grads, sample_size, logging = single_micro(params, batch, rng, state.step)
+        new_state, gnorm, finite = apply_fn(state, grads, sample_size)
         metrics = dict(logging)
         metrics["gnorm"] = gnorm
         metrics["sample_size_total"] = sample_size
+        metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
         if lr_schedule is not None:
             metrics["lr"] = lr_schedule(state.step)
         return new_state, metrics

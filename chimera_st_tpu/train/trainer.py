@@ -3,10 +3,16 @@
 TPU-native rebuild of the reference Trainer (reference:
 fairseq/trainer.py:31-1169). Structural deltas:
 
-- gradient accumulation happens OUTSIDE one jit when microbatches land in
-  different shape buckets: a jitted grad step per bucket + a jitted
-  accumulate/apply pair (each bucket compiles once; the reference instead
+- step SEMANTICS (grad normalization, non-finite skip, optimizer update) live
+  in train/train_step.py and are shared with the fully-jitted scan path used
+  by tests/dryrun — the Trainer only adds per-shape-bucket jit caching:
+  gradient accumulation happens OUTSIDE one jit when microbatches land in
+  different shape buckets (each bucket compiles once; the reference instead
   pays ragged-shape eagerness per batch),
+- SPMD: construct with a `mesh` and every batch is placed with its leading
+  dim sharded over the ``data`` axis (parallel/partition.py shard_batch);
+  gradients come out globally reduced — no DDP wrapper, no explicit
+  all-reduce (reference: legacy_distributed_data_parallel.py),
 - no FP16 loss-scaler state machine (bf16 compute),
 - no OOM-recovery dance (XLA preallocates; shapes are static),
 - non-finite-gradient protection: the update is skipped on non-finite grad
@@ -20,7 +26,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +34,13 @@ import numpy as np
 import optax
 
 from ..logging import metrics as metrics_mod
-from .train_step import TrainState, create_train_state, global_norm
+from ..parallel.partition import shard_batch
+from .train_step import (
+    TrainState,
+    create_train_state,
+    make_apply_gradients,
+    make_microbatch_grad_fn,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -42,72 +54,45 @@ class Trainer:
         params,
         lr_schedule: Optional[Callable] = None,
         skip_nonfinite: bool = True,
+        mesh=None,
+        zero_sharding: Optional[str] = None,
     ):
         self.model = model
         self.criterion = criterion
         self.tx = tx
         self.lr_schedule = lr_schedule
-        self.state = create_train_state(params, tx)
+        self.mesh = mesh
+        self.state = create_train_state(
+            params, tx, mesh=mesh, zero_sharding=zero_sharding
+        )
         self.skip_nonfinite = skip_nonfinite
         self.cumulative_training_time = 0.0
         self._t_start = time.time()
 
-        crit = criterion
-        mdl = model
+        opt_shardings = None
+        if zero_sharding == "os" and mesh is not None:
+            opt_shardings = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state.opt_state
+            )
+
         self._grad_jits: Dict[Any, Callable] = {}
-
-        def make_grad_fn(task_name: Optional[str]):
-            def grad_fn(params, batch, rng, step):
-                def loss_for_grad(p):
-                    b = dict(batch)
-                    if task_name is not None:
-                        # static tag: joint-task criterion dispatch happens at
-                        # trace time, one compiled step per sub-task
-                        b["task_name"] = task_name
-                    loss, ss, logging = crit(
-                        mdl, p, b, rngs={"dropout": rng}, num_updates=step,
-                        train=True,
-                    )
-                    logging = {k: v for k, v in logging.items()
-                               if not isinstance(v, str)}
-                    return loss, (ss, logging)
-
-                (loss, (ss, logging)), grads = jax.value_and_grad(
-                    loss_for_grad, has_aux=True
-                )(params)
-                return grads, jnp.asarray(ss, jnp.float32), logging
-
-            return jax.jit(grad_fn)
-
-        self._make_grad_fn = make_grad_fn
+        self._make_grad_fn = lambda task_name: jax.jit(
+            make_microbatch_grad_fn(model, criterion, task_name)
+        )
 
         def accum_fn(acc, grads, ss, acc_ss):
             new = jax.tree_util.tree_map(jnp.add, acc, grads)
             return new, acc_ss + ss
 
-        def apply_fn(state: TrainState, grads, sample_size):
-            grads = jax.tree_util.tree_map(
-                lambda g: g / jnp.maximum(sample_size, 1.0), grads
-            )
-            gnorm = global_norm(grads)
-            finite = jnp.isfinite(gnorm)
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            keep = lambda new, old: jax.tree_util.tree_map(
-                lambda a, b: jnp.where(finite, a, b), new, old
-            )
-            return (
-                TrainState(
-                    # skipped (non-finite) updates do not advance the step
-                    # counter, keeping the LR schedule aligned with applied
-                    # updates (reference: overflow steps are not counted)
-                    step=state.step + finite.astype(state.step.dtype),
-                    params=keep(new_params, state.params),
-                    opt_state=keep(new_opt, state.opt_state),
-                ),
-                gnorm,
-                finite,
-            )
+        self._accum_fn = jax.jit(accum_fn, donate_argnums=(0,))
+        self._apply_fn = jax.jit(
+            make_apply_gradients(
+                tx,
+                skip_nonfinite=skip_nonfinite,
+                opt_state_shardings=opt_shardings,
+            ),
+            donate_argnums=(0, 1),
+        )
 
         self._valid_jits: Dict[Any, Callable] = {}
 
@@ -116,17 +101,14 @@ class Trainer:
                 b = dict(batch)
                 if task_name is not None:
                     b["task_name"] = task_name
-                _, _, logging = crit(
-                    mdl, params, b, rngs=None, num_updates=None, train=False
+                _, _, logging = criterion(
+                    model, params, b, rngs=None, num_updates=None, train=False
                 )
                 return {k: v for k, v in logging.items() if not isinstance(v, str)}
 
             return jax.jit(valid_fn)
 
         self._make_valid_fn = make_valid_fn
-
-        self._accum_fn = jax.jit(accum_fn, donate_argnums=(0,))
-        self._apply_fn = jax.jit(apply_fn, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------- stepping
 
@@ -135,6 +117,8 @@ class Trainer:
         return int(self.state.step)
 
     def to_device(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return shard_batch(batch, self.mesh)
         return {
             k: jnp.asarray(v) if isinstance(v, (np.ndarray, float, int)) else v
             for k, v in batch.items()
