@@ -114,15 +114,23 @@ class EpochBatchIterator:
     def __init__(
         self,
         dataset_collate: Callable[[np.ndarray], Any],
-        batches: List[np.ndarray],
+        batches,  # List[np.ndarray] | Callable[[int], List[np.ndarray]]
         seed: int = 1,
         num_shards: int = 1,
         shard_id: int = 0,
         buffer_size: int = 4,
         skip_remainder_batch: bool = False,
     ):
+        """``batches`` may be a callable epoch -> batch list for datasets that
+        re-sample per epoch (ResamplingDataset; the callable must also call
+        the dataset's set_epoch — see ChimeraTask.make_batch_iterator)."""
         self.collate = dataset_collate
-        self.frozen_batches = list(batches)
+        if callable(batches):
+            self._batches_fn = batches
+            self._batches_cache = (None, None)  # (epoch, list)
+        else:
+            self._batches_fn = None
+            self._batches_cache = (None, list(batches))
         self.seed = seed
         self.num_shards = num_shards
         self.shard_id = shard_id
@@ -132,6 +140,15 @@ class EpochBatchIterator:
         self._cur: Optional[CountingIterator] = None
         self._next_epoch_itr: Optional[CountingIterator] = None
         self.shuffle = True
+
+    @property
+    def frozen_batches(self) -> List[np.ndarray]:
+        cached_epoch, cached = self._batches_cache
+        if self._batches_fn is None:
+            return cached
+        if cached_epoch != self.epoch:
+            self._batches_cache = (self.epoch, self._batches_fn(self.epoch))
+        return self._batches_cache[1]
 
     @property
     def first_batch(self):

@@ -354,7 +354,39 @@ def make_dataset_from_tsv(
     is_train: bool,
     src_dict: Optional[Dictionary] = None,
     triplet: bool = False,
+    seed: int = 1,
+    epoch: int = 1,
 ):
+    """Build a dataset for ``split``; comma-separated splits are concatenated,
+    with temperature resampling (``sampling_alpha``) applied to train splits
+    (reference: speech_to_text_dataset.py:497-557 from_tsv +
+    triplet_dataset.py:357-370)."""
+    splits = split.split(",")
+    if len(splits) > 1:
+        from .wrappers import ConcatDataset, ResamplingDataset
+
+        datasets = [
+            make_dataset_from_tsv(
+                root, s, data_cfg, tgt_dict, is_train,
+                src_dict=src_dict, triplet=triplet, seed=seed, epoch=epoch,
+            )
+            for s in splits
+        ]
+        if is_train and data_cfg.sampling_alpha != 1.0:
+            ratios = resample_sizes(
+                [len(d) for d in datasets], data_cfg.sampling_alpha
+            )
+            logger.info(
+                "balanced sampling size ratios: "
+                + str({s: f"{r:.3f}" for s, r in zip(splits, ratios)})
+            )
+            datasets = [
+                ResamplingDataset(
+                    d, size_ratio=r, seed=seed, epoch=epoch, replace=(r >= 1.0)
+                )
+                for d, r in zip(datasets, ratios)
+            ]
+        return ConcatDataset(datasets)
     rows = load_tsv(str(Path(root) / f"{split}.tsv"))
     audio_paths = [r["audio"] for r in rows]
     n_frames = [int(r["n_frames"]) for r in rows]

@@ -1,0 +1,124 @@
+"""Wrapper datasets: concatenation and per-epoch resampling.
+
+TPU-native rebuild of the reference's multi-corpus training machinery
+(reference: fairseq/data/concat_dataset.py, fairseq/data/resampling_dataset.py,
+used by fairseq/data/audio/speech_to_text_dataset.py:497-557 and
+triplet_dataset.py:357-370 for temperature-based multi-split training).
+
+Wrappers expose the same host-side dataset interface the tasks consume
+(`__len__`, `num_tokens`, `__getitem__`, `collater`, `set_epoch`); batches are
+re-packed per epoch by the iterator when a dataset supports ``set_epoch``.
+"""
+
+from __future__ import annotations
+
+import bisect
+import logging
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ConcatDataset:
+    """Concatenate datasets, optionally repeating each an integer number of
+    times (reference: fairseq/data/concat_dataset.py ConcatDataset with
+    sample_ratios)."""
+
+    def __init__(self, datasets: Sequence[Any], sample_ratios: Optional[Sequence[int]] = None):
+        assert len(datasets) > 0
+        self.datasets = list(datasets)
+        if sample_ratios is None:
+            sample_ratios = [1] * len(self.datasets)
+        elif isinstance(sample_ratios, int):
+            sample_ratios = [sample_ratios] * len(self.datasets)
+        self.sample_ratios = [int(r) for r in sample_ratios]
+        self.cumulative_sizes = np.cumsum(
+            [int(r) * len(d) for d, r in zip(self.datasets, self.sample_ratios)]
+        ).tolist()
+
+    def _map_index(self, idx: int):
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        offset = 0 if ds_idx == 0 else self.cumulative_sizes[ds_idx - 1]
+        return ds_idx, (idx - offset) % len(self.datasets[ds_idx])
+
+    def __len__(self):
+        return self.cumulative_sizes[-1]
+
+    def __getitem__(self, idx: int):
+        ds_idx, local = self._map_index(int(idx))
+        return self.datasets[ds_idx][local]
+
+    def num_tokens(self, idx: int) -> int:
+        ds_idx, local = self._map_index(int(idx))
+        return self.datasets[ds_idx].num_tokens(local)
+
+    def collater(self, samples, **kwargs):
+        return self.datasets[0].collater(samples, **kwargs)
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
+
+    def __getattr__(self, name):
+        # delegate dataset-specific attributes (split, tgt_dict, ...) to the
+        # first child so task code treating this as a plain dataset still works
+        return getattr(self.datasets[0], name)
+
+
+class ResamplingDataset:
+    """Randomly re-samples a dataset each epoch (reference:
+    fairseq/data/resampling_dataset.py:15-120).
+
+    With ``replace=True`` draws ``ceil(len * size_ratio)`` indices with
+    replacement; without replacement ``size_ratio`` must be < 1. The draw is
+    seeded by (seed, epoch) so mid-epoch checkpoint resume replays the same
+    samples."""
+
+    def __init__(
+        self,
+        dataset,
+        size_ratio: float = 1.0,
+        replace: bool = True,
+        seed: int = 0,
+        epoch: int = 1,
+    ):
+        assert size_ratio > 0.0
+        if not replace:
+            assert size_ratio < 1.0
+        self.dataset = dataset
+        self.size_ratio = float(size_ratio)
+        self.replace = replace
+        self.seed = seed
+        self.actual_size = int(np.ceil(len(dataset) * self.size_ratio))
+        self._cur_epoch: Optional[int] = None
+        self._cur_indices: Optional[np.ndarray] = None
+        self.set_epoch(epoch)
+
+    def __len__(self):
+        return self.actual_size
+
+    def set_epoch(self, epoch: int):
+        if epoch == self._cur_epoch:
+            return
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        self._cur_epoch = epoch
+        rng = np.random.default_rng([self.seed, epoch])
+        self._cur_indices = rng.choice(
+            len(self.dataset), self.actual_size, replace=self.replace
+        )
+
+    def __getitem__(self, idx: int):
+        return self.dataset[int(self._cur_indices[int(idx)])]
+
+    def num_tokens(self, idx: int) -> int:
+        return self.dataset.num_tokens(int(self._cur_indices[int(idx)]))
+
+    def collater(self, samples, **kwargs):
+        return self.dataset.collater(samples, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self.__dict__["dataset"], name)

@@ -142,25 +142,37 @@ class ChimeraTask:
                 "dataset is empty after size filtering — check "
                 "min/max sample-size limits against the manifest"
             )
-        order = self.filtered_indices(dataset, max_positions)
-        sizes = np.asarray([dataset.num_tokens(int(i)) for i in range(len(dataset))])
-        batches = batch_by_size(
-            order,
-            sizes,
-            max_tokens=max_tokens,
-            max_sentences=max_sentences,
-            required_batch_size_multiple=required_batch_size_multiple,
+
+        def build_batches(epoch: int):
+            if hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)
+            order = self.filtered_indices(dataset, max_positions)
+            sizes = np.asarray(
+                [dataset.num_tokens(int(i)) for i in range(len(dataset))]
+            )
+            return batch_by_size(
+                order,
+                sizes,
+                max_tokens=max_tokens,
+                max_sentences=max_sentences,
+                required_batch_size_multiple=required_batch_size_multiple,
+            )
+
+        sizes0 = np.asarray([dataset.num_tokens(int(i)) for i in range(len(dataset))])
+        # bucket edges frozen at epoch 1 so padded shapes (and compiled
+        # programs) stay stable across resampled epochs
+        edges = quantile_buckets(
+            sizes0[sizes0 > 0] if (sizes0 > 0).any() else sizes0, num_length_buckets
         )
-        edges = quantile_buckets(sizes[sizes > 0] if (sizes > 0).any() else sizes, num_length_buckets)
 
         def collate(idx: np.ndarray):
-            batch_max = int(sizes[idx].max())
+            batch_max = max(dataset.num_tokens(int(i)) for i in idx)
             target = pad_to_bucket(batch_max, edges)
             return self.collate_indices(dataset, idx, target)
 
         return EpochBatchIterator(
             collate,
-            batches,
+            build_batches if hasattr(dataset, "set_epoch") else build_batches(1),
             seed=seed,
             num_shards=num_shards,
             shard_id=shard_id,

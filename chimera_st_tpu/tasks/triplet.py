@@ -53,6 +53,7 @@ class TripletTask(ChimeraTask):
             is_train,
             src_dict=self.src_dict,
             triplet=True,
+            seed=int(self.cfg.get("seed", 1)),
         )
 
     @property

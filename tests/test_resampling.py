@@ -1,0 +1,158 @@
+"""Multi-split temperature resampling (VERDICT r1 item 4).
+
+reference semantics: speech_to_text_dataset.py:483-557 (_get_size_ratios +
+from_tsv ConcatDataset/ResamplingDataset wiring), triplet_dataset.py:357-370,
+resampling_dataset.py:15-120."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from chimera_st_tpu.data.manifests import resample_sizes
+from chimera_st_tpu.data.wrappers import ConcatDataset, ResamplingDataset
+
+
+class FakeDataset:
+    def __init__(self, n, tag):
+        self.n, self.tag = n, tag
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return (self.tag, i)
+
+    def num_tokens(self, i):
+        return 10 + i % 7
+
+    def collater(self, samples, **kwargs):
+        return {"items": samples}
+
+
+def test_size_ratios_match_reference_formula():
+    # reference: _get_size_ratios — size_ratio = (smoothed_prob * total) / sizes
+    sizes = [1000, 100]
+    alpha = 0.5
+    ratios = resample_sizes(sizes, alpha)
+    _sizes = np.array(sizes, np.float64)
+    prob = _sizes / _sizes.sum()
+    smoothed = prob**alpha
+    smoothed /= smoothed.sum()
+    expected = (smoothed * _sizes.sum()) / _sizes
+    np.testing.assert_allclose(ratios, expected)
+    # alpha<1 upsamples the small corpus, downsamples the big one
+    assert ratios[1] > 1.0 > ratios[0]
+
+
+def test_resampling_dataset_epoch_semantics():
+    base = FakeDataset(100, "a")
+    ds = ResamplingDataset(base, size_ratio=2.5, seed=3, epoch=1)
+    assert len(ds) == 250
+    idx_e1 = [ds[i] for i in range(len(ds))]
+    ds.set_epoch(2)
+    idx_e2 = [ds[i] for i in range(len(ds))]
+    assert idx_e1 != idx_e2  # re-drawn per epoch
+    ds.set_epoch(1)
+    assert [ds[i] for i in range(len(ds))] == idx_e1  # (seed, epoch) determinism
+
+    small = ResamplingDataset(FakeDataset(100, "b"), size_ratio=0.3, replace=False, seed=0)
+    assert len(small) == 30
+    picked = [small[i][1] for i in range(30)]
+    assert len(set(picked)) == 30  # without replacement: unique
+
+
+def test_concat_dataset_mapping():
+    a, b = FakeDataset(5, "a"), FakeDataset(3, "b")
+    cat = ConcatDataset([a, b], sample_ratios=[2, 1])
+    assert len(cat) == 13
+    assert cat[0] == ("a", 0) and cat[9] == ("a", 4)  # repeats wrap modulo len
+    assert cat[10] == ("b", 0) and cat[12] == ("b", 2)
+    assert cat.num_tokens(10) == b.num_tokens(0)
+    assert cat.collater([cat[0]])["items"] == [("a", 0)]
+
+
+def _write_split(root: Path, split: str, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    from chimera_st_tpu.data.audio import write_wav
+
+    (root / "wavs").mkdir(parents=True, exist_ok=True)
+    with open(root / f"{split}.tsv", "w") as f:
+        f.write("id\taudio\tn_frames\tsrc_text\ttgt_text\n")
+        for i in range(n):
+            ns = int(rng.integers(300, 600))
+            p = root / "wavs" / f"{split}_{i}.wav"
+            write_wav(str(p), (rng.normal(size=ns) * 0.1).astype(np.float32))
+            f.write(f"{split}_{i}\twavs/{split}_{i}.wav:0:{ns}\t{ns}\tein haus\ta house\n")
+
+
+def test_multi_split_load_applies_temperature(tmp_path):
+    from chimera_st_tpu.data.manifests import TripletDataConfig, make_dataset_from_tsv
+    from chimera_st_tpu.data.dictionary import Dictionary
+
+    root = tmp_path
+    _write_split(root, "train_big", 40, 0)
+    _write_split(root, "train_small", 10, 1)
+    (root / "dict.txt").write_text("ein 1\nhaus 1\na 1\nhouse 1\n")
+    (root / "config_wave.yaml").write_text(
+        f"audio_root: {root}\nuse_audio_input: true\nvocab_filename: dict.txt\n"
+        "src_vocab_filename: dict.txt\nsampling_alpha: 0.5\n"
+    )
+    cfg = TripletDataConfig(str(root / "config_wave.yaml"))
+    d = Dictionary.load(str(root / "dict.txt"))
+
+    ds = make_dataset_from_tsv(
+        str(root), "train_big,train_small", cfg, d, is_train=True,
+        src_dict=d, triplet=True, seed=7,
+    )
+    ratios = resample_sizes([40, 10], 0.5)
+    exp_sizes = [int(np.ceil(40 * ratios[0])), int(np.ceil(10 * ratios[1]))]
+    assert len(ds) == sum(exp_sizes)
+    assert [len(sub) for sub in ds.datasets] == exp_sizes
+
+    # items are real triplet examples from both corpora
+    ex = ds[0]
+    assert ex.audio.ndim == 1 and ex.target is not None
+    ex2 = ds[len(ds) - 1]
+    assert ex2.audio.ndim == 1
+
+    # eval splits are concatenated WITHOUT resampling
+    ds_eval = make_dataset_from_tsv(
+        str(root), "train_big,train_small", cfg, d, is_train=False,
+        src_dict=d, triplet=True,
+    )
+    assert len(ds_eval) == 50
+
+
+def test_iterator_repacks_batches_per_epoch(tmp_path):
+    """End-to-end through the task: per-epoch resample changes the batches."""
+    from chimera_st_tpu.tasks import setup_task
+    import chimera_st_tpu.models  # noqa: F401
+
+    root = tmp_path
+    _write_split(root, "train_x", 24, 0)
+    _write_split(root, "train_y", 6, 1)
+    (root / "dict.txt").write_text("ein 1\nhaus 1\na 1\nhouse 1\n")
+    (root / "config_wave.yaml").write_text(
+        f"audio_root: {root}\nuse_audio_input: true\nvocab_filename: dict.txt\n"
+        "src_vocab_filename: dict.txt\nsampling_alpha: 0.25\n"
+    )
+    task = setup_task({"_name": "triplet", "data": str(root)})
+    task.load_dataset("train_x,train_y")
+    itr = task.make_batch_iterator(
+        task.dataset("train_x,train_y"), max_sentences=4, num_length_buckets=2
+    )
+    n1 = len(itr)
+    b1 = [np.sort(b) for b in itr.frozen_batches]
+    itr.epoch = 2
+    b2 = [np.sort(b) for b in itr.frozen_batches]
+    assert n1 > 0
+    assert not all(
+        len(x) == len(y) and (x == y).all() for x, y in zip(b1, b2)
+    ), "epoch-2 batches identical to epoch-1 despite resampling"
+    # batches drain end-to-end
+    count = 0
+    for batch in itr.next_epoch_itr(shuffle=True):
+        assert batch["audio"].ndim == 2
+        count += 1
+    assert count == len(itr)
