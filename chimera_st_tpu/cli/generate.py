@@ -141,9 +141,7 @@ def main(argv=None) -> None:
                 return ens.generate_audio(audio, mask, src_lengths)
 
             def generate_text(self, _params, tokens, src_lengths=None):
-                raise NotImplementedError(
-                    "ensemble text decoding: use a single --path for text tasks"
-                )
+                return ens.generate_text(tokens, src_lengths)
 
         generator = _EnsembleAdapter()
     else:

@@ -12,14 +12,21 @@ def make_cross_entropy(cfg: dict):
     ignore_index = int(cfg.get("padding_idx", 1))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        logits, _ = model.apply(
-            params,
-            batch["src_tokens"],
-            batch["prev_output_tokens"],
-            deterministic=not train,
-            rngs=rngs,
-            method=type(model).forward_text_with_internal,
-        )
+        if "net_tokens" in batch:
+            # decoder-only LM batch (reference cross_entropy consumes any
+            # net_input; the LM task emits net_tokens -> next-token target)
+            logits = model.apply(
+                params, batch["net_tokens"], deterministic=not train, rngs=rngs
+            )
+        else:
+            logits, _ = model.apply(
+                params,
+                batch["src_tokens"],
+                batch["prev_output_tokens"],
+                deterministic=not train,
+                rngs=rngs,
+                method=type(model).forward_text_with_internal,
+            )
         loss, nll = ce_loss_from_logits(logits, batch["target"], 0.0, ignore_index)
         ntokens = batch["ntokens"]
         nsentences = batch["target"].shape[0]

@@ -52,6 +52,17 @@ class EnsembleSequenceGenerator:
             outs.append((enc, mask))
         return outs
 
+    def encode_text(self, src_tokens):
+        """Text-task ensembles (reference: fairseq_cli/generate.py:103-128 —
+        MT ensembles over checkpoint-averaged models)."""
+        outs = []
+        for model, params in zip(self.models, self.params_list):
+            enc, mask = model.apply(
+                params, src_tokens, method=type(model).encode_text
+            )
+            outs.append((enc, mask))
+        return outs
+
     def _generate_from_encoders(self, encoder_outs, max_lens, beam_size: int):
         B = encoder_outs[0][0].shape[0]
         K = beam_size
@@ -139,10 +150,20 @@ class EnsembleSequenceGenerator:
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
         )
 
+    def _max_lens(self, src_lengths):
+        if src_lengths is None:
+            return None
+        ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
+        return jnp.minimum(ml, self.s.max_decode_len)
+
     def generate_audio(self, source, padding_mask, src_lengths=None):
         encoder_outs = self.encode_audio(source, padding_mask)
-        max_lens = None
-        if src_lengths is not None:
-            ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
-            max_lens = jnp.minimum(ml, self.s.max_decode_len)
-        return self._jit_generate(encoder_outs, max_lens, beam_size=self.s.beam_size)
+        return self._jit_generate(
+            encoder_outs, self._max_lens(src_lengths), beam_size=self.s.beam_size
+        )
+
+    def generate_text(self, src_tokens, src_lengths=None):
+        encoder_outs = self.encode_text(src_tokens)
+        return self._jit_generate(
+            encoder_outs, self._max_lens(src_lengths), beam_size=self.s.beam_size
+        )
