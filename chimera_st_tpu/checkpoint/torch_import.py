@@ -283,7 +283,7 @@ def infer_interlingua_config(ckpt_args, tgt_vocab: int, src_vocab: Optional[int]
     kernel_sizes = tuple(
         int(k) for k in str(g("conv_kernel_sizes", "5,5")).split(",")
     )
-    return InterlinguaConfig(
+    cfg = InterlinguaConfig(
         tgt_vocab_size=tgt_vocab,
         src_vocab_size=src_vocab,
         encoder_embed_dim=g("encoder_embed_dim", 512),
@@ -307,3 +307,19 @@ def infer_interlingua_config(ckpt_args, tgt_vocab: int, src_vocab: Optional[int]
         share_decoder_input_output_embed=g("share_decoder_input_output_embed", True),
         no_scale_embedding=g("no_scale_embedding", False),
     )
+    # wav2vec2 trunk dims, when present flat on the namespace (the released
+    # checkpoints nest them in w2v_args; tests and re-exports carry them flat)
+    import dataclasses
+
+    extra = {}
+    for f in (
+        "w2v2_embed_dim", "w2v2_ffn_dim", "w2v2_layers", "w2v2_heads",
+        "w2v2_conv_pos", "w2v2_conv_pos_groups", "max_target_positions",
+    ):
+        if hasattr(ckpt_args, f):
+            extra[f] = getattr(ckpt_args, f)
+    if hasattr(ckpt_args, "w2v2_conv_spec"):
+        extra["w2v2_conv_spec"] = tuple(
+            tuple(int(v) for v in layer) for layer in ckpt_args.w2v2_conv_spec
+        )
+    return dataclasses.replace(cfg, **extra)

@@ -41,6 +41,32 @@ class BeamState(NamedTuple):
     finished_lens: jax.Array  # [B, K] int32 (generated length incl. eos)
     finished_flags: jax.Array  # [B, K] bool
     caches: Any  # pytree with leading [B * K, ...] batch dim
+    search_state: Any = None  # strategy-owned pytree (see SearchStrategy)
+
+
+class SearchStrategy:
+    """Candidate-selection hook for beam_search (the reference's Search
+    subclass surface, fairseq/search.py:19-800, recast as traceable hooks).
+
+    All methods run inside the jitted decode loop and must be jax-traceable.
+    """
+
+    def init_state(self, batch_size: int, beam_size: int):
+        """Per-beam strategy state pytree (or None)."""
+        return None
+
+    def adjust(self, logprobs, state, step, alive_seq):
+        """Modify log-probs before candidate scoring ([B, K, V] -> same)."""
+        return logprobs
+
+    def select(self, alive_scores, logprobs, state, step):
+        """Pick 2K candidates; return (scores, beam_idx, token) each [B, 2K],
+        or None to use the default flat top-2K."""
+        return None
+
+    def update(self, state, topk_beam, topk_tok, alive_pick, step):
+        """Re-align per-beam state with the chosen alive set ([B, K])."""
+        return state
 
 
 def _flatten_beam(x):
@@ -103,6 +129,7 @@ def beam_search(
     no_repeat_ngram_size: int = 0,
     diverse_beam_groups: int = 0,  # >1: diverse beam search
     diverse_beam_strength: float = 0.5,
+    strategy=None,  # SearchStrategy hook (constrained/diverse-siblings/...)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -116,18 +143,23 @@ def beam_search(
         max_lens = jnp.full((B,), max_len, jnp.int32)
     max_lens = jnp.minimum(max_lens, max_len).astype(jnp.int32)
 
+    # only beam 0 live initially so the first expansion is not K duplicates;
+    # with diverse groups, the first beam of EACH group is live (groups run
+    # independent searches, reference: search.py:551)
+    kp0 = K // diverse_beam_groups if diverse_beam_groups > 1 else K
+    init_scores = [0.0 if j % kp0 == 0 else NEG_INF for j in range(K)]
     init = BeamState(
         cur_index=jnp.asarray(0, jnp.int32),
         alive_seq=jnp.full((B, K, max_len + 1), pad, jnp.int32).at[:, :, 0].set(bos),
-        # only beam 0 live initially so the first expansion is not K duplicates
         alive_scores=jnp.tile(
-            jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32)[None, :], (B, 1)
+            jnp.array(init_scores, jnp.float32)[None, :], (B, 1)
         ),
         finished_seq=jnp.full((B, K, max_len + 1), pad, jnp.int32),
         finished_scores=jnp.full((B, K), NEG_INF, jnp.float32),
         finished_lens=jnp.zeros((B, K), jnp.int32),
         finished_flags=jnp.zeros((B, K), bool),
         caches=init_caches,
+        search_state=strategy.init_state(B, K) if strategy is not None else None,
     )
 
     def length_norm(length):
@@ -135,8 +167,9 @@ def beam_search(
 
     def cond(state: BeamState) -> jax.Array:
         not_at_end = state.cur_index < jnp.max(max_lens)
-        # best possible score any alive hypo could still reach
-        best_possible = state.alive_scores[:, 0] / length_norm(max_lens)
+        # best possible score any alive hypo could still reach (max over
+        # beams: strategy-ordered alive sets are not score-sorted)
+        best_possible = jnp.max(state.alive_scores, axis=1) / length_norm(max_lens)
         worst_finished = jnp.min(
             jnp.where(state.finished_flags, state.finished_scores, NEG_INF), axis=1
         )
@@ -223,7 +256,19 @@ def beam_search(
             ].max(match)
             logprobs = jnp.where(bans, NEG_INF, logprobs)
 
-        if diverse_beam_groups > 1:
+        if strategy is not None:
+            logprobs = strategy.adjust(
+                logprobs, state.search_state, i, state.alive_seq
+            )
+
+        selected = (
+            strategy.select(state.alive_scores, logprobs, state.search_state, i)
+            if strategy is not None
+            else None
+        )
+        if selected is not None:
+            topk_scores, topk_beam, topk_tok = selected
+        elif diverse_beam_groups > 1:
             # diverse beam search (reference: search.py:551 DiverseBeamSearch):
             # beams split into G groups; group g's log-probs are penalized by
             # strength * counts of tokens already chosen by groups < g this
@@ -261,11 +306,27 @@ def beam_search(
         cand_seq = jax.lax.dynamic_update_slice_in_dim(
             cand_seq, topk_tok[:, :, None], i + 1, axis=2
         )
-        is_eos = topk_tok == eos
+        # a candidate whose cumulative score carries a NEG_INF ban (eos banned
+        # by min_len or a constraint strategy) is not a real hypothesis — do
+        # not finalize it even at max_len (real scores never approach -1e6:
+        # 256 steps x ~-70 nats max)
+        is_eos = (topk_tok == eos) & (topk_scores > 0.5 * NEG_INF)
 
         # ---- alive set: best K non-eos candidates
         alive_rank = jnp.where(is_eos, NEG_INF, topk_scores)
-        if diverse_beam_groups > 1:
+        if selected is not None:
+            # strategy-provided candidates are consumed IN ORDER (the order
+            # encodes bank allocation for constrained search — reference:
+            # sequence_generator picks active_hypos by candidate rank)
+            n_cand = topk_scores.shape[1]
+            order_rank = jnp.where(
+                is_eos,
+                NEG_INF,
+                -jax.lax.broadcasted_iota(jnp.float32, (B, n_cand), 1),
+            )
+            _, alive_pick = jax.lax.top_k(order_rank, K)
+            new_alive_scores = jnp.take_along_axis(topk_scores, alive_pick, axis=1)
+        elif diverse_beam_groups > 1:
             # keep the group structure: top k' within each group's 2k' slice
             G = diverse_beam_groups
             kp = K // G
@@ -282,6 +343,11 @@ def beam_search(
         new_alive_seq = _gather_beams(cand_seq, alive_pick)
         picked_beam = jnp.take_along_axis(topk_beam, alive_pick, axis=1)
         new_kv = _gather_flat_beams(new_caches, picked_beam, B, K)
+        new_search_state = (
+            strategy.update(state.search_state, topk_beam, topk_tok, alive_pick, i)
+            if strategy is not None
+            else None
+        )
 
         # ---- finished set: eos candidates merged with previous finished
         norm = length_norm(gen_len)
@@ -306,6 +372,7 @@ def beam_search(
             finished_lens=new_fin_lens,
             finished_flags=new_fin_flags,
             caches=new_kv,
+            search_state=new_search_state,
         )
 
     final = jax.lax.while_loop(cond, body, init)

@@ -38,6 +38,8 @@ class GeneratorSettings:
     no_repeat_ngram_size: int = 0
     diverse_beam_groups: int = 0
     diverse_beam_strength: float = 0.5
+    # diverse siblings (reference: search.py:745, --diversity-rate)
+    diversity_rate: float = -1.0
     # sampling mode (reference: --sampling --sampling-topk/--sampling-topp)
     sampling: bool = False
     sampling_topk: int = -1
@@ -53,11 +55,17 @@ class SequenceGenerator:
         eos: int = 2,
         unk: int = 3,
         bos: Optional[int] = None,
+        strategy=None,  # SearchStrategy (constrained / diverse-siblings / ...)
     ):
         self.model = model
         self.s = settings
         self.pad, self.eos, self.unk = pad, eos, unk
         self.bos = eos if bos is None else bos
+        if strategy is None and settings.diversity_rate > 0:
+            from .search_strategies import DiverseSiblingsSearch
+
+            strategy = DiverseSiblingsSearch(settings.diversity_rate)
+        self.strategy = strategy
         self._jit_generate = jax.jit(
             self._generate_from_encoder, static_argnames=("beam_size",)
         )
@@ -169,6 +177,7 @@ class SequenceGenerator:
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
             diverse_beam_groups=self.s.diverse_beam_groups,
             diverse_beam_strength=self.s.diverse_beam_strength,
+            strategy=self.strategy,
         )
 
     # ----------------------------------------------------------- public API
