@@ -26,3 +26,24 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tiering: e2e CLI tests are 'slow'; everything else is 'quick'.
+
+    `pytest -m quick` keeps the torch-parity + unit layers under a minute;
+    `pytest -m "not slow"` skips only the multi-minute CLI runs."""
+    slow_files = {
+        "test_cli_e2e.py",
+        "test_cli_spmd.py",
+        "test_ensemble_text.py",
+        "test_generate_golden.py",
+        "test_joint_task.py",
+        "test_w2v2_warmstart.py",
+        "test_resampling.py",
+    }
+    for item in items:
+        if item.fspath.basename in slow_files:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
