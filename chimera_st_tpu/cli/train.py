@@ -254,8 +254,11 @@ def init_params_for_task(model, task, args):
         )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
+    from ..models.nat_levenshtein import LevenshteinTransformer
     from ..models.transformer_mt import TransformerLM, TransformerModel
 
+    if isinstance(model, LevenshteinTransformer):
+        return model.init(jax.random.PRNGKey(seed), src, prev, prev, prev)
     if isinstance(model, TransformerLM):
         return model.init(jax.random.PRNGKey(seed), prev)
     if isinstance(model, TransformerModel):

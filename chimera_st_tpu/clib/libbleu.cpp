@@ -120,4 +120,85 @@ int64_t batch_by_size_fast(const int64_t* sizes, int64_t n,
   return n_batches;
 }
 
+// Batched suggested-edit-ops for Levenshtein NAT training targets
+// (reference semantics: fairseq/clib/libnat/edit_dist.cpp:23-115
+// suggested_ed2_path — ins/del cost 1, substitute cost 2, backtrack prefers
+// insert > delete > keep so tie-breaking matches the reference bit-for-bit).
+// Instead of the reference's ragged python-list edit paths, this emits the
+// training targets directly as flat batched arrays:
+//   ins_counts [B, Lx-1]: tokens to insert between kept x[i] and x[i+1]
+//   ins_masks  [B, Ly]  : y positions that are insertions (mask-to-unk)
+//   del_labels [B, Lx]  : 1 = delete x[i]
+// x/y are right- or mixed-padded with `pad` (pad tokens are skipped).
+void suggested_edit_ops(const int32_t* xs, const int32_t* ys,
+                        int64_t B, int64_t Lx, int64_t Ly, int32_t pad,
+                        int32_t* ins_counts, uint8_t* ins_masks,
+                        uint8_t* del_labels) {
+  std::vector<int32_t> x, y, ops;
+  std::vector<int32_t> d;  // (lx+1) x (ly+1) DP table, row-major
+  for (int64_t b = 0; b < B; ++b) {
+    x.clear();
+    y.clear();
+    std::vector<int64_t> xpos;  // original column of each non-pad x token
+    for (int64_t i = 0; i < Lx; ++i)
+      if (xs[b * Lx + i] != pad) { x.push_back(xs[b * Lx + i]); xpos.push_back(i); }
+    for (int64_t j = 0; j < Ly; ++j)
+      if (ys[b * Ly + j] != pad) y.push_back(ys[b * Ly + j]);
+    const int64_t lx = (int64_t)x.size(), ly = (int64_t)y.size();
+
+    int32_t* ic = ins_counts + b * (Lx > 1 ? Lx - 1 : 1);
+    uint8_t* im = ins_masks + b * Ly;
+    uint8_t* dl = del_labels + b * Lx;
+
+    if (lx == 0) {  // degenerate: everything is a slot-0 insertion
+      for (int64_t j = 0; j < ly; ++j) im[j] = 1;
+      continue;
+    }
+
+    d.assign((lx + 1) * (ly + 1), 0);
+    auto D = [&](int64_t i, int64_t j) -> int32_t& { return d[i * (ly + 1) + j]; };
+    for (int64_t i = 0; i <= lx; ++i) D(i, 0) = (int32_t)i;
+    for (int64_t j = 0; j <= ly; ++j) D(0, j) = (int32_t)j;
+    for (int64_t i = 1; i <= lx; ++i)
+      for (int64_t j = 1; j <= ly; ++j) {
+        int32_t best = D(i - 1, j) < D(i, j - 1) ? D(i - 1, j) : D(i, j - 1);
+        best += 1;
+        int32_t sub = D(i - 1, j - 1) + (x[i - 1] == y[j - 1] ? 0 : 2);
+        D(i, j) = best < sub ? best : sub;
+      }
+
+    // backtrack (ops recorded reversed): 1=insert y, 2=delete x, 3=keep/sub
+    ops.clear();
+    int64_t i = lx, j = ly;
+    while (i > 0 || j > 0) {
+      if (j > 0 && D(i, j - 1) < D(i, j)) { ops.push_back(1); --j; }
+      else if (i > 0 && D(i - 1, j) < D(i, j)) { ops.push_back(2); --i; }
+      else { ops.push_back(3); --i; --j; }
+    }
+
+    // forward replay -> targets. Insertions land in the slot after the
+    // xcount-th kept/deleted x token; y advances on insert and keep.
+    int64_t xcount = 0, ycount = 0;
+    for (int64_t k = (int64_t)ops.size() - 1; k >= 0; --k) {
+      const int32_t op = ops[k];
+      if (op == 1) {
+        // only interior slots train the insertion head (reference keeps
+        // cells 1..lx-1, levenshtein_utils.py mask_input[1:-1]; bos/eos
+        // anchor the ends so edge cells are empty in practice)
+        if (xcount >= 1 && xcount <= lx - 1) {
+          ic[xcount - 1] += 1;
+          if (ycount < ly) im[ycount] = 1;
+        }
+        ++ycount;
+      } else if (op == 2) {
+        dl[xpos[xcount]] = 1;
+        ++xcount;
+      } else {
+        ++xcount;
+        ++ycount;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -34,6 +34,67 @@ def cmlm_mask_target(
     return out
 
 
+@register_criterion("levenshtein_loss")
+def make_levenshtein_loss(cfg: dict):
+    """Three-head Levenshtein NAT loss (reference:
+    fairseq/models/nat/levenshtein_transformer.py forward — insertion-count
+    CE + word CE at placeholder positions + keep/delete CE; batch targets are
+    host-built by tasks/translation_lev.py)."""
+    pad_idx = int(cfg.get("padding_idx", 1))
+    unk_idx = int(cfg.get("unk_idx", 3))
+    eps = float(cfg.get("label_smoothing", 0.1))
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        from .label_smoothed_ce import label_smoothed_nll_loss
+
+        ins_logits, word_logits, del_logits = model.apply(
+            params,
+            batch["src_tokens"],
+            batch["ins_input"],
+            batch["masked_tgt"],
+            batch["del_input"],
+            deterministic=not train,
+            rngs=rngs,
+        )
+        # insertion-count CE over valid slots (both adjacent inputs non-pad)
+        slot_valid = batch["ins_input"][:, 1:] != pad_idx
+        ins_lp = jax.nn.log_softmax(ins_logits, axis=-1)
+        ins_nll = -jnp.take_along_axis(
+            ins_lp, batch["ins_targets"][..., None], axis=-1
+        )[..., 0]
+        ins_loss = jnp.sum(jnp.where(slot_valid, ins_nll, 0.0))
+
+        # word CE at placeholder positions (label-smoothed)
+        masked = batch["masked_tgt"] == unk_idx
+        tgt = jnp.where(masked, batch["lev_target"], pad_idx)
+        word_lp = jax.nn.log_softmax(word_logits.astype(jnp.float32), axis=-1)
+        word_loss, nll = label_smoothed_nll_loss(word_lp, tgt, eps, pad_idx)
+
+        # keep/delete CE over non-pad del_input positions
+        del_valid = batch["del_input"] != pad_idx
+        del_lp = jax.nn.log_softmax(del_logits, axis=-1)
+        del_nll = -jnp.take_along_axis(
+            del_lp, batch["del_targets"][..., None], axis=-1
+        )[..., 0]
+        del_loss = jnp.sum(jnp.where(del_valid, del_nll, 0.0))
+
+        loss = word_loss + ins_loss + del_loss
+        sample_size = (
+            jnp.sum(masked) + jnp.sum(slot_valid) + jnp.sum(del_valid)
+        ).astype(jnp.float32)
+        return loss, sample_size, {
+            "loss": loss,
+            "nll_loss": nll,
+            "ins_loss": ins_loss,
+            "del_loss": del_loss,
+            "ntokens": batch["ntokens"],
+            "nsentences": batch["lev_target"].shape[0],
+            "sample_size": sample_size,
+        }
+
+    return criterion
+
+
 @register_criterion("nat_loss")
 def make_nat_loss(cfg: dict):
     pad_idx = int(cfg.get("padding_idx", 1))

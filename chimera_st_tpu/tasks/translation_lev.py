@@ -1,0 +1,133 @@
+"""Levenshtein (edit-based NAT) translation task.
+
+reference: fairseq/tasks/translation_lev.py (TranslationLevenshteinTask with
+--noise random_delete/random_mask) + fairseq/models/nat/levenshtein_utils.py
+target construction via libnat.
+
+Host-side target construction per batch (delta vs the reference, which
+computes deletion targets from the model's own predictions — a host<->device
+round trip per step under XLA; this is the reference's DAE-corruption path):
+
+- ``ins_input``  : target with a random fraction of interior tokens deleted
+- ``ins_targets``: tokens to insert between adjacent kept inputs (C++
+  suggested_edit_ops, clib), clipped to the insertion-head arity
+- ``masked_tgt`` : target with insertion positions replaced by unk — the
+  word-insertion head trains to fill them
+- ``del_input``  : target with random noise tokens inserted
+- ``del_targets``: which del_input positions to delete
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..clib import suggested_edit_ops
+from ..config.registry import register_task
+from ..data.batching import collate_tokens
+from .translation import TranslationTask
+
+logger = logging.getLogger(__name__)
+
+
+@register_task("translation_lev")
+class TranslationLevenshteinTask(TranslationTask):
+    BOS = 0
+    UNK = 3
+
+    def __init__(self, cfg, src_dict, tgt_dict):
+        super().__init__(cfg, src_dict, tgt_dict)
+        self._rng = np.random.default_rng(int(cfg.get("seed", 1)))
+        self.delete_prob_max = float(cfg.get("random_delete_max", 0.5))
+        self.insert_frac_max = float(cfg.get("random_insert_max", 0.3))
+        self.max_ins = int(cfg.get("max_ins", 64))
+
+    def _frame(self, target: np.ndarray) -> np.ndarray:
+        """[tokens..., eos] -> [bos, tokens..., eos] (bos/eos anchor the edit
+        alignment; reference levenshtein_utils assumes matching endpoints)."""
+        return np.concatenate([[self.BOS], target]).astype(np.int32)
+
+    def _random_delete(self, y: np.ndarray) -> np.ndarray:
+        """Drop a random fraction of interior tokens (reference:
+        translation_lev.py _random_delete)."""
+        n = len(y)
+        if n <= 2:
+            return y.copy()
+        p = self._rng.uniform(0.0, self.delete_prob_max)
+        keep = self._rng.random(n - 2) >= p
+        return np.concatenate([y[:1], y[1:-1][keep], y[-1:]]).astype(np.int32)
+
+    def _random_insert(self, y: np.ndarray, vocab: int) -> np.ndarray:
+        n = len(y)
+        k = int(self._rng.integers(0, max(int(self.insert_frac_max * n), 1) + 1))
+        if k == 0:
+            return y.copy()
+        noise = self._rng.integers(4, max(vocab, 5), size=k).astype(np.int32)
+        slots = self._rng.integers(1, n, size=k)  # insert before y[slot]
+        order = np.argsort(slots, kind="stable")
+        out = list(y)
+        for off, j in enumerate(order):
+            out.insert(int(slots[j]) + off, int(noise[j]))
+        return np.asarray(out, np.int32)
+
+    def collate_indices(self, dataset, idx, target_len: Optional[int] = None):
+        batch = super().collate_indices(dataset, idx, target_len)
+        if not batch or "target" not in batch:
+            return batch
+        pad = self.tgt_dict.pad()
+        vocab = len(self.tgt_dict)
+        r16 = lambda n: ((n + 15) // 16) * 16
+
+        ys = [self._frame(t[t != pad]) for t in np.asarray(batch["target"])]
+        y_dels = [self._random_delete(y) for y in ys]
+        y_inss = [self._random_insert(y, vocab) for y in ys]
+
+        Ly = r16(max(len(y) for y in ys))
+        Ld = r16(max(len(y) for y in y_dels))
+        Li = r16(max(len(y) for y in y_inss))
+        y_pad = collate_tokens(ys, pad, target_len=Ly, dtype=np.int32)
+        ydel_pad = collate_tokens(y_dels, pad, target_len=Ld, dtype=np.int32)
+        yins_pad = collate_tokens(y_inss, pad, target_len=Li, dtype=np.int32)
+
+        ins_counts, ins_masks, _ = suggested_edit_ops(ydel_pad, y_pad, pad)
+        _, _, del_labels = suggested_edit_ops(yins_pad, y_pad, pad)
+
+        batch["lev_target"] = y_pad
+        batch["ins_input"] = ydel_pad
+        batch["ins_targets"] = np.clip(ins_counts, 0, self.max_ins - 1)
+        batch["masked_tgt"] = np.where(ins_masks, self.UNK, y_pad).astype(np.int32)
+        batch["del_input"] = yins_pad
+        batch["del_targets"] = del_labels.astype(np.int32)
+        return batch
+
+    def build_generator(self, model, gen_cfg):
+        iterations = getattr(gen_cfg, "iter_decode_max_iter", 6)
+        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
+        pad = self.tgt_dict.pad()
+        eos = self.tgt_dict.eos()
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _refine(params, src_tokens):
+            return model.apply(
+                params, src_tokens,
+                iterations=iterations, max_len=max_len,
+                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
+                method=type(model).refine,
+            )
+
+        class RefinementGenerator:
+            """generate_text API adapter (K=1 'beam')."""
+
+            def generate_text(self, params, src_tokens, src_lengths=None):
+                tokens, lengths = _refine(params, src_tokens)
+                # strip the bos anchor; report generated length (incl. eos)
+                out = tokens[:, 1:]
+                lens = jnp.maximum(lengths - 1, 1)
+                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
+
+        return RefinementGenerator()

@@ -45,5 +45,5 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.fspath.basename in slow_files:
             item.add_marker(pytest.mark.slow)
-        else:
+        elif item.get_closest_marker("slow") is None:
             item.add_marker(pytest.mark.quick)
