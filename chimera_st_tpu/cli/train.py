@@ -182,6 +182,8 @@ def main(argv=None) -> None:
                     and num_updates % args.save_interval_updates == 0
                 ):
                     val = validate_and_metric(args, task, trainer, criterion)
+                    if hasattr(lr_schedule, "step_val") and lr_schedule.step_val(val):
+                        trainer.refresh_apply()
                     ckpt_mgr.save(
                         trainer.state,
                         {**trainer.extra_state(train_itr, val, ckpt_mgr.best), **run_cfg},
@@ -202,6 +204,8 @@ def main(argv=None) -> None:
         val = None
         if not args.disable_validation and (epoch % args.validate_interval == 0 or stop):
             val = validate_and_metric(args, task, trainer, criterion)
+            if hasattr(lr_schedule, "step_val") and lr_schedule.step_val(val):
+                trainer.refresh_apply()
             if val is not None and args.patience > 0:
                 if ckpt_mgr.is_better(val):
                     patience_left = args.patience

@@ -116,3 +116,6 @@ def build_tokenizer(cfg: Optional[Dict]):
     if not cfg or not cfg.get("_name") or cfg.get("_name") == "none":
         return None
     return TOKENIZERS.get(cfg["_name"])(cfg)
+
+
+from . import encoders_bpe  # noqa: F401,E402 — gpt2/subword-nmt/fastbpe/byte_bpe registration

@@ -113,6 +113,96 @@ def tri_stage(cfg: Dict) -> Callable:
     return sched
 
 
+@register_lr_scheduler("triangular")
+def triangular(cfg: Dict) -> Callable:
+    """Cyclical triangular LR (reference:
+    fairseq/optim/lr_scheduler/triangular_lr_scheduler.py — oscillate between
+    min and max over lr_period_updates, optionally shrinking per cycle)."""
+    min_lr = float(cfg.get("lr", 1e-5))
+    max_lr = float(cfg.get("max_lr", min_lr * 10))
+    period = float(cfg.get("lr_period_updates", 5000))
+    stepsize = max(period / 2.0, 1.0)
+    lr_shrink = float(cfg.get("lr_shrink", 0.1))
+    shrink_min = bool(cfg.get("shrink_min", False))
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(step / (2 * stepsize))
+        shrink = jnp.power(lr_shrink, cycle)
+        mx = max_lr * shrink
+        mn = min_lr * shrink if shrink_min else jnp.full_like(mx, min_lr)
+        x = jnp.abs(step / stepsize - 2 * cycle - 1)
+        return mn + (mx - mn) * jnp.maximum(0.0, 1.0 - x)
+
+    return sched
+
+
+class PlateauSchedule:
+    """reduce_lr_on_plateau (reference:
+    fairseq/optim/lr_scheduler/reduce_lr_on_plateau.py, backed by torch's
+    ReduceLROnPlateau with factor=lr_shrink).
+
+    Host-mutable: call ``step_val(val_metric)`` after each validation; when it
+    returns True the LR scale shrank and the trainer must re-jit the apply
+    step (rare — at most a handful of times per run) via
+    ``Trainer.refresh_apply()``. ``__call__`` stays a pure step->lr function
+    at each trace."""
+
+    def __init__(self, cfg: Dict):
+        self.lr = float(cfg.get("lr", 5e-4))
+        self.shrink = float(cfg.get("lr_shrink", 0.1))
+        self.threshold = float(cfg.get("lr_threshold", 1e-4))
+        self.patience = int(cfg.get("lr_patience", 0))
+        self.maximize = bool(cfg.get("maximize_best_checkpoint_metric", False))
+        self.warmup = int(cfg.get("warmup_updates", 0))
+        self.warmup_init = float(cfg.get("warmup_init_lr", 0.0))
+        self.scale = 1.0
+        self._best = None
+        self._bad = 0
+
+    def step_val(self, val_metric) -> bool:
+        if val_metric is None:
+            return False
+        better = (
+            self._best is None
+            or (self.maximize and val_metric > self._best + self.threshold)
+            or (not self.maximize and val_metric < self._best - self.threshold)
+        )
+        if better:
+            self._best = val_metric
+            self._bad = 0
+            return False
+        self._bad += 1
+        if self._bad > self.patience:
+            self.scale *= self.shrink
+            self._bad = 0
+            return True
+        return False
+
+    def state_dict(self):
+        return {"scale": self.scale, "best": self._best, "bad": self._bad}
+
+    def load_state_dict(self, d):
+        self.scale = d.get("scale", 1.0)
+        self._best = d.get("best")
+        self._bad = d.get("bad", 0)
+
+    def __call__(self, step):
+        step = jnp.asarray(step, jnp.float32)
+        lr = self.lr * self.scale
+        if self.warmup > 0:
+            warm = self.warmup_init + (lr - self.warmup_init) * jnp.minimum(
+                step, self.warmup
+            ) / self.warmup
+            return jnp.where(step < self.warmup, warm, lr)
+        return jnp.full_like(step, lr)
+
+
+@register_lr_scheduler("reduce_lr_on_plateau")
+def reduce_lr_on_plateau(cfg: Dict) -> Callable:
+    return PlateauSchedule(cfg)
+
+
 def build_lr_schedule(cfg: Dict) -> Callable:
     name = cfg.get("_name", "fixed")
     return LR_SCHEDULERS.get(name)(cfg)

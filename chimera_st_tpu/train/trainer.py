@@ -85,14 +85,8 @@ class Trainer:
             return new, acc_ss + ss
 
         self._accum_fn = jax.jit(accum_fn, donate_argnums=(0,))
-        self._apply_fn = jax.jit(
-            make_apply_gradients(
-                tx,
-                skip_nonfinite=skip_nonfinite,
-                opt_state_shardings=opt_shardings,
-            ),
-            donate_argnums=(0, 1),
-        )
+        self._opt_shardings = opt_shardings
+        self.refresh_apply()
 
         self._valid_jits: Dict[Any, Callable] = {}
 
@@ -109,6 +103,19 @@ class Trainer:
             return jax.jit(valid_fn)
 
         self._make_valid_fn = make_valid_fn
+
+    def refresh_apply(self):
+        """(Re-)jit the optimizer-apply step. Needed after a host-side LR
+        change (reduce_lr_on_plateau shrink): the schedule value is baked in
+        at trace time, so the rare shrink event pays one re-compile."""
+        self._apply_fn = jax.jit(
+            make_apply_gradients(
+                self.tx,
+                skip_nonfinite=self.skip_nonfinite,
+                opt_state_shardings=self._opt_shardings,
+            ),
+            donate_argnums=(0, 1),
+        )
 
     # ------------------------------------------------------------- stepping
 
