@@ -197,20 +197,39 @@ class MultiheadAttention(nn.Module):
         if precomputed_kv is not None:
             k, v = precomputed_kv
         elif cache is not None:
+            # Incremental decode against a TIME-MAJOR cache [L, H, D, B].
+            # The beam dim is MINOR so the generator's beam-reorder gather is
+            # one row-major [F, B] x [B, B] matmul whose output layout equals
+            # the loop-carry layout — no per-step relayout copies (measured
+            # ~1.7 ms/step of pure copies at B=64 with the [B, L, H, D]
+            # batch-major layout the reference's incremental buffers imply).
             assert query.shape[1] == 1, "cached decode is single-step"
-            k_new = self._split(self.k_proj(query))
+            k_new = self._split(self.k_proj(query))  # [B, 1, H, D]
             v_new = self._split(self.v_proj(query))
-            k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, cache_index, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, cache_index, axis=1)
-            new_cache = {"k": k, "v": v}
-            # mask out not-yet-written cache slots
-            t_max = k.shape[1]
-            pos = jnp.arange(t_max)[None, :]
-            future = pos > cache_index
-            key_padding_mask = (
-                future if key_padding_mask is None else (key_padding_mask | future)
+            kc = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], jnp.transpose(k_new, (1, 2, 3, 0)), cache_index, axis=0
             )
-            causal = False
+            vc = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], jnp.transpose(v_new, (1, 2, 3, 0)), cache_index, axis=0
+            )
+            new_cache = {"k": kc, "v": vc}
+            scale = (self.embed_dim // self.num_heads) ** -0.5
+            logits = jnp.einsum(
+                "bqhd,lhdb->bhql", q, kc, preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            t_max = kc.shape[0]
+            future = jnp.arange(t_max)[None, None, None, :] > cache_index
+            logits = jnp.where(future, -1e8, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhql,lhdb->bqhd",
+                probs.astype(query.dtype),
+                vc,
+                preferred_element_type=jnp.float32,
+            ).astype(query.dtype)
+            B, Tq = out.shape[0], out.shape[1]
+            out = self.out_proj(out.reshape(B, Tq, self.embed_dim))
+            return out, new_cache
         else:
             src = query if kv is None else kv
             k = self._split(self.k_proj(src))

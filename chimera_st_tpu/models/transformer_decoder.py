@@ -48,6 +48,8 @@ class TransformerDecoder(nn.Module):
     no_scale_embedding: bool = False
     max_target_positions: int = 1024
     causal: bool = True  # False: bidirectional (CMLM / mask-predict)
+    learned_pos: bool = False  # BART-style learned positions
+    layernorm_embedding: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -60,6 +62,19 @@ class TransformerDecoder(nn.Module):
             param_dtype=self.param_dtype,
             name="embed_tokens",
         )
+        if self.learned_pos:
+            self.embed_positions = Embed(
+                self.max_target_positions + self.padding_idx + 1,
+                self.embed_dim,
+                padding_idx=self.padding_idx,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="embed_positions",
+            )
+        if self.layernorm_embedding:
+            self.layernorm_embedding_mod = LayerNorm(
+                self.embed_dim, dtype=self.dtype
+            )
         self.layers = [
             TransformerDecoderLayer(
                 self.embed_dim,
@@ -108,10 +123,17 @@ class TransformerDecoder(nn.Module):
         """Teacher-forced forward -> logits [B, T, V] (fp32)."""
         pad_mask = prev_output_tokens == self.padding_idx
         x = self.embed_scale * self.embed_tokens(prev_output_tokens)
-        pos = positional_embedding_from_mask(
-            pad_mask, self.embed_dim, self.padding_idx
-        )
+        if self.learned_pos:
+            nonpad = (~pad_mask).astype(jnp.int32)
+            pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + self.padding_idx
+            pos = self.embed_positions(pos_ids)
+        else:
+            pos = positional_embedding_from_mask(
+                pad_mask, self.embed_dim, self.padding_idx
+            )
         x = x + pos.astype(x.dtype)
+        if self.layernorm_embedding:
+            x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
 
         for layer in self.layers:
@@ -131,8 +153,10 @@ class TransformerDecoder(nn.Module):
     # ------------------------------------------------------- incremental API
 
     def init_cache(self, batch: int, max_len: int) -> List[Dict[str, jax.Array]]:
+        # time-major [L, H, D, B]: beam dim minor (see MultiheadAttention
+        # cached branch for the layout rationale)
         head_dim = self.embed_dim // self.num_heads
-        shape = (batch, max_len, self.num_heads, head_dim)
+        shape = (max_len, self.num_heads, head_dim, batch)
         return [
             {
                 "k": jnp.zeros(shape, self.dtype),
@@ -156,10 +180,18 @@ class TransformerDecoder(nn.Module):
     ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
         """One decode step -> (logits [B, V] fp32, new caches)."""
         x = self.embed_scale * self.embed_tokens(tokens_t)
-        pos = position_at_step(
-            step_index, self.embed_dim, self.padding_idx, self.max_target_positions
-        )
+        if self.learned_pos:
+            pos = self.embed_positions(
+                jnp.full((1, 1), 0, jnp.int32) + self.padding_idx + 1 + step_index
+            )[0, 0]
+        else:
+            pos = position_at_step(
+                step_index, self.embed_dim, self.padding_idx,
+                self.max_target_positions,
+            )
         x = x + pos[None, None, :].astype(x.dtype)
+        if self.layernorm_embedding:
+            x = self.layernorm_embedding_mod(x)
 
         if encoder_kv is None:  # decoder-only (LM) stepping
             encoder_kv = [None] * len(self.layers)

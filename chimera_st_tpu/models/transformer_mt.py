@@ -55,6 +55,10 @@ class TransformerMTConfig:
     activation_dropout: float = 0.0
     activation: str = "relu"
     no_scale_embedding: bool = False
+    # BART-style options (reference: fairseq/models/bart/model.py —
+    # learned positions + embedding layernorm)
+    learned_pos: bool = False
+    layernorm_embedding: bool = False
 
 
 class TransformerModel(nn.Module):
@@ -99,19 +103,41 @@ class TransformerModel(nn.Module):
             no_scale_embedding=c.no_scale_embedding,
             max_target_positions=c.max_target_positions,
             causal=c.decoder_causal,
+            learned_pos=c.learned_pos,
+            layernorm_embedding=c.layernorm_embedding,
             name="decoder", **common,
         )
         self.embed_scale = (
             1.0 if c.no_scale_embedding else math.sqrt(c.encoder_embed_dim)
         )
+        if c.learned_pos:
+            self.embed_positions = Embed(
+                c.max_target_positions + c.padding_idx + 1,
+                c.encoder_embed_dim,
+                padding_idx=c.padding_idx,
+                name="embed_positions", **common,
+            )
+        if c.layernorm_embedding:
+            self.layernorm_embedding_mod = LayerNorm(
+                c.encoder_embed_dim, dtype=self.dtype, name="layernorm_embedding"
+            )
         self.dropout_layer = nn.Dropout(c.dropout)
 
     def encode(self, src_tokens: jax.Array, deterministic: bool = True):
         c = self.cfg
         pad_mask = src_tokens == c.padding_idx
         x = self.embed_scale * self.embed_tokens(src_tokens)
-        pos = positional_embedding_from_mask(pad_mask, c.encoder_embed_dim, c.padding_idx)
+        if c.learned_pos:
+            nonpad = (~pad_mask).astype(jnp.int32)
+            pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + c.padding_idx
+            pos = self.embed_positions(pos_ids)
+        else:
+            pos = positional_embedding_from_mask(
+                pad_mask, c.encoder_embed_dim, c.padding_idx
+            )
         x = x + pos.astype(x.dtype)
+        if c.layernorm_embedding:
+            x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
         for layer in self.encoder_layers_list:
             x = layer(x, encoder_padding_mask=pad_mask, deterministic=deterministic)
