@@ -5,12 +5,16 @@ Measures batched beam-search speech translation on the flagship architecture
 M=16 memory) under the reference eval protocol shape: beam 10 on ~6 s
 utterances (MuST-C tst-COMMON mean duration), bf16 compute.
 
-Prints ONE JSON line: utterances/sec/chip, with RTFx (audio-seconds processed
-per wall-second) in extras. `vs_baseline` is measured against
-REF_A100_UTT_PER_SEC, an assumed fairseq/A100 baseline for the same protocol
-(the reference publishes no throughput numbers — BASELINE.md; fairseq
-sequence_generator with a wav2vec2 front end decodes ~10 utt/s on A100-class
-hardware at beam 10; the BASELINE.json target is >=20x that).
+Sweeps batch size and reports the best utterances/sec/chip (round-2: batch
+scaling + time-major beam-minor KV caches are the two big levers; see
+benchmarks/ for the sweep/trace tooling). Prints ONE JSON line; extras carry
+the per-batch breakdown (encode vs decode wall time).
+
+`vs_baseline` is measured against REF_A100_UTT_PER_SEC, an assumed
+fairseq/A100 baseline for the same protocol (the reference publishes no
+throughput numbers — BASELINE.md; fairseq sequence_generator with a wav2vec2
+front end decodes ~10 utt/s on A100-class hardware at beam 10; the
+BASELINE.json target is >=20x that).
 """
 
 import json
@@ -32,15 +36,15 @@ import numpy as np
 
 REF_A100_UTT_PER_SEC = 10.0  # assumed fairseq A100 baseline (see docstring)
 
-BATCH = 16
+BATCHES = (32, 64)
 AUDIO_SECONDS = 6.0
 SAMPLE_RATE = 16000
 BEAM = 10
 MAX_DECODE_LEN = 64
-ITERS = 8
+ITERS = 6
 
 
-def main():
+def run_batch(batch: int):
     from chimera_st_tpu.generation.generator import (
         GeneratorSettings,
         SequenceGenerator,
@@ -55,8 +59,8 @@ def main():
 
     T = int(AUDIO_SECONDS * SAMPLE_RATE)
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.normal(size=(BATCH, T)) * 0.1, jnp.float32)
-    mask = jnp.zeros((BATCH, T), bool)
+    audio = jnp.asarray(rng.normal(size=(batch, T)) * 0.1, jnp.float32)
+    mask = jnp.zeros((batch, T), bool)
 
     params = model.init(
         jax.random.PRNGKey(0),
@@ -84,10 +88,19 @@ def main():
     # Sync via host materialization (np.asarray) — block_until_ready returns
     # early on this remote platform and measures fiction.
     batches = [
-        jnp.asarray(rng.normal(size=(BATCH, T)) * 0.1, jnp.float32)
+        jnp.asarray(rng.normal(size=(batch, T)) * 0.1, jnp.float32)
         for _ in range(ITERS)
     ]
     jax.block_until_ready(batches)
+
+    # encode-only timing (same sync discipline)
+    enc, enc_mask = gen._jit_encode_audio(params, audio, mask)
+    np.asarray(enc)
+    t0 = time.perf_counter()
+    for b in batches:
+        e, _ = gen._jit_encode_audio(params, b, mask)
+        np.asarray(e)
+    t_enc = (time.perf_counter() - t0) / ITERS
 
     np.asarray(gen.generate_audio(params, audio, mask)[0])  # compile + sync
     t0 = time.perf_counter()
@@ -95,9 +108,22 @@ def main():
     for o in outs:
         np.asarray(o)
     dt = (time.perf_counter() - t0) / ITERS
+    return dt, t_enc
 
-    utt_per_sec = BATCH / dt
-    rtfx = BATCH * AUDIO_SECONDS / dt
+
+def main():
+    results = {}
+    for batch in BATCHES:
+        dt, t_enc = run_batch(batch)
+        results[batch] = {
+            "utt_per_sec": batch / dt,
+            "secs_per_batch": round(dt, 3),
+            "encode_ms": round(t_enc * 1e3, 1),
+            "decode_ms": round((dt - t_enc) * 1e3, 1),
+        }
+    best_b = max(results, key=lambda b: results[b]["utt_per_sec"])
+    utt_per_sec = results[best_b]["utt_per_sec"]
+    rtfx = utt_per_sec * AUDIO_SECONDS
     print(
         json.dumps(
             {
@@ -107,11 +133,11 @@ def main():
                 "vs_baseline": round(utt_per_sec / REF_A100_UTT_PER_SEC, 2),
                 "extras": {
                     "rtfx": round(rtfx, 1),
-                    "batch": BATCH,
+                    "best_batch": best_b,
                     "beam": BEAM,
                     "audio_seconds": AUDIO_SECONDS,
                     "max_decode_len": MAX_DECODE_LEN,
-                    "secs_per_batch": round(dt, 3),
+                    "sweep": {str(b): r for b, r in results.items()},
                 },
             }
         )

@@ -88,21 +88,39 @@ def _gather_beams(tree, indices):
 
 
 def _gather_flat_beams(tree, indices, B, src_k):
-    """Beam gather for flat cache leaves [B * K_src, ...].
+    """Beam gather for flat cache leaves: [B*K_src, ...] (beam-major) or
+    [..., B*K_src] (beam-MINOR, the decode KV-cache layout).
 
-    Implemented as ONE block-diagonal one-hot matmul [B*K, B*K] x [B*K, F]
-    per leaf: take_along_axis lowers to a slow gather on TPU, and per-sentence
-    batched einsums strangle the MXU with 10x10 tiles; folding batch and beam
-    into the matmul M/K dims gives >=128-wide tiles and runs at memory speed.
+    Implemented as ONE block-diagonal one-hot matmul per leaf:
+    take_along_axis lowers to a slow gather on TPU, and per-sentence batched
+    einsums strangle the MXU with 10x10 tiles; folding batch and beam into
+    the matmul M/K dims gives >=128-wide tiles and runs at memory speed.
     Correct because beam indices only ever point within the same sentence
     (the one-hot matrix is block-diagonal by construction).
+
+    For beam-minor leaves the matmul is [F, B*K] x [B*K, B*K] with row-major
+    operands and a row-major result — the output layout matches the while-loop
+    carry, so XLA inserts no relayout copies (the beam-major form costs a full
+    extra cache copy per step per leaf, ~1.7 ms/step at B=64 beam 10).
     """
     out_k = indices.shape[1]
     flat_src = (
         jnp.arange(B, dtype=indices.dtype)[:, None] * src_k + indices
     ).reshape(-1)  # [B*out_k] global source row per output row
 
+    # NOTE: exploiting the block-diagonal structure with per-sentence-group
+    # batched einsums was measured SLOWER end-to-end (743 ms vs 397 ms decode
+    # at B=64) despite ~8x fewer FLOPs — narrow (<=256-wide) batched matmul
+    # tiles lose to one dense MXU matmul. Keep the dense form.
     def gather(x):
+        if x.ndim >= 1 and x.shape[-1] == B * src_k and (
+            x.ndim == 1 or x.shape[0] != B * src_k
+        ):
+            # beam-minor leaf: out[..., i] = x[..., flat_src[i]]
+            onehot = jax.nn.one_hot(flat_src, B * src_k, axis=0, dtype=x.dtype)
+            n = x.reshape(-1, B * src_k)
+            g = jnp.matmul(n, onehot, preferred_element_type=x.dtype)
+            return g.reshape(x.shape[:-1] + (B * out_k,))
         onehot = jax.nn.one_hot(flat_src, B * src_k, dtype=x.dtype)
         n = x.reshape(B * src_k, -1)
         g = jnp.matmul(onehot, n, preferred_element_type=x.dtype)

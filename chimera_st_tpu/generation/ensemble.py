@@ -79,9 +79,10 @@ class EnsembleSequenceGenerator:
             mask = None if enc_mask is None else jnp.repeat(enc_mask, K, axis=0)
             c = model.cfg
             hd = c.decoder_embed_dim // c.decoder_heads
+            # time-major, beam-minor cache (see layers.py cached branch)
             caches = [
-                {"k": jnp.zeros((B * K, max_len + 1, c.decoder_heads, hd), model.dtype),
-                 "v": jnp.zeros((B * K, max_len + 1, c.decoder_heads, hd), model.dtype)}
+                {"k": jnp.zeros((max_len + 1, c.decoder_heads, hd, B * K), model.dtype),
+                 "v": jnp.zeros((max_len + 1, c.decoder_heads, hd, B * K), model.dtype)}
                 for _ in range(c.decoder_layers)
             ]
             per_model.append((model, params, enc_kv, mask, caches))
@@ -92,8 +93,8 @@ class EnsembleSequenceGenerator:
             lc = lm_model.cfg
             hd = lc.embed_dim // lc.heads
             lm_caches = [
-                {"k": jnp.zeros((B * K, max_len + 1, lc.heads, hd), lm_model.dtype),
-                 "v": jnp.zeros((B * K, max_len + 1, lc.heads, hd), lm_model.dtype)}
+                {"k": jnp.zeros((max_len + 1, lc.heads, hd, B * K), lm_model.dtype),
+                 "v": jnp.zeros((max_len + 1, lc.heads, hd, B * K), lm_model.dtype)}
                 for _ in range(lc.layers)
             ]
 

@@ -117,7 +117,9 @@ class SequenceGenerator:
         )
 
         head_dim = c.decoder_embed_dim // c.decoder_heads
-        kv_shape = (B * K, max_len + 1, c.decoder_heads, head_dim)
+        # time-major cache, beam dim minor (layout rationale: layers.py
+        # MultiheadAttention cached branch)
+        kv_shape = (max_len + 1, c.decoder_heads, head_dim, B * K)
         init_caches = [
             {
                 "k": jnp.zeros(kv_shape, self.model.dtype),

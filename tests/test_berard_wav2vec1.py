@@ -1,0 +1,78 @@
+"""berard RNN ST model + wav2vec v1 CPC pretraining (VERDICT r1 missing #5;
+references: fairseq/models/speech_to_text/berard.py,
+fairseq/models/wav2vec/wav2vec.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chimera_st_tpu.models import build_model_from_arch
+
+
+def test_berard_forward_and_grad():
+    rng = np.random.default_rng(0)
+    model = build_model_from_arch("s2t_berard", {
+        "tgt_vocab_size": 20, "input_feat_per_channel": 8,
+        "conv_channels": (4, 4), "lstm_size": 8, "encoder_layers": 1,
+        "decoder_embed_dim": 8, "decoder_hidden": 8, "decoder_layers": 1,
+        "attention_dim": 8,
+    })
+    feats = jnp.asarray(rng.normal(size=(2, 20, 8)), jnp.float32)
+    pad = jnp.zeros((2, 20), bool).at[1, 12:].set(True)
+    prev = jnp.asarray(rng.integers(4, 20, size=(2, 5)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, pad, prev)
+    logits = model.apply(params, feats, pad, prev)
+    assert logits.shape == (2, 5, 20)
+    assert np.isfinite(np.asarray(logits)).all()
+    # conv subsampling reduces time 4x (two stride-2 convs)
+    enc, enc_mask = model.apply(
+        params, feats, pad, method=type(model).encode_audio
+    )
+    assert enc.shape[1] == 5  # ceil(20 / 4)
+    # padded sentence has masked tail after subsampling
+    assert bool(np.asarray(enc_mask)[1, -1])
+
+    def loss(p):
+        lg = model.apply(p, feats, pad, prev)
+        return jnp.sum(jax.nn.log_softmax(lg, -1) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_wav2vec_v1_contrastive():
+    import chimera_st_tpu.criterions  # noqa: F401
+    from chimera_st_tpu.config.registry import CRITERIONS
+
+    rng = np.random.default_rng(1)
+    model = build_model_from_arch("wav2vec", {
+        "conv_feature_layers": ((8, 10, 5), (8, 4, 2)),
+        "conv_aggregator_layers": ((8, 3, 1), (8, 3, 1)),
+        "prediction_steps": 3,
+        "num_negatives": 4,
+    })
+    audio = jnp.asarray(rng.normal(size=(2, 400)), jnp.float32)
+    z_len = ((400 - 10) // 5 + 1 - 4) // 2 + 1
+    negs = jnp.asarray(rng.integers(0, z_len, size=(2, z_len, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), audio, negs)
+    pos, neg = model.apply(params, audio, negs)
+    assert pos.shape == (2, 3, z_len)
+    assert neg.shape == (2, 3, z_len, 4)
+
+    crit = CRITERIONS.get("wav2vec_v1")({})
+    batch = {"audio": audio, "negative_indices": negs}
+    loss, ss, logging = crit(model, params, batch, train=False)
+    assert np.isfinite(float(loss)) and float(ss) > 0
+
+    # aggregator is causal: changing future z does not change c_t (the
+    # featurizer itself is NOT causal — its GroupNorm(1) normalizes over
+    # time, mirroring the reference's torch GroupNorm quirk, wav2vec.py)
+    z1 = model.apply(params, audio, method=type(model).featurize)
+    z2 = z1.at[:, -10:].set(0.0)
+    c1 = model.apply(params, z1, method=type(model).aggregate)
+    c2 = model.apply(params, z2, method=type(model).aggregate)
+    np.testing.assert_allclose(
+        np.asarray(c1)[:, :10], np.asarray(c2)[:, :10], atol=1e-5
+    )

@@ -120,9 +120,9 @@ def test_mha_incremental_cache_matches_full():
     params = mha.init(jax.random.PRNGKey(0), x)
     full, _ = mha.apply(params, x, causal=True)
 
-    cache = {
-        "k": jnp.zeros((B, T, h, d // h), jnp.float32),
-        "v": jnp.zeros((B, T, h, d // h), jnp.float32),
+    cache = {  # time-major, batch-minor decode cache layout
+        "k": jnp.zeros((T, h, d // h, B), jnp.float32),
+        "v": jnp.zeros((T, h, d // h, B), jnp.float32),
     }
     outs = []
     for t in range(T):
@@ -174,9 +174,9 @@ def test_decoder_layer_cache_matches_full():
     full, _ = layer.apply(params, x, enc)
 
     ekv = layer.apply(params, enc, method=TransformerDecoderLayer.compute_encoder_kv)
-    cache = {
-        "k": jnp.zeros((B, T, h, d // h), jnp.float32),
-        "v": jnp.zeros((B, T, h, d // h), jnp.float32),
+    cache = {  # time-major, batch-minor decode cache layout
+        "k": jnp.zeros((T, h, d // h, B), jnp.float32),
+        "v": jnp.zeros((T, h, d // h, B), jnp.float32),
     }
     outs = []
     for t in range(T):
