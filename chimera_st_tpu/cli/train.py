@@ -258,9 +258,15 @@ def init_params_for_task(model, task, args):
         )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
+    from ..models.multilingual_transformer import MultilingualTransformer
     from ..models.nat_levenshtein import LevenshteinTransformer
     from ..models.transformer_mt import TransformerLM, TransformerModel
 
+    if isinstance(model, MultilingualTransformer):
+        return model.init(
+            jax.random.PRNGKey(seed), src, prev,
+            method=MultilingualTransformer.init_everything,
+        )
     if isinstance(model, LevenshteinTransformer):
         return model.init(jax.random.PRNGKey(seed), src, prev, prev, prev)
     if isinstance(model, TransformerLM):
