@@ -1,0 +1,108 @@
+"""CTC prefix beam search + ARPA n-gram LM fusion (VERDICT r1 weak #7;
+reference: fairseq/criterions/ctc_chi.py W2lKenLMDecoder path)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from chimera_st_tpu.criterions.ctc import ctc_greedy_decode
+from chimera_st_tpu.generation.ctc_decoder import ArpaLM, ctc_beam_search
+
+BLANK = 0
+
+
+def _logp(rows):
+    rows = np.asarray(rows, np.float64)
+    rows = rows / rows.sum(-1, keepdims=True)
+    return np.log(rows + 1e-12)
+
+
+def test_beam_matches_greedy_on_peaked_input():
+    # unambiguous frames: beam-1 and greedy agree
+    lp = _logp([
+        [0.01, 0.01, 0.9, 0.08],
+        [0.9, 0.04, 0.03, 0.03],
+        [0.02, 0.02, 0.06, 0.9],
+        [0.02, 0.02, 0.06, 0.9],
+        [0.9, 0.04, 0.03, 0.03],
+    ])
+    hyp = ctc_beam_search(lp, beam_size=4, blank=BLANK)[0][0]
+    assert hyp == ctc_greedy_decode(lp, BLANK) == [2, 3]
+
+
+def test_beam_beats_greedy_on_path_merging():
+    """Classic CTC case: the best LABEL sums over many alignments while
+    greedy follows per-frame argmax."""
+    lp = _logp([
+        [0.4, 0.35, 0.25, 0.0],   # greedy: blank
+        [0.4, 0.35, 0.25, 0.0],
+    ])
+    # greedy picks blank,blank -> empty; beam sums alignments of "1":
+    # p(1) = p(1,1)+p(1,-)+p(-,1) = .1225+.14+.14 = .4025 > p(empty)=.16
+    greedy = ctc_greedy_decode(lp, BLANK)
+    beam = ctc_beam_search(lp, beam_size=8, blank=BLANK)[0][0]
+    assert greedy == []
+    assert beam == [1]
+
+
+def test_repeated_symbol_needs_blank():
+    lp = _logp([
+        [0.05, 0.9, 0.05, 0.0],
+        [0.9, 0.05, 0.05, 0.0],
+        [0.05, 0.9, 0.05, 0.0],
+    ])
+    beam = ctc_beam_search(lp, beam_size=8, blank=BLANK)[0][0]
+    assert beam == [1, 1]  # blank between repeats keeps both
+
+
+def _write_arpa(path):
+    # log10 probabilities; favors token 'b' after 'a'
+    path.write_text(
+        "\\data\\\n"
+        "ngram 1=4\n"
+        "ngram 2=2\n"
+        "\n"
+        "\\1-grams:\n"
+        "-0.60\t<unk>\t0.0\n"
+        "-0.60\ta\t-0.30\n"
+        "-0.90\tb\t-0.30\n"
+        "-0.90\tc\t-0.30\n"
+        "\n"
+        "\\2-grams:\n"
+        "-0.10\ta b\n"
+        "-1.50\ta c\n"
+        "\n"
+        "\\end\\\n"
+    )
+
+
+def test_arpa_lm_scores(tmp_path):
+    f = tmp_path / "lm.arpa"
+    _write_arpa(f)
+    lm = ArpaLM(str(f))
+    ln10 = math.log(10)
+    assert lm.score([], "a") == pytest.approx(-0.60 * ln10)
+    assert lm.score(["a"], "b") == pytest.approx(-0.10 * ln10)
+    # backoff: p(c|b) = backoff(b) + p(c)
+    assert lm.score(["b"], "c") == pytest.approx((-0.30 - 0.90) * ln10)
+    # unknown token -> <unk>
+    assert lm.score([], "zzz") == pytest.approx(-0.60 * ln10)
+
+
+def test_lm_fusion_changes_ranking(tmp_path):
+    f = tmp_path / "lm.arpa"
+    _write_arpa(f)
+    lm = ArpaLM(str(f))
+    # acoustics slightly prefer c after a; LM strongly prefers b
+    lp = _logp([
+        [0.05, 0.85, 0.05, 0.05],   # 'a' (id 1 -> name 'a')
+        [0.10, 0.05, 0.40, 0.45],   # c (id 3) edges b (id 2)
+    ])
+    names = ["<blank>", "a", "b", "c"]
+    no_lm = ctc_beam_search(lp, beam_size=8, blank=BLANK)[0][0]
+    with_lm = ctc_beam_search(
+        lp, beam_size=8, blank=BLANK, lm=lm, lm_weight=2.0, token_strings=names
+    )[0][0]
+    assert no_lm == [1, 3]
+    assert with_lm == [1, 2]
