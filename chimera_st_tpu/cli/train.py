@@ -259,6 +259,7 @@ def init_params_for_task(model, task, args):
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
     from ..models.multilingual_transformer import MultilingualTransformer
+    from ..models.nat_insertion import InsertionTransformer
     from ..models.nat_levenshtein import LevenshteinTransformer
     from ..models.transformer_mt import TransformerLM, TransformerModel
 
@@ -267,6 +268,8 @@ def init_params_for_task(model, task, args):
             jax.random.PRNGKey(seed), src, prev,
             method=MultilingualTransformer.init_everything,
         )
+    if isinstance(model, InsertionTransformer):
+        return model.init(jax.random.PRNGKey(seed), src, prev)
     if isinstance(model, LevenshteinTransformer):
         return model.init(jax.random.PRNGKey(seed), src, prev, prev, prev)
     if isinstance(model, TransformerLM):

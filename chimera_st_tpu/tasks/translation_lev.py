@@ -102,6 +102,65 @@ class TranslationLevenshteinTask(TranslationTask):
         batch["del_targets"] = del_labels.astype(np.int32)
         return batch
 
+
+@register_task("translation_ins")
+class TranslationInsertionTask(TranslationLevenshteinTask):
+    """Insertion-transformer variant: adds per-slot (token, weight) targets
+    (reference: fairseq uses translation_lev for the insertion model too;
+    targets per models/nat/insertion_transformer.py _get_ins_targets)."""
+
+    def __init__(self, cfg, src_dict, tgt_dict):
+        super().__init__(cfg, src_dict, tgt_dict)
+        self.max_span = int(cfg.get("insertion_max_span", 8))
+        self.tau = float(cfg.get("insertion_tau", 1.0))
+
+    def collate_indices(self, dataset, idx, target_len=None):
+        batch = super().collate_indices(dataset, idx, target_len)
+        if not batch or "ins_input" not in batch:
+            return batch
+        from ..models.nat_insertion import insertion_slot_targets
+
+        # note: parent clipped ins_targets to its max_ins; recompute raw
+        from ..clib import suggested_edit_ops
+
+        ic, im, _ = suggested_edit_ops(
+            batch["ins_input"], batch["lev_target"], self.tgt_dict.pad()
+        )
+        toks, wts = insertion_slot_targets(
+            batch["ins_input"], batch["lev_target"], ic, im,
+            pad=self.tgt_dict.pad(), max_span=self.max_span, tau=self.tau,
+        )
+        batch["slot_tokens"] = toks
+        batch["slot_weights"] = wts
+        return batch
+
+    def build_generator(self, model, gen_cfg):
+        iterations = getattr(gen_cfg, "iter_decode_max_iter", 8)
+        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
+        pad = self.tgt_dict.pad()
+        eos = self.tgt_dict.eos()
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _refine(params, src_tokens):
+            return model.apply(
+                params, src_tokens,
+                iterations=iterations, max_len=max_len,
+                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
+                method=type(model).refine,
+            )
+
+        class InsertionGenerator:
+            def generate_text(self, params, src_tokens, src_lengths=None):
+                tokens, lengths = _refine(params, src_tokens)
+                out = tokens[:, 1:]
+                lens = jnp.maximum(lengths - 1, 1)
+                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
+
+        return InsertionGenerator()
+
     def build_generator(self, model, gen_cfg):
         iterations = getattr(gen_cfg, "iter_decode_max_iter", 6)
         max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
