@@ -32,6 +32,10 @@ def main(argv=None) -> None:
     options.add_generation_args(p)
     p.add_argument("--buffer-size", type=int, default=1)
     p.add_argument("--input", default="-")
+    p.add_argument("--constraints", nargs="?", const="ordered", default=None,
+                   help="lexically constrained decoding (text tasks): input "
+                        "lines are 'source\\tphrase1\\tphrase2...' (reference: "
+                        "fairseq-interactive --constraints)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s | %(message)s")
@@ -80,15 +84,43 @@ def main(argv=None) -> None:
             )
         else:
             # text task: lines are source sentences (reference:
-            # interactive.py for --task translation)
+            # interactive.py for --task translation); with --constraints,
+            # tab-separated constraint phrases follow the source
             from ..data.batching import collate_tokens
 
             src_dict = task.source_dictionary
+            constraints = None
+            if args.constraints:
+                split = [l.split("\t") for l in lines]
+                lines = [s[0] for s in split]
+                constraints = [
+                    [
+                        [int(t) for t in tgt_dict.encode_line(p, append_eos=False)]
+                        for p in s[1:]
+                    ]
+                    for s in split
+                ]
             encoded = [src_dict.encode_line(l) for l in lines]
             T = ((max(len(e) for e in encoded) + 15) // 16) * 16
             src = collate_tokens(encoded, src_dict.pad(), target_len=T)
             lengths = np.asarray([len(e) for e in encoded], np.int32)
-            tokens, scores, lens = generator.generate_text(
+            gen = generator
+            if constraints is not None and any(any(c) for c in constraints):
+                from ..generation.generator import SequenceGenerator
+                from ..generation.search_strategies import (
+                    LexicallyConstrainedSearch,
+                    pack_constraints,
+                )
+
+                packed = pack_constraints(constraints, pad=tgt_dict.pad())
+                gen = SequenceGenerator(
+                    model, generator.s,
+                    pad=tgt_dict.pad(), eos=tgt_dict.eos(), unk=tgt_dict.unk(),
+                    strategy=LexicallyConstrainedSearch(
+                        packed, pad=tgt_dict.pad(), eos=tgt_dict.eos()
+                    ),
+                )
+            tokens, scores, lens = gen.generate_text(
                 params, jnp.asarray(src), src_lengths=jnp.asarray(lengths)
             )
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
