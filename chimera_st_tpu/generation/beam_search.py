@@ -129,6 +129,16 @@ def _gather_flat_beams(tree, indices, B, src_k):
     return jax.tree_util.tree_map(gather, tree)
 
 
+def _default_top2k(alive_scores, logprobs, B, K, V):
+    """Flat top-2K over [B, K*V]: measured 3.5x faster than the two-stage
+    per-beam shortlist on TPU at B=16 (0.56 vs 1.95 ms/step); module-level so
+    benchmarks can A/B alternatives."""
+    cand_scores = alive_scores[:, :, None] + logprobs  # [B, K, V]
+    flat = cand_scores.reshape(B, K * V)
+    topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
+    return topk_scores, topk_idx // V, topk_idx % V
+
+
 def beam_search(
     step_fn: Callable,  # (tokens [B*K, 1], index, caches) -> (logprobs [B*K, V] fp32, caches)
     init_caches: Any,  # pytree, leading dim B*K
@@ -148,6 +158,7 @@ def beam_search(
     diverse_beam_groups: int = 0,  # >1: diverse beam search
     diverse_beam_strength: float = 0.5,
     strategy=None,  # SearchStrategy hook (constrained/diverse-siblings/...)
+    cache_segment: int = 0,  # >0: grow KV caches in segments of this length
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -311,13 +322,9 @@ def beam_search(
             topk_beam = jnp.concatenate([p[1] for p in parts], axis=1)
             topk_tok = jnp.concatenate([p[2] for p in parts], axis=1)
         else:
-            # flat top-2K over [B, K*V]: measured 3.5x faster than the
-            # two-stage per-beam shortlist on TPU (0.56 vs 1.95 ms/step)
-            cand_scores = state.alive_scores[:, :, None] + logprobs  # [B, K, V]
-            flat = cand_scores.reshape(B, K * V)
-            topk_scores, topk_idx = jax.lax.top_k(flat, 2 * K)  # [B, 2K]
-            topk_beam = topk_idx // V
-            topk_tok = topk_idx % V
+            topk_scores, topk_beam, topk_tok = _default_top2k(
+                state.alive_scores, logprobs, B, K, V
+            )
 
         # gather candidate sequences and write the new token
         cand_seq = _gather_beams(state.alive_seq, topk_beam)
@@ -393,7 +400,32 @@ def beam_search(
             search_state=new_search_state,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if cache_segment and cache_segment < max_len:
+        # segmented decode: the KV caches (time-major leaves, axis 0) start
+        # at cache_segment positions and grow between while_loops, so the
+        # beam-reorder gather and attention reads scale with the CURRENT
+        # decoded length rather than max_len (the average cache traffic over
+        # a full decode drops ~40% with 4 segments). Each segment traces its
+        # own program (shapes differ); a finished state exits later segments
+        # immediately through the shared cond.
+        seg_ends = list(range(cache_segment, max_len, cache_segment)) + [max_len]
+        state = init
+        for si, seg_end in enumerate(seg_ends):
+            seg_cond = lambda s, e=seg_end: cond(s) & (s.cur_index < e)
+            state = jax.lax.while_loop(seg_cond, body, state)
+            if si + 1 < len(seg_ends):
+                grow = seg_ends[si + 1] - seg_end
+                state = state._replace(
+                    caches=jax.tree_util.tree_map(
+                        lambda x: jnp.pad(
+                            x, [(0, grow)] + [(0, 0)] * (x.ndim - 1)
+                        ),
+                        state.caches,
+                    )
+                )
+        final = state
+    else:
+        final = jax.lax.while_loop(cond, body, init)
 
     # fall back to alive hypos for sentences with no finished hypo (hit max_len
     # without eos — can only happen if eos was never forced; defensive)

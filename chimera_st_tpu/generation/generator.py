@@ -44,6 +44,9 @@ class GeneratorSettings:
     sampling: bool = False
     sampling_topk: int = -1
     sampling_topp: float = -1.0
+    # KV caches grow in segments of this many positions (0 = preallocate
+    # max_decode_len); cuts reorder/attention traffic for short hypotheses
+    cache_segment: int = 16
 
 
 class SequenceGenerator:
@@ -118,8 +121,11 @@ class SequenceGenerator:
 
         head_dim = c.decoder_embed_dim // c.decoder_heads
         # time-major cache, beam dim minor (layout rationale: layers.py
-        # MultiheadAttention cached branch)
-        kv_shape = (max_len + 1, c.decoder_heads, head_dim, B * K)
+        # MultiheadAttention cached branch); segmented decode starts with the
+        # first segment's length and grows between while_loops
+        seg = self.s.cache_segment
+        init_len = seg if (seg and seg < max_len and not self.s.sampling) else max_len + 1
+        kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
         init_caches = [
             {
                 "k": jnp.zeros(kv_shape, self.model.dtype),
@@ -180,6 +186,7 @@ class SequenceGenerator:
             diverse_beam_groups=self.s.diverse_beam_groups,
             diverse_beam_strength=self.s.diverse_beam_strength,
             strategy=self.strategy,
+            cache_segment=self.s.cache_segment,
         )
 
     # ----------------------------------------------------------- public API

@@ -103,6 +103,36 @@ class TranslationLevenshteinTask(TranslationTask):
         return batch
 
 
+    def build_generator(self, model, gen_cfg):
+        iterations = getattr(gen_cfg, "iter_decode_max_iter", 6)
+        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
+        pad = self.tgt_dict.pad()
+        eos = self.tgt_dict.eos()
+
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _refine(params, src_tokens):
+            return model.apply(
+                params, src_tokens,
+                iterations=iterations, max_len=max_len,
+                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
+                method=type(model).refine,
+            )
+
+        class RefinementGenerator:
+            """generate_text API adapter (K=1 'beam')."""
+
+            def generate_text(self, params, src_tokens, src_lengths=None):
+                tokens, lengths = _refine(params, src_tokens)
+                # strip the bos anchor; report generated length (incl. eos)
+                out = tokens[:, 1:]
+                lens = jnp.maximum(lengths - 1, 1)
+                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
+
+        return RefinementGenerator()
+
 @register_task("translation_ins")
 class TranslationInsertionTask(TranslationLevenshteinTask):
     """Insertion-transformer variant: adds per-slot (token, weight) targets
@@ -161,32 +191,3 @@ class TranslationInsertionTask(TranslationLevenshteinTask):
 
         return InsertionGenerator()
 
-    def build_generator(self, model, gen_cfg):
-        iterations = getattr(gen_cfg, "iter_decode_max_iter", 6)
-        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
-        pad = self.tgt_dict.pad()
-        eos = self.tgt_dict.eos()
-
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _refine(params, src_tokens):
-            return model.apply(
-                params, src_tokens,
-                iterations=iterations, max_len=max_len,
-                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
-                method=type(model).refine,
-            )
-
-        class RefinementGenerator:
-            """generate_text API adapter (K=1 'beam')."""
-
-            def generate_text(self, params, src_tokens, src_lengths=None):
-                tokens, lengths = _refine(params, src_tokens)
-                # strip the bos anchor; report generated length (incl. eos)
-                out = tokens[:, 1:]
-                lens = jnp.maximum(lengths - 1, 1)
-                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
-
-        return RefinementGenerator()
