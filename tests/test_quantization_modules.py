@@ -132,3 +132,60 @@ def test_sparse_attention_mask():
     assert m[40, 14] == 0.0
     # causal: future banned even inside the window
     assert m[5, 10] < 0
+
+
+def test_sentence_prediction_criterion():
+    import chimera_st_tpu.criterions  # noqa: F401
+    from chimera_st_tpu.config.registry import CRITERIONS
+    from chimera_st_tpu.models import build_model_from_arch
+
+    cfg = {"src_vocab_size": 20, "tgt_vocab_size": 20,
+           "encoder_embed_dim": 16, "encoder_ffn_dim": 32,
+           "encoder_layers": 1, "encoder_heads": 2,
+           "decoder_embed_dim": 16, "decoder_ffn_dim": 32,
+           "decoder_layers": 1, "decoder_heads": 2, "num_classes": 3}
+    model = build_model_from_arch("bart_base", cfg)
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.integers(4, 20, size=(4, 6)), jnp.int32)
+    prev = jnp.asarray(rng.integers(4, 20, size=(4, 5)), jnp.int32).at[:, -1].set(2)
+    params = model.init(jax.random.PRNGKey(0), src, prev,
+                        method=type(model).classify)
+    batch = {"src_tokens": src, "prev_output_tokens": prev,
+             "target_labels": jnp.asarray([0, 1, 2, 1]), "ntokens": 4.0}
+    crit = CRITERIONS.get("sentence_prediction")({})
+    loss, ss, lg = crit(model, params, batch, train=False)
+    assert np.isfinite(float(loss)) and float(ss) == 4.0
+    assert 0 <= float(lg["ncorrect"]) <= 4
+
+
+def test_composite_loss():
+    import chimera_st_tpu.criterions  # noqa: F401
+    from chimera_st_tpu.config.registry import CRITERIONS
+    from chimera_st_tpu.models import build_model_from_arch
+
+    cfg = {"src_vocab_size": 20, "tgt_vocab_size": 20,
+           "encoder_embed_dim": 16, "encoder_ffn_dim": 32,
+           "encoder_layers": 1, "encoder_heads": 2,
+           "decoder_embed_dim": 16, "decoder_ffn_dim": 32,
+           "decoder_layers": 1, "decoder_heads": 2}
+    model = build_model_from_arch("transformer_iwslt_de_en", cfg)
+    rng = np.random.default_rng(8)
+    src = jnp.asarray(rng.integers(4, 20, size=(2, 6)), jnp.int32)
+    prev = jnp.asarray(rng.integers(4, 20, size=(2, 5)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(4, 20, size=(2, 5)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, prev)
+    batch = {"src_tokens": src, "prev_output_tokens": prev, "target": tgt,
+             "ntokens": 10.0}
+    comp = CRITERIONS.get("composite_loss")({
+        "padding_idx": 1,
+        "underlying": [
+            {"_name": "cross_entropy", "weight": 1.0},
+            {"_name": "label_smoothed_cross_entropy", "weight": 0.5,
+             "label_smoothing": 0.1},
+        ],
+    })
+    loss, ss, lg = comp(model, params, batch, train=False)
+    single = CRITERIONS.get("cross_entropy")({"padding_idx": 1})(
+        model, params, batch, train=False)[0]
+    assert float(loss) > float(single)  # weighted sum exceeds one part
+    assert "sub0_loss" in lg and "sub1_loss" in lg
