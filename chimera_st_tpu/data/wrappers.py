@@ -122,3 +122,122 @@ class ResamplingDataset:
 
     def __getattr__(self, name):
         return getattr(self.__dict__["dataset"], name)
+
+
+class _TokenWrapper:
+    """Base for token-level wrappers over datasets whose items are 1-D token
+    arrays or dicts with 'source'/'target' arrays."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def collater(self, samples, **kwargs):
+        return self.dataset.collater(samples, **kwargs)
+
+    def set_epoch(self, epoch):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def __getattr__(self, name):
+        return getattr(self.__dict__["dataset"], name)
+
+
+class AppendTokenDataset(_TokenWrapper):
+    """Append a token to every item (reference:
+    fairseq/data/append_token_dataset.py)."""
+
+    def __init__(self, dataset, token: int):
+        super().__init__(dataset)
+        self.token = int(token)
+
+    def __getitem__(self, i):
+        item = self.dataset[int(i)]
+        return np.concatenate([item, [self.token]]).astype(item.dtype)
+
+    def num_tokens(self, i):
+        return self.dataset.num_tokens(int(i)) + 1
+
+
+class PrependTokenDataset(_TokenWrapper):
+    """Prepend a token (reference: fairseq/data/prepend_token_dataset.py)."""
+
+    def __init__(self, dataset, token: int):
+        super().__init__(dataset)
+        self.token = int(token)
+
+    def __getitem__(self, i):
+        item = self.dataset[int(i)]
+        return np.concatenate([[self.token], item]).astype(item.dtype)
+
+    def num_tokens(self, i):
+        return self.dataset.num_tokens(int(i)) + 1
+
+
+class TruncateDataset(_TokenWrapper):
+    """Truncate items to a maximum length (reference:
+    fairseq/data/truncate_dataset.py)."""
+
+    def __init__(self, dataset, max_len: int):
+        super().__init__(dataset)
+        self.max_len = int(max_len)
+
+    def __getitem__(self, i):
+        return self.dataset[int(i)][: self.max_len]
+
+    def num_tokens(self, i):
+        return min(self.dataset.num_tokens(int(i)), self.max_len)
+
+
+class SubsampleDataset(_TokenWrapper):
+    """Deterministic fractional subsample (reference:
+    fairseq/data/subsample_dataset.py)."""
+
+    def __init__(self, dataset, size_ratio: float, seed: int = 0):
+        super().__init__(dataset)
+        assert 0.0 < size_ratio <= 1.0
+        n = max(int(len(dataset) * size_ratio), 1)
+        rng = np.random.default_rng(seed)
+        self.indices = np.sort(rng.choice(len(dataset), n, replace=False))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[int(i)])]
+
+    def num_tokens(self, i):
+        return self.dataset.num_tokens(int(self.indices[int(i)]))
+
+
+class BacktranslationDataset:
+    """Monolingual target-side dataset whose SOURCES are synthesized at
+    collate time by a caller-provided backtranslation function
+    (reference: fairseq/data/backtranslation_dataset.py — there the tgt->src
+    model runs inside the collater too; here ``backtranslate_fn`` receives
+    the list of target token arrays and returns source token arrays, so any
+    jitted generator composes)."""
+
+    def __init__(self, tgt_dataset, backtranslate_fn, output_collater):
+        self.tgt_dataset = tgt_dataset
+        self.backtranslate_fn = backtranslate_fn
+        self.output_collater = output_collater
+
+    def __len__(self):
+        return len(self.tgt_dataset)
+
+    def __getitem__(self, i):
+        return self.tgt_dataset[int(i)]
+
+    def num_tokens(self, i):
+        return self.tgt_dataset.num_tokens(int(i))
+
+    def collater(self, samples, **kwargs):
+        sources = self.backtranslate_fn(samples)
+        pairs = [
+            {"source": np.asarray(s), "target": np.asarray(t)}
+            for s, t in zip(sources, samples)
+        ]
+        return self.output_collater(pairs, **kwargs)

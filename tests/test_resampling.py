@@ -156,3 +156,50 @@ def test_iterator_repacks_batches_per_epoch(tmp_path):
         assert batch["audio"].ndim == 2
         count += 1
     assert count == len(itr)
+
+
+def test_token_wrappers():
+    from chimera_st_tpu.data.wrappers import (
+        AppendTokenDataset,
+        BacktranslationDataset,
+        PrependTokenDataset,
+        SubsampleDataset,
+        TruncateDataset,
+    )
+
+    class Toks:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[int(i)]
+
+        def num_tokens(self, i):
+            return len(self.items[int(i)])
+
+        def collater(self, samples, **kw):
+            return samples
+
+    base = Toks([np.arange(4, 9, dtype=np.int32), np.arange(4, 6, dtype=np.int32)])
+    ap = AppendTokenDataset(base, 2)
+    np.testing.assert_array_equal(ap[0], [4, 5, 6, 7, 8, 2])
+    assert ap.num_tokens(0) == 6
+    pre = PrependTokenDataset(base, 0)
+    np.testing.assert_array_equal(pre[1], [0, 4, 5])
+    tr = TruncateDataset(base, 3)
+    np.testing.assert_array_equal(tr[0], [4, 5, 6])
+    assert tr.num_tokens(0) == 3
+    sub = SubsampleDataset(Toks([np.arange(i + 1) for i in range(10)]), 0.5, seed=1)
+    assert len(sub) == 5
+    assert all(len(sub[i]) == sub.num_tokens(i) for i in range(5))
+
+    def bt_fn(targets):
+        return [t[::-1].copy() for t in targets]
+
+    bt = BacktranslationDataset(base, bt_fn, lambda pairs, **kw: pairs)
+    batch = bt.collater([bt[0], bt[1]])
+    np.testing.assert_array_equal(batch[0]["source"], [8, 7, 6, 5, 4])
+    np.testing.assert_array_equal(batch[0]["target"], [4, 5, 6, 7, 8])
