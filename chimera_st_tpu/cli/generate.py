@@ -179,6 +179,38 @@ def main(argv=None) -> None:
                 src_lengths=jnp.asarray(batch["src_lengths"]),
             )
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
+        alignments = None
+        if getattr(args, "print_alignment", False):
+            # teacher-force the best hypothesis and argmax the last layer's
+            # head-averaged cross-attention per target position (reference:
+            # SequenceGeneratorWithAlignment, sequence_generator.py:906)
+            if "audio" in batch:
+                enc, enc_mask = model.apply(
+                    params, jnp.asarray(batch["audio"]),
+                    jnp.asarray(batch["audio_padding_mask"]),
+                    method=type(model).encode_audio,
+                )
+            else:
+                enc, enc_mask = model.apply(
+                    params, jnp.asarray(batch["src_tokens"]),
+                    method=type(model).encode_text,
+                )
+            eos_tok = tgt_dict.eos()
+            prev_tokens = np.concatenate(
+                [np.full((tokens.shape[0], 1), eos_tok, np.int32),
+                 tokens[:, 0, :-1]], axis=1,
+            )
+            try:
+                attn = model.apply(
+                    params, jnp.asarray(prev_tokens), enc, enc_mask,
+                    method=lambda m, t, e, em: m.decoder.cross_attention_weights(
+                        t, e, em
+                    ),
+                )
+                alignments = np.argmax(np.asarray(attn), axis=-1)  # [B, L]
+            except Exception as e:  # models without a standard decoder
+                logger.warning(f"--print-alignment unsupported here: {e}")
+                alignments = None
         for b in range(tokens.shape[0]):
             sid = int(ids[b])
             target = batch.get("target")
@@ -203,6 +235,11 @@ def main(argv=None) -> None:
                     print(f"H-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"D-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"P-{sid}\t{scores[b, k]:.4f}", file=out)
+                    if alignments is not None and k == 0:
+                        pairs = " ".join(
+                            f"{int(alignments[b, t])}-{t}" for t in range(L)
+                        )
+                        print(f"A-{sid}\t{pairs}", file=out)
                 if k == 0 and ref_str is not None:
                     if hasattr(scorer, "add_string"):
                         scorer.add_string(ref_str, hyp_str)

@@ -119,6 +119,10 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling-topk", type=int, default=-1)
     p.add_argument("--sampling-topp", type=float, default=-1.0)
+    p.add_argument("--print-alignment", action="store_true",
+                   help="emit A- lines: per-target-token source argmax of the "
+                        "last decoder layer's head-averaged cross-attention "
+                        "(reference: SequenceGeneratorWithAlignment)")
     p.add_argument("--remove-bpe", "--post-process", dest="remove_bpe",
                    nargs="?", const="subword_nmt", default=None)
     p.add_argument("--scoring", default="sacrebleu")

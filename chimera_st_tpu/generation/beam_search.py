@@ -112,18 +112,25 @@ def _gather_flat_beams(tree, indices, B, src_k):
     # batched einsums was measured SLOWER end-to-end (743 ms vs 397 ms decode
     # at B=64) despite ~8x fewer FLOPs — narrow (<=256-wide) batched matmul
     # tiles lose to one dense MXU matmul. Keep the dense form.
+    # one shared one-hot per call (building it inside the per-leaf closure
+    # cost a measured ~0.3 ms/step of redundant broadcasts at B=64)
+    onehot_minor = jax.nn.one_hot(flat_src, B * src_k, axis=0, dtype=jnp.bfloat16)
+    onehot_major = onehot_minor.T
+
     def gather(x):
         if x.ndim >= 1 and x.shape[-1] == B * src_k and (
             x.ndim == 1 or x.shape[0] != B * src_k
         ):
             # beam-minor leaf: out[..., i] = x[..., flat_src[i]]
-            onehot = jax.nn.one_hot(flat_src, B * src_k, axis=0, dtype=x.dtype)
             n = x.reshape(-1, B * src_k)
-            g = jnp.matmul(n, onehot, preferred_element_type=x.dtype)
+            g = jnp.matmul(
+                n, onehot_minor.astype(x.dtype), preferred_element_type=x.dtype
+            )
             return g.reshape(x.shape[:-1] + (B * out_k,))
-        onehot = jax.nn.one_hot(flat_src, B * src_k, dtype=x.dtype)
         n = x.reshape(B * src_k, -1)
-        g = jnp.matmul(onehot, n, preferred_element_type=x.dtype)
+        g = jnp.matmul(
+            onehot_major.astype(x.dtype), n, preferred_element_type=x.dtype
+        )
         return g.reshape((B * out_k,) + x.shape[1:])
 
     return jax.tree_util.tree_map(gather, tree)

@@ -253,6 +253,24 @@ class MultiheadAttention(nn.Module):
         out = self.out_proj(out.reshape(B, Tq, self.embed_dim))
         return out, new_cache
 
+    def attention_weights(
+        self,
+        query: jax.Array,  # [B, Tq, C]
+        kv: jax.Array,  # [B, Tk, C]
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Head-averaged attention probabilities [B, Tq, Tk] (reference:
+        MultiheadAttention need_weights=True — used for --print-alignment)."""
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(kv))
+        scale = (self.embed_dim // self.num_heads) ** -0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :], -1e8, logits)
+        return jnp.mean(jax.nn.softmax(logits, axis=-1), axis=1)
+
 
 class TransformerEncoderLayer(nn.Module):
     """Pre/post-LN encoder layer (reference: fairseq/modules/transformer_layer.py:14-150)."""
@@ -481,3 +499,26 @@ class TransformerDecoderLayer(nn.Module):
         if not self.normalize_before:
             x = self.final_layer_norm(x)
         return x, new_cache
+
+    def encoder_attn_weights(
+        self,
+        x: jax.Array,  # [B, T, C] input to this layer
+        encoder_out: jax.Array,
+        encoder_padding_mask: Optional[jax.Array] = None,
+        self_attn_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Head-averaged cross-attention probabilities [B, T, S] of this
+        layer (for --print-alignment; reference: need_weights path)."""
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, _ = self.self_attn(
+            x, key_padding_mask=self_attn_padding_mask, causal=self.causal
+        )
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        q = self.encoder_attn_layer_norm(x) if self.normalize_before else x
+        return self.encoder_attn.attention_weights(
+            q, encoder_out, encoder_padding_mask
+        )

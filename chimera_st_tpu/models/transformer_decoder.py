@@ -150,6 +150,39 @@ class TransformerDecoder(nn.Module):
             return x
         return self._output_layer(x)
 
+    def cross_attention_weights(
+        self,
+        prev_output_tokens: jax.Array,
+        encoder_out: jax.Array,
+        encoder_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """[B, T, S] head-averaged cross-attention of the LAST layer over a
+        teacher-forced pass (reference: SequenceGeneratorWithAlignment,
+        sequence_generator.py:906 — alignments from attention weights)."""
+        pad_mask = prev_output_tokens == self.padding_idx
+        x = self.embed_scale * self.embed_tokens(prev_output_tokens)
+        if self.learned_pos:
+            nonpad = (~pad_mask).astype(jnp.int32)
+            pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + self.padding_idx
+            pos = self.embed_positions(pos_ids)
+        else:
+            pos = positional_embedding_from_mask(
+                pad_mask, self.embed_dim, self.padding_idx
+            )
+        x = x + pos.astype(x.dtype)
+        if self.layernorm_embedding:
+            x = self.layernorm_embedding_mod(x)
+        for layer in self.layers[:-1]:
+            x, _ = layer(
+                x,
+                encoder_out=encoder_out,
+                encoder_padding_mask=encoder_padding_mask,
+                self_attn_padding_mask=pad_mask,
+            )
+        return self.layers[-1].encoder_attn_weights(
+            x, encoder_out, encoder_padding_mask, pad_mask
+        )
+
     # ------------------------------------------------------- incremental API
 
     def init_cache(self, batch: int, max_len: int) -> List[Dict[str, jax.Array]]:

@@ -120,3 +120,28 @@ def test_score_cli(tmp_path, capsys):
     score.main(["-s", str(sys_f), "-r", str(ref_f), "--scoring", "sacrebleu"])
     out = capsys.readouterr().out
     assert "BLEU" in out
+
+
+def test_generate_print_alignment(triplet_dir, tmp_path):
+    """--print-alignment emits A- lines with src-tgt pairs (reference:
+    SequenceGeneratorWithAlignment, fairseq_cli/generate.py A- output)."""
+    import re
+
+    from chimera_st_tpu.cli import generate, train
+
+    save_dir = str(tmp_path / "ckpt")
+    train.main(_train_args(triplet_dir, save_dir, ["--max-update", "2"]))
+    out_dir = tmp_path / "gen"
+    out_dir.mkdir()
+    generate.main([
+        triplet_dir, "--task", "triplet",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--gen-subset", "test", "--beam", "2", "--max-decode-len", "8",
+        "--batch-size", "4", "--dtype", "float32",
+        "--results-path", str(out_dir), "--num-length-buckets", "2",
+        "--print-alignment",
+    ])
+    text = (out_dir / "generate-test.txt").read_text()
+    a_lines = [l for l in text.splitlines() if l.startswith("A-")]
+    assert a_lines, "no A- lines emitted"
+    assert re.match(r"A-\d+\t(\d+-\d+ ?)*$", a_lines[0]), a_lines[0]
