@@ -78,6 +78,7 @@ class BackgroundPrefetcher:
     def __init__(self, iterable, buffer_size: int = 4):
         self._queue: "queue.Queue" = queue.Queue(maxsize=max(buffer_size, 1))
         self._len = len(iterable) if hasattr(iterable, "__len__") else None
+        self._error = None
         self._thread = threading.Thread(
             target=self._worker, args=(iter(iterable),), daemon=True
         )
@@ -87,6 +88,8 @@ class BackgroundPrefetcher:
         try:
             for x in itr:
                 self._queue.put(x)
+        except BaseException as e:  # re-raised on the consumer side
+            self._error = e
         finally:
             self._queue.put(self._SENTINEL)
 
@@ -99,6 +102,8 @@ class BackgroundPrefetcher:
     def __next__(self):
         x = self._queue.get()
         if x is self._SENTINEL:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return x
 
