@@ -29,9 +29,70 @@ def levenshtein(a, b) -> int:
     return prev[-1]
 
 
+class EvaluationTokenizer:
+    """Evaluation-time normalization: sacrebleu tokenization + optional
+    lowercasing / punctuation removal / character tokenization
+    (reference: fairseq/scoring/tokenizer.py EvaluationTokenizer)."""
+
+    SPACE = chr(32)
+    SPACE_ESCAPE = chr(9601)
+
+    def __init__(
+        self,
+        tokenizer_type: str = "13a",
+        lowercase: bool = False,
+        punctuation_removal: bool = False,
+        character_tokenization: bool = False,
+    ):
+        self.lowercase = lowercase
+        self.punctuation_removal = punctuation_removal
+        self.character_tokenization = character_tokenization
+        self._tok = None
+        if tokenizer_type and tokenizer_type != "none":
+            try:
+                from sacrebleu.tokenizers.tokenizer_13a import Tokenizer13a
+                from sacrebleu.tokenizers.tokenizer_intl import TokenizerV14International
+
+                self._tok = {
+                    "13a": Tokenizer13a,
+                    "intl": TokenizerV14International,
+                }.get(tokenizer_type, Tokenizer13a)()
+            except ImportError:  # pragma: no cover
+                self._tok = None
+
+    @classmethod
+    def remove_punctuation(cls, sent: str) -> str:
+        import unicodedata
+
+        return cls.SPACE.join(
+            t for t in sent.split(cls.SPACE)
+            if not all(unicodedata.category(c)[0] == "P" for c in t)
+        )
+
+    def tokenize(self, sent: str) -> str:
+        if self._tok is not None:
+            sent = self._tok(sent)
+        if self.punctuation_removal:
+            sent = self.remove_punctuation(sent)
+        if self.character_tokenization:
+            sent = self.SPACE.join(
+                list(sent.replace(self.SPACE, self.SPACE_ESCAPE))
+            )
+        if self.lowercase:
+            sent = sent.lower()
+        return sent
+
+
 @register_scorer("wer")
 class WerScorer:
     def __init__(self, cfg: Optional[dict] = None, tgt_dict=None):
+        cfg = cfg or {}
+        self.tokenizer = EvaluationTokenizer(
+            tokenizer_type=cfg.get("wer_tokenizer", "none"),
+            lowercase=bool(cfg.get("wer_lowercase", False)),
+            punctuation_removal=bool(cfg.get("wer_remove_punct", False)),
+            character_tokenization=bool(cfg.get("wer_char_level", False)),
+        )
         self.distance = 0
         self.ref_length = 0
 
@@ -40,8 +101,9 @@ class WerScorer:
         self.ref_length = 0
 
     def add_string(self, ref: str, pred: str):
-        ref_words = ref.split()
-        self.distance += levenshtein(ref_words, pred.split())
+        ref_words = self.tokenizer.tokenize(ref).split()
+        pred_words = self.tokenizer.tokenize(pred).split()
+        self.distance += levenshtein(ref_words, pred_words)
         self.ref_length += len(ref_words)
 
     def score(self) -> float:

@@ -106,3 +106,18 @@ def test_lm_fusion_changes_ranking(tmp_path):
     )[0][0]
     assert no_lm == [1, 3]
     assert with_lm == [1, 2]
+
+
+def test_evaluation_tokenizer_and_wer():
+    from chimera_st_tpu.scoring.wer import EvaluationTokenizer, WerScorer
+
+    t = EvaluationTokenizer("13a", lowercase=True, punctuation_removal=True)
+    assert t.tokenize("Hello, World!") == "hello world"
+    tc = EvaluationTokenizer("none", character_tokenization=True)
+    assert tc.tokenize("ab c") == "a b ▁ c"
+    s = WerScorer({"wer_lowercase": True})
+    s.add_string("The Cat", "the cat")
+    assert s.score() == 0.0
+    s2 = WerScorer({})
+    s2.add_string("a b c d", "a x c")
+    assert abs(s2.score() - 50.0) < 1e-6
