@@ -89,3 +89,51 @@ def make_label_smoothed_ce(cfg: dict):
         return loss, sample_size, logging
 
     return criterion
+
+
+@register_criterion("label_smoothed_cross_entropy_with_alignment")
+def make_label_smoothed_ce_with_alignment(cfg: dict):
+    """CE + supervised-attention alignment loss (reference:
+    fairseq/criterions/label_smoothed_cross_entropy_with_alignment.py — NLL of
+    the head-averaged cross-attention probabilities at gold (tgt, src) links,
+    weighted by --alignment-lambda; the transformer_align model surface).
+
+    Batch carries ``alignment_tgt``/``alignment_src`` [B, A] index arrays
+    padded with -1 (host-built from the preprocess --align-suffix data)."""
+    base = make_label_smoothed_ce(cfg)
+    align_lambda = float(cfg.get("alignment_lambda", 0.05))
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        loss, sample_size, logging = base(
+            model, params, batch, rngs=rngs, num_updates=num_updates, train=train
+        )
+        if "alignment_tgt" in batch:
+            enc, enc_mask = model.apply(
+                params, batch["src_tokens"],
+                method=type(model).encode_text,
+            )
+            attn = model.apply(
+                params, batch["prev_output_tokens"], enc, enc_mask,
+                method=lambda m, t, e, em: m.decoder.cross_attention_weights(
+                    t, e, em
+                ),
+            )  # [B, T, S] probabilities
+            at = batch["alignment_tgt"]
+            asrc = batch["alignment_src"]
+            valid = (at >= 0) & (asrc >= 0)
+            p = jnp.take_along_axis(
+                jnp.take_along_axis(
+                    attn, jnp.maximum(at, 0)[:, :, None], axis=1
+                ),
+                jnp.maximum(asrc, 0)[:, :, None, None][..., 0],
+                axis=2,
+            )[..., 0]
+            align_nll = -jnp.log(jnp.clip(p, 1e-9, 1.0))
+            align_loss = jnp.sum(jnp.where(valid, align_nll, 0.0))
+            loss = loss + align_lambda * align_loss
+            logging = dict(logging)
+            logging["alignment_loss"] = align_loss
+            logging["loss"] = loss
+        return loss, sample_size, logging
+
+    return criterion
