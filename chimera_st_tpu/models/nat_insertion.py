@@ -112,9 +112,11 @@ class InsertionTransformer(nn.Module):
         """Parallel insertion decode -> (tokens [B, L], lengths [B])."""
         B = src_tokens.shape[0]
         enc, enc_mask = self.encode(src_tokens)
-        tokens = jnp.full((B, max_len), pad, jnp.int32)
-        tokens = tokens.at[:, 0].set(bos).at[:, 1].set(eos)
-        for _ in range(iterations):
+        init_tokens = jnp.full((B, max_len), pad, jnp.int32)
+        init_tokens = init_tokens.at[:, 0].set(bos).at[:, 1].set(eos)
+
+        def body(state):
+            i, tokens, _ = state
             logits = self.slot_logits(tokens, enc, enc_mask)
             pick = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, L-1]
             do_insert = (pick != pad) & (tokens[:, 1:] != pad)
@@ -130,7 +132,15 @@ class InsertionTransformer(nn.Module):
                 ),
                 new,
             )
-            tokens = filled
+            return i + 1, filled, jnp.any(do_insert)
+
+        def cond(state):
+            i, _, inserted = state
+            return (i < iterations) & inserted  # stop once all slots said pad
+
+        _, tokens, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), init_tokens, jnp.asarray(True))
+        )
         lengths = jnp.sum(tokens != pad, axis=1)
         return tokens, lengths
 

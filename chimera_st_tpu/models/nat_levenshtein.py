@@ -162,20 +162,22 @@ class LevenshteinTransformer(nn.Module):
         """Iterative refinement decode -> (tokens [B, L], lengths [B]).
 
         reference: iterative_refinement_generator.py + the model's
-        forward_decoder (del -> placeholder-ins -> word-fill per round),
-        fixed-iteration here."""
+        forward_decoder (del -> placeholder-ins -> word-fill per round).
+        ADAPTIVE iteration: a `lax.while_loop` exits early once no sentence
+        changed in a round (the reference's terminated-check), bounded by
+        `iterations` — one traced program regardless of the bound."""
         B = src_tokens.shape[0]
         L = max_len
         enc, enc_mask = self.encode(src_tokens)
-        tokens = jnp.full((B, L), pad, jnp.int32)
-        tokens = tokens.at[:, 0].set(bos).at[:, 1].set(eos)
+        init_tokens = jnp.full((B, L), pad, jnp.int32)
+        init_tokens = init_tokens.at[:, 0].set(bos).at[:, 1].set(eos)
 
-        for it in range(iterations):
-            # 1) delete (skip on the first pass: nothing to delete yet)
-            if it > 0:
-                del_logits = self.forward_word_del(tokens, enc, enc_mask)
-                del_pred = jnp.argmax(del_logits, axis=-1) == 1
-                tokens = apply_del_words(tokens, del_pred, pad, bos, eos)
+        def one_round(tokens):
+            # 1) delete (safe on the initial [bos, eos] canvas: bos/eos are
+            # protected and pads stay pad)
+            del_logits = self.forward_word_del(tokens, enc, enc_mask)
+            del_pred = jnp.argmax(del_logits, axis=-1) == 1
+            tokens = apply_del_words(tokens, del_pred, pad, bos, eos)
             # 2) insert placeholders
             ins_logits = self.forward_mask_ins(tokens, enc, enc_mask)
             n_ins = jnp.argmax(ins_logits, axis=-1)
@@ -183,8 +185,20 @@ class LevenshteinTransformer(nn.Module):
             # 3) fill words
             word_logits = self.forward_word_ins(tokens, enc, enc_mask)
             pred = jnp.argmax(word_logits, axis=-1).astype(jnp.int32)
-            tokens = jnp.where(tokens == unk, pred, tokens)
+            return jnp.where(tokens == unk, pred, tokens)
 
+        def cond(state):
+            i, _, changed = state
+            return (i < iterations) & changed
+
+        def body(state):
+            i, tokens, _ = state
+            new = one_round(tokens)
+            return i + 1, new, jnp.any(new != tokens)
+
+        _, tokens, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), init_tokens, jnp.asarray(True))
+        )
         lengths = jnp.sum(tokens != pad, axis=1)
         return tokens, lengths
 

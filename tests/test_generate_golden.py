@@ -174,3 +174,50 @@ def test_generate_cli_matches_oracle(golden, tmp_path):
             got_score, got_str = hyps[b][k]
             assert got_str == exp_str, (b, k, got_str, exp_str)
             assert abs(got_score - exp_score) < 1e-2
+
+
+def test_text_generator_matches_oracle(golden):
+    """Same oracle protocol over the TEXT branch (MT path)."""
+    tref, _, _ = golden
+    rng = np.random.default_rng(21)
+    srcs = [
+        np.concatenate([rng.integers(4, TINY.src_vocab_size, size=int(n)), [2]])
+        for n in rng.integers(3, 7, size=4)
+    ]
+    expected = []
+    with torch.no_grad():
+        for s in srcs:
+            mem = tref.encode_text(torch.tensor(s[None, :]))
+
+            def lp(prefixes):
+                n = prefixes.shape[0]
+                logits = tref.decode(
+                    torch.tensor(prefixes), mem.repeat(n, 1, 1)
+                )[:, -1, :]
+                return torch.log_softmax(logits.double(), -1).numpy()
+
+            expected.append(
+                oracle_beam(lp, BEAM, MAX_LEN, min_len=1, len_penalty=LENPEN)
+            )
+
+    params = {"params": import_interlingua_state_dict(tref.state_dict())}
+    model = ChimeraInterlinguaModel(TINY)
+    gen = SequenceGenerator(
+        model,
+        GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_LEN,
+                          len_penalty=LENPEN, min_len=1),
+    )
+    T = max(len(s) for s in srcs)
+    src = np.full((len(srcs), T), 1, np.int32)
+    for i, s in enumerate(srcs):
+        src[i, : len(s)] = s
+    tokens, scores, lens = map(
+        np.asarray, gen.generate_text(params, jnp.asarray(src))
+    )
+    for b in range(len(srcs)):
+        for k in range(BEAM):
+            exp_toks, exp_score = expected[b][k]
+            L = int(lens[b, k])
+            np.testing.assert_array_equal(tokens[b, k, :L], exp_toks,
+                                          err_msg=f"utt {b} hypo {k}")
+            np.testing.assert_allclose(scores[b, k], exp_score, atol=2e-2)
