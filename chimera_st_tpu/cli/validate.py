@@ -16,6 +16,10 @@ def main(argv=None) -> None:
     p = options.base_parser("chimera-validate")
     options.add_train_args(p)
     p.add_argument("--path", required=True)
+    p.add_argument("--dump-feature-to-file", default=None, metavar="FILE",
+                   help="dump audio/text interlingua memory banks per batch "
+                        "to a pickle (reference: tasks/triplet.py:196-232 "
+                        "valid_step feature dumping)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(asctime)s | %(message)s")
@@ -55,11 +59,26 @@ def main(argv=None) -> None:
         num_length_buckets=args.num_length_buckets,
     ).next_epoch_itr(shuffle=False)
     totals = {}
+    dumped = []
     for batch in itr:
+        ids = batch.get("id")
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "id"}
         logging_out = valid_fn(params, batch)
         for k, v in logging_out.items():
             totals[k] = totals.get(k, 0.0) + float(np.asarray(v))
+        if args.dump_feature_to_file and hasattr(task, "dump_memories"):
+            mem = task.dump_memories(model, params, batch)
+            mem["id"] = np.asarray(ids) if ids is not None else None
+            dumped.append(mem)
+    if args.dump_feature_to_file and dumped:
+        import pickle
+
+        with open(args.dump_feature_to_file, "wb") as f:
+            pickle.dump(dumped, f)
+        logger.info(
+            f"dumped {len(dumped)} batches of memory features to "
+            f"{args.dump_feature_to_file}"
+        )
     ss = max(totals.get("sample_size", 1.0), 1.0)
     stats = {k: v / ss / math.log(2) for k, v in totals.items() if k.endswith("loss")}
     print(" | ".join(f"{k} {v:.4f}" for k, v in sorted(stats.items())))

@@ -145,3 +145,28 @@ def test_generate_print_alignment(triplet_dir, tmp_path):
     a_lines = [l for l in text.splitlines() if l.startswith("A-")]
     assert a_lines, "no A- lines emitted"
     assert re.match(r"A-\d+\t(\d+-\d+ ?)*$", a_lines[0]), a_lines[0]
+
+
+def test_validate_dump_features(triplet_dir, tmp_path):
+    """--dump-feature-to-file writes memory banks (reference: triplet.py
+    valid_step --dump-feature-to-file)."""
+    import pickle
+
+    from chimera_st_tpu.cli import train, validate
+
+    save_dir = str(tmp_path / "ckpt")
+    train.main(_train_args(triplet_dir, save_dir, ["--max-update", "1"]))
+    dump = tmp_path / "mem.pkl"
+    validate.main([
+        triplet_dir, "--task", "triplet",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--criterion", "triplet_st_mt_contrastive",
+        "--valid-subset", "valid", "--batch-size", "4",
+        "--dtype", "float32", "--num-length-buckets", "2",
+        "--dump-feature-to-file", str(dump),
+    ])
+    with open(dump, "rb") as f:
+        batches = pickle.load(f)
+    assert batches and "audio_memory" in batches[0]
+    assert batches[0]["audio_memory"].ndim == 3  # [B, M, C]
+    assert "text_memory" in batches[0]
