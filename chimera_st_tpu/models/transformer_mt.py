@@ -284,6 +284,17 @@ def transformer_big(cfg: Dict) -> Dict:
     return transformer_base(d)
 
 
+@register_model_architecture("transformer", "transformer_align")
+def transformer_align(cfg):
+    """Alignment-supervised MT (reference: fairseq/models/transformer_align.py
+    — a plain transformer trained with
+    label_smoothed_cross_entropy_with_alignment; alignment extraction lives
+    on the decoder, transformer_decoder.py cross_attention_weights)."""
+    from .transformer_mt import transformer_base  # self-module at runtime
+
+    return transformer_base(cfg)
+
+
 @register_model_architecture("transformer_lm", "transformer_lm")
 def transformer_lm_base(cfg: Dict) -> Dict:
     return dict(cfg)
