@@ -307,8 +307,11 @@ def infer_interlingua_config(ckpt_args, tgt_vocab: int, src_vocab: Optional[int]
         share_decoder_input_output_embed=g("share_decoder_input_output_embed", True),
         no_scale_embedding=g("no_scale_embedding", False),
     )
-    # wav2vec2 trunk dims, when present flat on the namespace (the released
-    # checkpoints nest them in w2v_args; tests and re-exports carry them flat)
+    # wav2vec2 trunk dims: flat on the namespace (tests/re-exports), or
+    # nested as the released checkpoints carry them — ckpt["args"].w2v_args is
+    # the wav2vec2 checkpoint's own Namespace (reference:
+    # models/chimera/w2v2_transformer.py:255-282 torchHLoad of w2v_path)
+    import ast
     import dataclasses
 
     extra = {}
@@ -322,4 +325,21 @@ def infer_interlingua_config(ckpt_args, tgt_vocab: int, src_vocab: Optional[int]
         extra["w2v2_conv_spec"] = tuple(
             tuple(int(v) for v in layer) for layer in ckpt_args.w2v2_conv_spec
         )
+    w2v = getattr(ckpt_args, "w2v_args", None)
+    if w2v is not None:
+        wg = lambda name, default: getattr(w2v, name, default)
+        extra.setdefault("w2v2_embed_dim", wg("encoder_embed_dim", 768))
+        extra.setdefault("w2v2_ffn_dim", wg("encoder_ffn_embed_dim", 3072))
+        extra.setdefault("w2v2_layers", wg("encoder_layers", 12))
+        extra.setdefault("w2v2_heads", wg("encoder_attention_heads", 12))
+        extra.setdefault("w2v2_conv_pos", wg("conv_pos", 128))
+        extra.setdefault("w2v2_conv_pos_groups", wg("conv_pos_groups", 16))
+        spec = wg("conv_feature_layers", None)
+        if spec is not None:
+            if isinstance(spec, str):  # "[(512, 10, 5), (512, 3, 2), ...]"
+                spec = ast.literal_eval(spec)
+            extra.setdefault(
+                "w2v2_conv_spec",
+                tuple(tuple(int(v) for v in layer) for layer in spec),
+            )
     return dataclasses.replace(cfg, **extra)

@@ -89,6 +89,9 @@ class Trainer:
         self.refresh_apply()
 
         self._valid_jits: Dict[Any, Callable] = {}
+        # compile-count accounting (reference: trainer.py:679-708
+        # _check_xla_compilation — warn when shape churn forces recompiles)
+        self._seen_shapes: set = set()
 
         def make_valid_fn(task_name: Optional[str]):
             def valid_fn(params, batch):
@@ -142,6 +145,22 @@ class Trainer:
             mb = dict(mb)
             task_name = mb.pop("task_name", None)
             mb = self.to_device(mb)
+            sig = (task_name,) + tuple(
+                (k, getattr(v, "shape", ())) for k, v in sorted(mb.items())
+            )
+            if sig not in self._seen_shapes:
+                self._seen_shapes.add(sig)
+                n = len(self._seen_shapes)
+                if n > 1:
+                    logger.info(
+                        f"new step-shape bucket #{n} at update "
+                        f"{self.num_updates} (compiles a fresh program)"
+                    )
+                if n == 32:
+                    logger.warning(
+                        "32 distinct step-shape buckets compiled — check the "
+                        "length-bucketing config (--num-length-buckets)"
+                    )
             if task_name not in self._grad_jits:
                 self._grad_jits[task_name] = self._make_grad_fn(task_name)
             g, ss, logging = self._grad_jits[task_name](

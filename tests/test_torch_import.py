@@ -111,3 +111,31 @@ def test_infer_config_from_namespace():
     assert cfg.interlingua_length == 64
     assert cfg.encoder_embed_dim == 512
     assert cfg.conv_kernel_sizes == (5, 5)
+
+
+def test_infer_config_nested_w2v_args():
+    """Released checkpoints nest the wav2vec2 config as ckpt['args'].w2v_args
+    (reference: w2v2_transformer.py:255-282)."""
+    from argparse import Namespace
+
+    w2v = Namespace(
+        encoder_embed_dim=48,
+        encoder_ffn_embed_dim=96,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        conv_pos=16,
+        conv_pos_groups=4,
+        conv_feature_layers="[(16, 10, 5), (24, 3, 2)]",
+    )
+    ns = Namespace(
+        encoder_embed_dim=32,
+        encoder_layers=2,
+        interlingua_length=8,
+        w2v_args=w2v,
+    )
+    cfg = infer_interlingua_config(ns, tgt_vocab=100, src_vocab=100)
+    assert cfg.w2v2_embed_dim == 48
+    assert cfg.w2v2_ffn_dim == 96
+    assert cfg.w2v2_layers == 2
+    assert cfg.w2v2_conv_spec == ((16, 10, 5), (24, 3, 2))
+    assert cfg.w2v2_conv_pos == 16
