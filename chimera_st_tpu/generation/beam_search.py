@@ -87,9 +87,14 @@ def _gather_beams(tree, indices):
     return jax.tree_util.tree_map(gather, tree)
 
 
-def _gather_flat_beams(tree, indices, B, src_k):
+def _gather_flat_beams(tree, indices, B, src_k, beam_minor=None):
     """Beam gather for flat cache leaves: [B*K_src, ...] (beam-major) or
     [..., B*K_src] (beam-MINOR, the decode KV-cache layout).
+
+    ``beam_minor`` pins the layout for every leaf; None auto-detects per leaf
+    (ambiguous only when another leaf dim equals B*K_src — generators that
+    own their cache layout pass it explicitly via beam_search's
+    ``beam_minor_caches``).
 
     Implemented as ONE block-diagonal one-hot matmul per leaf:
     take_along_axis lowers to a slow gather on TPU, and per-sentence batched
@@ -118,9 +123,14 @@ def _gather_flat_beams(tree, indices, B, src_k):
     onehot_major = onehot_minor.T
 
     def gather(x):
-        if x.ndim >= 1 and x.shape[-1] == B * src_k and (
-            x.ndim == 1 or x.shape[0] != B * src_k
-        ):
+        is_minor = (
+            beam_minor
+            if beam_minor is not None
+            else x.ndim >= 1
+            and x.shape[-1] == B * src_k
+            and (x.ndim == 1 or x.shape[0] != B * src_k)
+        )
+        if is_minor:
             # beam-minor leaf: out[..., i] = x[..., flat_src[i]]
             n = x.reshape(-1, B * src_k)
             g = jnp.matmul(
@@ -166,6 +176,7 @@ def beam_search(
     diverse_beam_strength: float = 0.5,
     strategy=None,  # SearchStrategy hook (constrained/diverse-siblings/...)
     cache_segment: int = 0,  # >0: grow KV caches in segments of this length
+    beam_minor_caches=None,  # True/False pins the cache layout; None = auto
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -374,7 +385,9 @@ def beam_search(
             new_alive_scores, alive_pick = jax.lax.top_k(alive_rank, K)
         new_alive_seq = _gather_beams(cand_seq, alive_pick)
         picked_beam = jnp.take_along_axis(topk_beam, alive_pick, axis=1)
-        new_kv = _gather_flat_beams(new_caches, picked_beam, B, K)
+        new_kv = _gather_flat_beams(
+            new_caches, picked_beam, B, K, beam_minor=beam_minor_caches
+        )
         new_search_state = (
             strategy.update(state.search_state, topk_beam, topk_tok, alive_pick, i)
             if strategy is not None

@@ -149,6 +149,7 @@ class EnsembleSequenceGenerator:
             unk_penalty=self.s.unk_penalty,
             max_lens=max_lens,
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
+            beam_minor_caches=True,  # [L, H, D, B*K] time-major caches
         )
 
     def _max_lens(self, src_lengths):

@@ -187,6 +187,7 @@ class SequenceGenerator:
             diverse_beam_strength=self.s.diverse_beam_strength,
             strategy=self.strategy,
             cache_segment=self.s.cache_segment,
+            beam_minor_caches=True,  # [L, H, D, B*K] time-major caches
         )
 
     # ----------------------------------------------------------- public API
