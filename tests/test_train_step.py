@@ -194,3 +194,48 @@ def test_train_step_on_mesh(setup):
         state, metrics = step(state, sbatch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_train_step_tp_plus_zero1(setup):
+    """TP (4x2 mesh) composed with ZeRO-1 optimizer-state sharding: two
+    applied updates keep the moment shardings and a finite loss."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chimera_st_tpu.parallel import make_mesh, shard_params
+    from chimera_st_tpu.train.train_step import create_train_state
+
+    model, params, batch = setup
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    crit = CRITERIONS.get("triplet_st_mt_contrastive")(
+        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)}
+    )
+    sched = build_lr_schedule({"_name": "inverse_sqrt", "lr": 1e-3, "warmup_updates": 4})
+    tx = build_optimizer({"_name": "adam"}, sched, clip_norm=1.0)
+
+    sharded_params = shard_params(params, mesh)
+    state = create_train_state(sharded_params, tx, mesh=mesh, zero_sharding="os")
+    opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, state.opt_state)
+    step = make_train_step(
+        model, crit, tx, donate=False, opt_state_shardings=opt_shardings
+    )
+
+    def shard_leaf(x):
+        if getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    sbatch = {k: shard_leaf(v) for k, v in batch.items()}
+    with mesh:
+        state, m1 = step(state, sbatch, jax.random.PRNGKey(0))
+        state, m2 = step(state, sbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
+    assert int(state.step) == 2
+    # moments stay data-sharded after applied updates
+    n_sharded = sum(
+        1
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "sharding")
+        and getattr(leaf.sharding, "spec", None)
+        and any(ax == "data" for ax in leaf.sharding.spec if ax)
+    )
+    assert n_sharded > 0
