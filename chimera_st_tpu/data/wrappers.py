@@ -241,3 +241,30 @@ class BacktranslationDataset:
             for s, t in zip(sources, samples)
         ]
         return self.output_collater(pairs, **kwargs)
+
+
+class LRUCacheDataset(_TokenWrapper):
+    """Cache recent __getitem__ results (reference:
+    fairseq/data/lru_cache_dataset.py — avoids re-decoding expensive items
+    like audio when batches revisit indices)."""
+
+    def __init__(self, dataset, max_size: int = 1024):
+        super().__init__(dataset)
+        from collections import OrderedDict
+
+        self._cache = OrderedDict()
+        self._max = int(max_size)
+
+    def __getitem__(self, i):
+        i = int(i)
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
+        item = self.dataset[i]
+        self._cache[i] = item
+        if len(self._cache) > self._max:
+            self._cache.popitem(last=False)
+        return item
+
+    def num_tokens(self, i):
+        return self.dataset.num_tokens(int(i))

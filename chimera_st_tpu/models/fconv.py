@@ -193,3 +193,79 @@ def fconv_wmt_en_de(cfg: Dict) -> Dict:
     d.setdefault("decoder_layers", ((512, 3),) * 9 + ((1024, 3),) * 4 + ((2048, 1),) * 2)
     d.setdefault("decoder_out_embed_dim", 512)
     return d
+
+
+@dataclass(frozen=True)
+class FConvLMConfig:
+    vocab_size: int = 8
+    padding_idx: int = 1
+    embed_dim: int = 128
+    layers: Tuple[Tuple[int, int], ...] = ((1268, 4),) * 13
+    out_embed_dim: int = 128
+    dropout: float = 0.1
+    max_positions: int = 1024
+
+
+class FConvLM(nn.Module):
+    """Decoder-only convolutional LM (reference: fairseq/models/fconv_lm.py —
+    the fconv decoder stack without attention)."""
+
+    cfg: FConvLMConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.embed = Embed(c.vocab_size, c.embed_dim, padding_idx=c.padding_idx,
+                           name="embed", **common)
+        self.pos = Embed(c.max_positions + c.padding_idx + 1, c.embed_dim,
+                         padding_idx=c.padding_idx, name="pos", **common)
+        self.proj_in = nn.Dense(c.layers[0][0], name="proj_in", **common)
+        self.convs = [
+            GLUConv(ch, k, causal=True, name=f"conv_{i}", **common)
+            for i, (ch, k) in enumerate(c.layers)
+        ]
+        self.proj_out = nn.Dense(c.out_embed_dim, name="proj_out", **common)
+        self.out = nn.Dense(c.vocab_size, name="out", **common)
+        self.dropout_layer = nn.Dropout(c.dropout)
+
+    def __call__(self, tokens, deterministic: bool = True):
+        c = self.cfg
+        nonpad = (tokens != c.padding_idx).astype(jnp.int32)
+        pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + c.padding_idx
+        x = self.embed(tokens) + self.pos(pos_ids)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        x = self.proj_in(x)
+        for conv in self.convs:
+            residual = x
+            x = conv(x)
+            if x.shape[-1] == residual.shape[-1]:
+                x = (x + residual) * SQRT_HALF
+        x = self.proj_out(x)
+        x = self.dropout_layer(x, deterministic=deterministic)
+        return self.out(x).astype(jnp.float32)
+
+
+@register_model("fconv_lm")
+def build_fconv_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    known = {f.name for f in dataclasses.fields(FConvLMConfig)}
+    kw = {k: v for k, v in cfg_dict.items() if k in known}
+    if "layers" in kw and kw["layers"] and not isinstance(kw["layers"][0], tuple):
+        kw["layers"] = tuple(tuple(x) for x in kw["layers"])
+    return FConvLM(FConvLMConfig(**kw), dtype=dtype, param_dtype=param_dtype)
+
+
+@register_model_architecture("fconv_lm", "fconv_lm_dauphin_wikitext103")
+def fconv_lm_wikitext(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 280)
+    d.setdefault("layers", ((850, 6),) * 3 + ((850, 1),) + ((850, 5),) * 4
+                 + ((850, 1),) + ((850, 4),) * 3 + ((1024, 4),) + ((2048, 4),))
+    d.setdefault("out_embed_dim", 280)
+    return d
+
+
+@register_model_architecture("fconv_lm", "fconv_lm")
+def fconv_lm_base(cfg: Dict) -> Dict:
+    return dict(cfg)

@@ -104,3 +104,20 @@ def test_bart_uses_learned_positions():
     names = ["/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat]
     assert any("embed_positions" in n for n in names)
     assert any("layernorm_embedding" in n for n in names)
+
+
+def test_fconv_lm():
+    """Decoder-only conv LM: causal, finite logits, next-token-shaped
+    (reference: fairseq/models/fconv_lm.py)."""
+    model = build_model_from_arch("fconv_lm", {
+        "vocab_size": 20, "embed_dim": 16,
+        "layers": ((16, 3), (16, 3)), "out_embed_dim": 16,
+    })
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(4, 20, size=(2, 7)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    out = np.asarray(model.apply(params, toks))
+    assert out.shape == (2, 7, 20)
+    # causal: perturbing the last token leaves earlier logits unchanged
+    out2 = np.asarray(model.apply(params, toks.at[:, -1].set(5)))
+    np.testing.assert_allclose(out[:, :-1], out2[:, :-1], atol=1e-5)

@@ -203,3 +203,31 @@ def test_token_wrappers():
     batch = bt.collater([bt[0], bt[1]])
     np.testing.assert_array_equal(batch[0]["source"], [8, 7, 6, 5, 4])
     np.testing.assert_array_equal(batch[0]["target"], [4, 5, 6, 7, 8])
+
+
+def test_lru_cache_dataset():
+    from chimera_st_tpu.data.wrappers import LRUCacheDataset
+
+    calls = []
+
+    class Counting:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            calls.append(int(i))
+            return np.arange(int(i) + 1)
+
+        def num_tokens(self, i):
+            return int(i) + 1
+
+        def collater(self, samples, **kw):
+            return samples
+
+    ds = LRUCacheDataset(Counting(), max_size=2)
+    np.testing.assert_array_equal(ds[3], np.arange(4))
+    np.testing.assert_array_equal(ds[3], np.arange(4))
+    assert calls == [3]  # second access cached
+    ds[4], ds[5]  # evicts 3
+    ds[3]
+    assert calls == [3, 4, 5, 3]
