@@ -95,6 +95,26 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--data-buffer-size", type=int, default=4)
     p.add_argument("--ddp-backend", default=None,
                    help="accepted for recipe compat; SPMD mesh is always used")
+    # fine-tune freeze controls (reference: chimera
+    # w2v2_transformer_interlingua.py:106-124; implemented as optimizer
+    # subtree masking, optim/freeze.py)
+    p.add_argument("--fix-wav2vec", action="store_true",
+                   help="freeze the wav2vec2 trunk")
+    p.add_argument("--fix-interlingua", action="store_true",
+                   help="freeze interlingua layers + memory embedding")
+    p.add_argument("--fix-decoder", action="store_true",
+                   help="freeze the whole decoder")
+    p.add_argument("--fix-decoder-transformers", action="store_true",
+                   help="freeze the decoder transformer layers only")
+    p.add_argument("--fix-encoder-transformers", action="store_true",
+                   help="freeze the shared encoder transformer layers")
+    p.add_argument("--reset-encoder", action="store_true",
+                   help="re-init the shared encoder transformer stack after "
+                        "restoring a checkpoint (reference: "
+                        "w2v2_transformer_interlingua.py:191-198)")
+    p.add_argument("--feature-grad-mult", type=float, default=1.0,
+                   help="gradient scale on the wav2vec2 conv extractor "
+                        "(0 = frozen; reference: wav2vec2.py:337)")
     return p
 
 

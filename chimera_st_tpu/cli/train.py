@@ -57,6 +57,8 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" or args.fp16 else jnp.float32
     model_cfg = {"arch": args.arch, **model_overrides}
+    if args.feature_grad_mult != 1.0:
+        model_cfg["feature_grad_mult"] = args.feature_grad_mult
     model = task.build_model(model_cfg, dtype=dtype)
     logger.info(f"model arch {args.arch} ({type(model).__name__})")
 
@@ -88,6 +90,18 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- init params
     params = init_params_for_task(model, task, args)
+    fixes = [f for f in
+             ("fix_wav2vec", "fix_interlingua", "fix_decoder",
+              "fix_decoder_transformers", "fix_encoder_transformers")
+             if getattr(args, f, False)]
+    if fixes:
+        from ..optim.freeze import frozen_fraction, wrap_freeze
+
+        tx = wrap_freeze(tx, params, fixes)
+        logger.info(
+            f"freezing {', '.join(fixes)} "
+            f"({frozen_fraction(params, fixes):.1%} of parameters)"
+        )
     devices = jax.devices()
     if args.distributed_world_size > 0:
         devices = devices[: args.distributed_world_size]
@@ -136,7 +150,16 @@ def main(argv=None) -> None:
     epoch = 1
     restore = ckpt_mgr.save_dir / args.restore_file
     if restore.is_file():
+        fresh_params = trainer.state.params
         state, extra = load_state(str(restore), trainer.state)
+        if args.reset_encoder:
+            from ..optim.freeze import reset_encoder_subtrees
+
+            logger.info("--reset-encoder: re-initializing the shared encoder "
+                        "transformer stack")
+            state = state._replace(
+                params=reset_encoder_subtrees(state.params, fresh_params)
+            )
         if not args.reset_optimizer:
             trainer.state = state
         else:
@@ -258,11 +281,17 @@ def init_params_for_task(model, task, args):
         )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
+    from ..models.bart import BARTModel
     from ..models.multilingual_transformer import MultilingualTransformer
     from ..models.nat_insertion import InsertionTransformer
     from ..models.nat_levenshtein import LevenshteinTransformer
     from ..models.transformer_mt import TransformerLM, TransformerModel
 
+    if isinstance(model, BARTModel):
+        return model.init(
+            jax.random.PRNGKey(seed), src, prev,
+            method=BARTModel.init_everything,
+        )
     if isinstance(model, MultilingualTransformer):
         return model.init(
             jax.random.PRNGKey(seed), src, prev,

@@ -53,6 +53,43 @@ def make_sentence_prediction(cfg: Dict):
     return criterion
 
 
+@register_criterion("sentence_ranking")
+def make_sentence_ranking(cfg: Dict):
+    """Rank candidates by their 1-logit classification scores
+    (reference: criterions/sentence_ranking.py — CE over per-candidate
+    scores; the score head is the model's num_classes=1 classification
+    head, one forward per candidate, candidate count static)."""
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        cands = batch["candidate_tokens"]  # [B, N, T]
+        N = cands.shape[1]
+        scores = []
+        for n in range(N):
+            toks = cands[:, n]
+            logits = model.apply(
+                params, toks, toks,
+                deterministic=not train, rngs=rngs,
+                method=type(model).classify,
+            )  # [B, 1]
+            scores.append(logits[:, 0])
+        scores = jnp.stack(scores, axis=1)  # [B, N]
+        targets = batch["target_labels"]
+        lp = jax.nn.log_softmax(scores, axis=-1)
+        loss = -jnp.sum(jnp.take_along_axis(lp, targets[:, None], axis=-1))
+        ncorrect = jnp.sum((jnp.argmax(scores, -1) == targets).astype(jnp.float32))
+        sample_size = jnp.asarray(targets.shape[0], jnp.float32)
+        return loss, sample_size, {
+            "loss": loss,
+            "nll_loss": loss,
+            "ncorrect": ncorrect,
+            "ntokens": batch.get("ntokens", sample_size),
+            "nsentences": targets.shape[0],
+            "sample_size": sample_size,
+        }
+
+    return criterion
+
+
 @register_criterion("composite_loss")
 def make_composite_loss(cfg: Dict):
     """Weighted sum of sub-criterions (reference: composite_loss.py).

@@ -108,3 +108,78 @@ def make_wav2vec_bimodal_criterion(cfg: dict):
         return total_loss, total_ss, logging
 
     return criterion
+
+
+@register_criterion("aligning_loss_bimodal")
+def make_aligning_loss_bimodal(cfg: dict):
+    """Align the two modalities' unmasked context features directly
+    (reference: criterions/aligning_loss_bimodal.py — cosine or L2 distance
+    between aligned_feature_fn outputs; the second half of the quasiwave
+    pretraining objective).
+
+    ``fix_side`` ('audio' | 'text') treats that side as a fixed target. The
+    reference freezes a pickled snapshot of the model at first forward
+    (aligning_loss_bimodal.py:49-51); here the same role is played by
+    ``stop_gradient`` through the fixed side of the CURRENT parameters — a
+    per-step target rather than a start-of-training snapshot (documented
+    delta: no second parameter copy exists in a functional train step).
+    Batch keys: 'audio' is the audio side, 'audio2' the text/quasiwave side.
+    """
+    loss_kind = cfg.get("loss", "cosine")
+    if loss_kind not in ("cosine", "l2"):
+        raise ValueError(f"aligning loss must be cosine|l2, got {loss_kind!r}")
+    fix_side = cfg.get("fix_side")
+    if fix_side not in (None, "audio", "text"):
+        raise ValueError(f"fix_side must be audio|text, got {fix_side!r}")
+
+    def pair_loss(x1, x2, valid):
+        x1 = x1.astype(jnp.float32)
+        x2 = x2.astype(jnp.float32)
+        if loss_kind == "cosine":
+            n1 = jnp.maximum(jnp.linalg.norm(x1, axis=-1), 1e-8)
+            n2 = jnp.maximum(jnp.linalg.norm(x2, axis=-1), 1e-8)
+            per_frame = 1.0 - jnp.sum(x1 * x2, axis=-1) / (n1 * n2)
+        else:
+            per_frame = jnp.mean(jnp.square(x1 - x2), axis=-1)
+        return jnp.sum(jnp.where(valid, per_frame, 0.0))
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        feats = {}
+        for side, key in (("audio", "audio"), ("text", "audio2")):
+            x, mask = model.apply(
+                params,
+                batch[key],
+                batch.get(f"{key}_padding_mask"),
+                deterministic=not train,
+                rngs=rngs if train else None,
+                method=type(model).aligned_features,
+            )
+            feats[side] = (x, mask)
+        a, a_mask = feats["audio"]
+        t, t_mask = feats["text"]
+        T = min(a.shape[1], t.shape[1])
+        a, t = a[:, :T], t[:, :T]
+        valid = jnp.ones(a.shape[:2], bool)
+        if a_mask is not None:
+            valid &= ~a_mask[:, :T]
+        if t_mask is not None:
+            valid &= ~t_mask[:, :T]
+
+        if fix_side is None:
+            loss = pair_loss(a, t, valid)
+        else:
+            # reference arithmetic (aligning_loss_bimodal.py:85-89) with the
+            # snapshot replaced by stop_gradient (see docstring)
+            fixed = jax.lax.stop_gradient(a if fix_side == "audio" else t)
+            loss = pair_loss(a, fixed, valid) + pair_loss(t, a, valid)
+
+        sample_size = jnp.sum(valid).astype(jnp.float32)
+        logging = {
+            "loss": loss,
+            "sample_size": sample_size,
+            "ntokens": sample_size,
+            "nsentences": a.shape[0],
+        }
+        return loss, sample_size, logging
+
+    return criterion

@@ -170,6 +170,9 @@ def beam_search(
     unk: Optional[int] = None,
     unk_penalty: float = 0.0,
     max_lens: Optional[jax.Array] = None,  # [B] per-sentence max generated len
+    min_lens: Optional[jax.Array] = None,  # [B] per-sentence min generated len
+    # (per-sentence min/max from source-length ratios = the reference's
+    # LengthConstrainedBeamSearch, search.py:526)
     prefix_tokens: Optional[jax.Array] = None,  # [B, P] forced prefix (pad = none)
     no_repeat_ngram_size: int = 0,
     diverse_beam_groups: int = 0,  # >1: diverse beam search
@@ -177,6 +180,9 @@ def beam_search(
     strategy=None,  # SearchStrategy hook (constrained/diverse-siblings/...)
     cache_segment: int = 0,  # >0: grow KV caches in segments of this length
     beam_minor_caches=None,  # True/False pins the cache layout; None = auto
+    reorder_fn: Optional[Callable] = None,  # (caches, picked_beam [B,K], i)
+    # -> caches; replaces the default physical cache gather (used for lazy
+    # ancestry-based reorder where only an index map is permuted)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run beam search; returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -234,10 +240,16 @@ def beam_search(
         logprobs = _unflatten_beam(logprobs.astype(jnp.float32), B, K)
 
         gen_len = i + 1  # length if we emit eos now (incl. eos)
-        # min/max length and unk handling (reference: sequence_generator.py:352-366)
+        # min/max length and unk handling (reference: sequence_generator.py:352-366;
+        # per-sentence minimums: search.py:526 LengthConstrainedBeamSearch)
+        if min_lens is None:
+            below_min = jnp.reshape(gen_len <= min_len, (1, 1, 1))
+        else:
+            below_min = (gen_len <= jnp.maximum(min_lens, min_len))[:, None, None]
         logprobs = jnp.where(
-            (gen_len <= min_len),
-            logprobs.at[:, :, eos].set(NEG_INF),
+            below_min
+            & (jax.lax.broadcasted_iota(jnp.int32, (1, 1, V), 2) == eos),
+            NEG_INF,
             logprobs,
         )
         if unk is not None and unk_penalty != 0.0:
@@ -385,9 +397,12 @@ def beam_search(
             new_alive_scores, alive_pick = jax.lax.top_k(alive_rank, K)
         new_alive_seq = _gather_beams(cand_seq, alive_pick)
         picked_beam = jnp.take_along_axis(topk_beam, alive_pick, axis=1)
-        new_kv = _gather_flat_beams(
-            new_caches, picked_beam, B, K, beam_minor=beam_minor_caches
-        )
+        if reorder_fn is not None:
+            new_kv = reorder_fn(new_caches, picked_beam, i)
+        else:
+            new_kv = _gather_flat_beams(
+                new_caches, picked_beam, B, K, beam_minor=beam_minor_caches
+            )
         new_search_state = (
             strategy.update(state.search_state, topk_beam, topk_tok, alive_pick, i)
             if strategy is not None

@@ -31,6 +31,11 @@ class GeneratorSettings:
     max_len_a: float = 0.0
     max_len_b: int = 200
     min_len: int = 1
+    # per-sentence length constraints from source-length ratios
+    # (reference: search.py:526 LengthConstrainedBeamSearch — min/max =
+    # a * src_len + b per sentence); enabled when min_len_a/b set
+    min_len_a: float = 0.0
+    min_len_b: int = 0
     len_penalty: float = 1.0
     unk_penalty: float = 0.0
     max_decode_len: int = 256  # static bound for the compiled loop
@@ -47,6 +52,12 @@ class GeneratorSettings:
     # KV caches grow in segments of this many positions (0 = preallocate
     # max_decode_len); cuts reorder/attention traffic for short hypotheses
     cache_segment: int = 16
+    # lazy beam reorder: caches are never physically permuted; a [L, B*K]
+    # ancestry map is permuted instead and the reorder is folded into the
+    # attention read (see MultiheadAttention cache_ancestry). Removes the
+    # O((B*K)^2) per-step gather matmul that made decode scale superlinearly
+    # with batch (measured 326->745 ms decode from B=64->128 under eager).
+    lazy_beam_reorder: bool = True
 
 
 class SequenceGenerator:
@@ -98,6 +109,7 @@ class SequenceGenerator:
         max_lens: Optional[jax.Array],  # [B] or None
         beam_size: int,
         rng: Optional[jax.Array] = None,
+        min_lens: Optional[jax.Array] = None,  # [B] or None
     ):
         B, S, _ = encoder_out.shape
         K = beam_size
@@ -126,27 +138,63 @@ class SequenceGenerator:
         seg = self.s.cache_segment
         init_len = seg if (seg and seg < max_len and not self.s.sampling) else max_len + 1
         kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
-        init_caches = [
+        layer_caches = [
             {
                 "k": jnp.zeros(kv_shape, self.model.dtype),
                 "v": jnp.zeros(kv_shape, self.model.dtype),
             }
             for _ in range(c.decoder_layers)
         ]
+        lazy = self.s.lazy_beam_reorder and not self.s.sampling
+        reorder_fn = None
+        if lazy:
+            # ancestry rows cover one position past the kv length so the
+            # row-(i+1) reset never clips at a segment boundary
+            iota_cols = jnp.tile(
+                jnp.arange(K, dtype=jnp.int32), (B,)
+            )  # within-sentence column ids
+            init_caches = {
+                "kv": layer_caches,
+                "anc": jnp.tile(iota_cols[None, :], (init_len + 1, 1)),
+            }
+
+            def reorder_fn(caches, picked_beam, i):
+                flat_src = (
+                    jnp.arange(B, dtype=picked_beam.dtype)[:, None] * K
+                    + picked_beam
+                ).reshape(-1)
+                anc = jnp.take(caches["anc"], flat_src, axis=1)
+                anc = jax.lax.dynamic_update_slice_in_dim(
+                    anc, iota_cols[None, :], i + 1, axis=0
+                )
+                return {"kv": caches["kv"], "anc": anc}
+
+        else:
+            init_caches = layer_caches
 
         def step_fn(tokens_t, index, caches):
-            logits, new_caches = self.model.apply(
+            if lazy:
+                kv = caches["kv"]
+                anc_view = caches["anc"][: kv[0]["k"].shape[0]]
+            else:
+                kv, anc_view = caches, None
+            logits, new_kv = self.model.apply(
                 params,
                 tokens_t,
                 index,
-                caches,
+                kv,
                 enc_kv,
                 enc_mask,
-                method=lambda m, t, i, c, ekv, em: m.decoder.step(t, i, c, ekv, em),
+                method=lambda m, t, i, c, ekv, em: m.decoder.step(
+                    t, i, c, ekv, em,
+                    cache_ancestry=anc_view,
+                    ancestry_groups=K if lazy else 1,
+                ),
             )
             if self.s.temperature != 1.0:
                 logits = logits / self.s.temperature
             logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            new_caches = {"kv": new_kv, "anc": caches["anc"]} if lazy else new_kv
             return logprobs, new_caches
 
         if self.s.sampling:
@@ -182,12 +230,14 @@ class SequenceGenerator:
             unk=self.unk,
             unk_penalty=self.s.unk_penalty,
             max_lens=max_lens,
+            min_lens=min_lens,
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
             diverse_beam_groups=self.s.diverse_beam_groups,
             diverse_beam_strength=self.s.diverse_beam_strength,
             strategy=self.strategy,
             cache_segment=self.s.cache_segment,
             beam_minor_caches=True,  # [L, H, D, B*K] time-major caches
+            reorder_fn=reorder_fn,
         )
 
     # ----------------------------------------------------------- public API
@@ -196,6 +246,14 @@ class SequenceGenerator:
         """reference: max_len = a * src_len + b (sequence_generator.py:247)."""
         ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
         return jnp.minimum(ml, self.s.max_decode_len)
+
+    def min_lens_for_src(self, src_lengths: jax.Array) -> Optional[jax.Array]:
+        """Per-sentence minimums (reference: search.py:526
+        LengthConstrainedBeamSearch min_len_a/b); None when disabled."""
+        if self.s.min_len_a == 0.0 and self.s.min_len_b == 0:
+            return None
+        ml = (self.s.min_len_a * src_lengths + self.s.min_len_b).astype(jnp.int32)
+        return jnp.minimum(ml, self.s.max_decode_len - 1)
 
     def generate_audio(
         self,
@@ -208,12 +266,16 @@ class SequenceGenerator:
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
+        min_lens = (
+            self.min_lens_for_src(src_lengths) if src_lengths is not None else None
+        )
         self._call_count += 1
         rng = (
             jax.random.PRNGKey(self._call_count) if self.s.sampling else None
         )
         return self._jit_generate(
-            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
+            min_lens=min_lens,
         )
 
     def generate_text(
@@ -226,12 +288,16 @@ class SequenceGenerator:
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
+        min_lens = (
+            self.min_lens_for_src(src_lengths) if src_lengths is not None else None
+        )
         self._call_count += 1
         rng = (
             jax.random.PRNGKey(self._call_count) if self.s.sampling else None
         )
         return self._jit_generate(
-            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng
+            params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
+            min_lens=min_lens,
         )
 
     def to_hypotheses(

@@ -71,6 +71,14 @@ class BARTModel(nn.Module):
     def decoder(self):
         return self.backbone.decoder
 
+    def init_everything(self, src_tokens, prev_output_tokens):
+        """Init hook touching the seq2seq trunk AND the classification head
+        (flax materializes only traversed params)."""
+        logits = self(src_tokens, prev_output_tokens)
+        if self.cfg.num_classes > 0:
+            self.classify(src_tokens, prev_output_tokens)
+        return logits
+
     def classify(self, src_tokens, prev_output_tokens, deterministic: bool = True):
         """Sentence prediction: decoder features pooled at the eos position
         (reference: bart/model.py — 'sentence representation' = eos state)."""

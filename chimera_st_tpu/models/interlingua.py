@@ -106,6 +106,9 @@ class InterlinguaConfig:
     w2v2_dropout: float = 0.1
     w2v2_attention_dropout: float = 0.1
     w2v2_activation_dropout: float = 0.0
+    # gradient scale on the conv extractor (reference: --feature-grad-mult,
+    # wav2vec2.py:337; the Chimera fine-tune recipe runs 0.1 or 0)
+    feature_grad_mult: float = 1.0
     # regularization / misc
     dropout: float = 0.1
     attention_dropout: float = 0.1
@@ -141,6 +144,7 @@ class ChimeraInterlinguaModel(nn.Module):
             dropout=c.w2v2_dropout,
             attention_dropout=c.w2v2_attention_dropout,
             activation_dropout=c.w2v2_activation_dropout,
+            feature_grad_mult=c.feature_grad_mult,
             name="wav2vec_model",
             **common,
         )

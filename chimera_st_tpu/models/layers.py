@@ -184,18 +184,72 @@ class MultiheadAttention(nn.Module):
         precomputed_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
         cache: Optional[Dict[str, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
+        cache_ancestry: Optional[jax.Array] = None,  # [L, B] lazy beam reorder
+        ancestry_groups: int = 1,  # beam size K (cols per sentence group)
         deterministic: bool = True,
     ):
         """Returns (out [B, Tq, C], new_cache or None).
 
         Self-attn incremental decode: pass `cache` = {'k','v'} preallocated
         [B, Tmax, H, D] and scalar `cache_index`; query must be [B, 1, C].
+
+        ``cache_ancestry`` enables LAZY beam reorder: the cache is never
+        physically permuted by the beam search; instead ancestry[t, col] gives
+        the cache column (within the same sentence's K-column group) holding
+        this hypothesis's time-t entry, and the permutation is folded into the
+        attention read (cross-column logits + a one-hot select over the K
+        columns). This removes the O((B*K)^2) per-step gather matmul and its
+        full-cache write traffic — the dominant decode cost at batch >= 32
+        (measured: decode scales superlinearly with B under eager reorder).
         """
         q = self._split(self.q_proj(query))
 
         new_cache = None
         if precomputed_kv is not None:
             k, v = precomputed_kv
+        elif cache is not None and cache_ancestry is not None:
+            assert query.shape[1] == 1, "cached decode is single-step"
+            k_new = self._split(self.k_proj(query))  # [B, 1, H, D]
+            v_new = self._split(self.v_proj(query))
+            kc = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], jnp.transpose(k_new, (1, 2, 3, 0)), cache_index, axis=0
+            )
+            vc = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], jnp.transpose(v_new, (1, 2, 3, 0)), cache_index, axis=0
+            )
+            new_cache = {"k": kc, "v": vc}
+            K = ancestry_groups
+            BK = q.shape[0]
+            B, L = BK // K, kc.shape[0]
+            H, D = self.num_heads, self.embed_dim // self.num_heads
+            scale = D**-0.5
+            qg = q.reshape(B, K, 1, H, D)[:, :, 0]  # [B, K, H, D]
+            kc_g = kc.reshape(L, H, D, B, K)
+            vc_g = vc.reshape(L, H, D, B, K)
+            # cross-column logits: every beam row vs every cache column of its
+            # sentence group ([B,K,H] x [L,..,K] -> [B,H,K,L,K])
+            logits_all = jnp.einsum(
+                "bkhd,lhdbc->bhklc", qg, kc_g, preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            anc = cache_ancestry.reshape(L, B, K)  # within-group columns
+            sel = jax.nn.one_hot(anc, K, dtype=jnp.float32)  # [L, B, K, K]
+            sel_b = jnp.transpose(sel, (1, 2, 0, 3))  # [B, K, L, K]
+            logits = jnp.sum(logits_all * sel_b[:, None], axis=-1)  # [B,H,K,L]
+            future = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3) > cache_index
+            )
+            logits = jnp.where(future, -1e8, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs_sel = probs[..., None] * sel_b[:, None]  # [B, H, K, L, K]
+            out = jnp.einsum(
+                "bhklc,lhdbc->bkhd",
+                probs_sel.astype(query.dtype),
+                vc_g,
+                preferred_element_type=jnp.float32,
+            ).astype(query.dtype)
+            out = out.reshape(BK, 1, self.embed_dim)
+            out = self.out_proj(out)
+            return out, new_cache
         elif cache is not None:
             # Incremental decode against a TIME-MAJOR cache [L, H, D, B].
             # The beam dim is MINOR so the generator's beam-reorder gather is
@@ -453,6 +507,8 @@ class TransformerDecoderLayer(nn.Module):
         encoder_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
         self_cache: Optional[Dict[str, jax.Array]] = None,
         cache_index: Optional[jax.Array] = None,
+        cache_ancestry: Optional[jax.Array] = None,
+        ancestry_groups: int = 1,
         deterministic: bool = True,
     ):
         """Returns (y, new_self_cache)."""
@@ -465,6 +521,8 @@ class TransformerDecoderLayer(nn.Module):
             causal=self.causal and self_cache is None,
             cache=self_cache,
             cache_index=cache_index,
+            cache_ancestry=cache_ancestry,
+            ancestry_groups=ancestry_groups,
             deterministic=deterministic,
         )
         x = self.dropout_layer(x, deterministic=deterministic)

@@ -210,6 +210,8 @@ class TransformerDecoder(nn.Module):
         caches: List[Dict[str, jax.Array]],
         encoder_kv: List[Tuple[jax.Array, jax.Array]],
         encoder_padding_mask: Optional[jax.Array] = None,
+        cache_ancestry: Optional[jax.Array] = None,  # [L, B]: lazy beam reorder
+        ancestry_groups: int = 1,
     ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
         """One decode step -> (logits [B, V] fp32, new caches)."""
         x = self.embed_scale * self.embed_tokens(tokens_t)
@@ -236,6 +238,8 @@ class TransformerDecoder(nn.Module):
                 encoder_padding_mask=encoder_padding_mask,
                 self_cache=cache,
                 cache_index=step_index,
+                cache_ancestry=cache_ancestry,
+                ancestry_groups=ancestry_groups,
                 deterministic=True,
             )
             new_caches.append(new_cache)

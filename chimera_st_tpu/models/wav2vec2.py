@@ -48,6 +48,19 @@ def conv_output_length(length, kernel: int, stride: int):
     return (length - kernel) // stride + 1
 
 
+def grad_multiply(x: jax.Array, scale: float) -> jax.Array:
+    """Identity forward, gradient scaled by ``scale`` on the way back
+    (reference: fairseq/modules/grad_multiply.py GradMultiply, applied to the
+    conv-extractor output at wav2vec2.py:529-532 via --feature-grad-mult).
+
+    scale == 0 is the reference's ``with torch.no_grad()`` branch."""
+    if scale == 1.0:
+        return x
+    if scale == 0.0:
+        return jax.lax.stop_gradient(x)
+    return scale * x + (1.0 - scale) * jax.lax.stop_gradient(x)
+
+
 def extractor_output_length(length, conv_spec=DEFAULT_CONV_SPEC):
     for _, k, s in conv_spec:
         length = conv_output_length(length, k, s)
@@ -220,6 +233,9 @@ class Wav2Vec2Encoder(nn.Module):
     activation_dropout: float = 0.0
     activation: str = "gelu"
     layer_norm_first: bool = False
+    # gradient scale on the conv-extractor output; 0 freezes the extractor
+    # through the backward pass (reference: wav2vec2.py:337,529-532)
+    feature_grad_mult: float = 1.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -283,6 +299,7 @@ class Wav2Vec2Encoder(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """extract_features: returns (features [B, T', C], padding_mask' or None)."""
         features = self.feature_extractor(source)  # [B, T', 512]
+        features = grad_multiply(features, self.feature_grad_mult)
         features = self.layer_norm(features)
 
         if padding_mask is not None:

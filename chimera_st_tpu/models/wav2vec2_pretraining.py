@@ -215,6 +215,17 @@ class Wav2Vec2PretrainModel(nn.Module):
         self.project_q = nn.Dense(c.final_dim, name="project_q", **common)
         self.final_proj = nn.Dense(c.final_dim, name="final_proj", **common)
 
+    def aligned_features(
+        self,
+        source: jax.Array,  # [B, T] waveform (either modality)
+        padding_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Unmasked context-network features [B, T', C] — the
+        ``aligned_feature_fn`` hook the aligning_loss_bimodal criterion drives
+        (reference: criterions/aligning_loss_bimodal.py:47,67-68)."""
+        return self.trunk(source, padding_mask, deterministic=deterministic)
+
     def _contrastive_logits(self, preds, targets, neg_idx):
         """preds/targets [B, T, D]; neg_idx [B, T, N] -> logits [B, T, 1+N]."""
         B, T, D = targets.shape

@@ -191,10 +191,17 @@ class Trainer:
         if self.lr_schedule is not None:
             out["lr"] = float(self.lr_schedule(self.num_updates))
         ss = max(float(total_ss), 1.0)
-        for key in ("loss", "nll_loss", "st_loss", "st_nll_loss", "mt_loss",
-                    "mt_nll_loss", "contrastive_loss"):
-            if key in out:
-                metrics_mod.log_scalar(key, float(out[key]) / ss / np.log(2), ss, round=3)
+        # every criterion's loss-like keys reach the metrics system — new
+        # criterions must not silently skip progress/TB aggregation
+        skip_keys = {"gnorm", "lr", "nonfinite_grad", "sample_size",
+                     "sample_size_total", "ntokens", "nsentences"}
+        for key, v in sorted(out.items()):
+            if key in skip_keys:
+                continue
+            if key.endswith("loss") or key.endswith("_nll"):
+                metrics_mod.log_scalar(key, float(v) / ss / np.log(2), ss, round=3)
+            elif np.ndim(v) == 0 and np.issubdtype(np.asarray(v).dtype, np.number):
+                metrics_mod.log_scalar(key, float(v), priority=200, round=3)
         metrics_mod.log_scalar("gnorm", out["gnorm"], priority=400, round=3)
         if "lr" in out:
             metrics_mod.log_scalar("lr", out["lr"], priority=300)

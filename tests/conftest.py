@@ -17,6 +17,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: cold runs of the suite re-compiled everything,
+# blowing the tier-time claims (round-2 verdict weak #4) — same mechanism as
+# bench.py/__graft_entry__.py. Cache survives across pytest invocations.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/chimera_jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 

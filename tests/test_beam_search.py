@@ -121,3 +121,33 @@ def test_scores_sorted_desc():
     )
     s = np.asarray(scores)
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_per_sentence_min_lens():
+    """LengthConstrainedBeamSearch parity (reference: search.py:526):
+    per-sentence minimums delay eos even when eos is argmax from step 1."""
+    V = 6
+    rows = _logp([[0.01, 0.01, 0.9, 0.01, 0.04, 0.03]] * 8)  # eos always best
+    tokens, scores, lens = beam_search(
+        _const_step(rows), {}, batch_size=3, beam_size=2, max_len=8,
+        eos=EOS, pad=PAD, min_len=1,
+        min_lens=jnp.asarray([1, 3, 5], jnp.int32),
+    )
+    lens = np.asarray(lens)
+    # generated length (incl. eos) must exceed each sentence's minimum
+    assert int(lens[0, 0]) == 2  # scalar min_len=1 -> eos at step 2
+    assert int(lens[1, 0]) == 4
+    assert int(lens[2, 0]) == 6
+
+
+def test_min_lens_respects_scalar_floor():
+    V = 6
+    rows = _logp([[0.01, 0.01, 0.9, 0.01, 0.04, 0.03]] * 8)
+    _, _, lens = beam_search(
+        _const_step(rows), {}, batch_size=2, beam_size=1, max_len=8,
+        eos=EOS, pad=PAD, min_len=3,
+        min_lens=jnp.asarray([1, 4], jnp.int32),
+    )
+    lens = np.asarray(lens)
+    assert int(lens[0, 0]) == 4  # max(min_lens=1, min_len=3) -> first eos at 4
+    assert int(lens[1, 0]) == 5

@@ -170,3 +170,56 @@ def test_validate_dump_features(triplet_dir, tmp_path):
     assert batches and "audio_memory" in batches[0]
     assert batches[0]["audio_memory"].ndim == 3  # [B, M, C]
     assert "text_memory" in batches[0]
+
+
+def test_train_freeze_controls_cli(triplet_dir, tmp_path):
+    """--fix-* / --feature-grad-mult / --reset-encoder through the real CLI
+    (reference: w2v2_transformer_interlingua.py:106-124)."""
+    import pickle
+
+    import numpy as np
+
+    from chimera_st_tpu.cli import train
+
+    save_dir = str(tmp_path / "ckpt_fix")
+    train.main(_train_args(triplet_dir, save_dir, [
+        "--max-update", "2",
+        "--fix-wav2vec", "--fix-decoder-transformers",
+        "--feature-grad-mult", "0.1",
+    ]))
+    with open(Path(save_dir) / "checkpoint_last.ckpt", "rb") as f:
+        p1 = pickle.load(f)
+
+    # second leg resumes and trains 1 more update with the same freezes
+    train.main(_train_args(triplet_dir, save_dir, [
+        "--max-update", "3",
+        "--fix-wav2vec", "--fix-decoder-transformers",
+        "--feature-grad-mult", "0.1",
+    ]))
+    with open(Path(save_dir) / "checkpoint_last.ckpt", "rb") as f:
+        p2 = pickle.load(f)
+    assert p2["step"] == 3
+    w1 = p1["params"]["params"]["wav2vec_model"]
+    w2 = p2["params"]["params"]["wav2vec_model"]
+    flat1 = [x for x in _tree_leaves(w1)]
+    flat2 = [x for x in _tree_leaves(w2)]
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(a, b)
+
+    # --reset-encoder on restore: encoder transformer stack re-initialized
+    # (differs from the checkpoint), everything else restored
+    save_dir2 = str(tmp_path / "ckpt_reset")
+    import shutil
+
+    shutil.copytree(save_dir, save_dir2)
+    train.main(_train_args(triplet_dir, save_dir2, [
+        "--max-update", "3", "--reset-encoder",
+    ]))  # already at 3 updates: restores (with reset) and stops immediately
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree

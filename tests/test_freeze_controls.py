@@ -1,0 +1,226 @@
+"""Fine-tune freeze controls: frozen subtrees stay bit-identical across
+updates; feature_grad_mult scales extractor gradients exactly
+(reference: w2v2_transformer_interlingua.py:106-124, wav2vec2.py:529-532)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chimera_st_tpu.config.registry import CRITERIONS
+from chimera_st_tpu.models.interlingua import ChimeraInterlinguaModel
+from chimera_st_tpu.models.wav2vec2 import grad_multiply
+from chimera_st_tpu.optim import build_lr_schedule, build_optimizer
+from chimera_st_tpu.optim.freeze import (
+    freeze_labels,
+    frozen_fraction,
+    reset_encoder_subtrees,
+    wrap_freeze,
+)
+from chimera_st_tpu.train import make_train_step
+from chimera_st_tpu.train.train_step import create_train_state
+from tests.test_interlingua_model import TINY
+from tests.test_train_step import _make_batch
+
+
+def _leaves_under(params, pred):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    picked = {}
+    for path, leaf in flat:
+        keys = tuple(
+            str(getattr(e, "key", getattr(e, "idx", e))) for e in path
+        )
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        if pred(keys):
+            picked["/".join(keys)] = np.asarray(leaf)
+    return picked
+
+
+def _train_n_steps(model, params, batch, fixes, n=3):
+    crit = CRITERIONS.get("triplet_st_mt_contrastive")(
+        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)}
+    )
+    tx = build_optimizer(
+        {"_name": "adam"}, build_lr_schedule({"_name": "fixed", "lr": 1e-2})
+    )
+    tx = wrap_freeze(tx, params, fixes)
+    step = make_train_step(model, crit, tx, donate=False)
+    state = create_train_state(params, tx)
+    for i in range(n):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert float(metrics["nonfinite_grad"]) == 0.0
+    return state
+
+
+@pytest.mark.parametrize(
+    "fix,pred,anti",
+    [
+        (
+            "fix_wav2vec",
+            lambda p: p and p[0] == "wav2vec_model",
+            lambda p: p and p[0] == "decoder",
+        ),
+        (
+            "fix_decoder",
+            lambda p: p and p[0] == "decoder",
+            lambda p: p and p[0] == "wav2vec_model",
+        ),
+        (
+            "fix_interlingua",
+            lambda p: p
+            and (
+                p[0].startswith("interlingua_layers_")
+                or p[0] == "interlingua_embedding"
+            ),
+            lambda p: p and p[0] == "decoder",
+        ),
+    ],
+)
+def test_frozen_subtree_is_bit_identical(fix, pred, anti):
+    model = ChimeraInterlinguaModel(TINY)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["audio"][:1],
+        batch["audio_padding_mask"][:1],
+        batch["src_text"][:1],
+        batch["prev_output_tokens"][:1],
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    before_frozen = _leaves_under(params, pred)
+    before_live = _leaves_under(params, anti)
+    assert before_frozen and before_live
+    state = _train_n_steps(model, params, batch, [fix])
+    after_frozen = _leaves_under(state.params, pred)
+    after_live = _leaves_under(state.params, anti)
+    for k in before_frozen:
+        np.testing.assert_array_equal(before_frozen[k], after_frozen[k])
+    moved = any(
+        not np.array_equal(before_live[k], after_live[k]) for k in before_live
+    )
+    assert moved, "non-frozen subtree did not train"
+
+
+def test_fix_decoder_transformers_spares_embeddings():
+    model = ChimeraInterlinguaModel(TINY)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["audio"][:1],
+        batch["audio_padding_mask"][:1],
+        batch["src_text"][:1],
+        batch["prev_output_tokens"][:1],
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    layer_pred = lambda p: (
+        len(p) >= 2 and p[0] == "decoder" and p[1].startswith("layers_")
+    )
+    embed_pred = lambda p: (
+        len(p) >= 2 and p[0] == "decoder" and p[1] == "embed_tokens"
+    )
+    before_layers = _leaves_under(params, layer_pred)
+    before_embed = _leaves_under(params, embed_pred)
+    state = _train_n_steps(model, params, batch, ["fix_decoder_transformers"])
+    after_layers = _leaves_under(state.params, layer_pred)
+    after_embed = _leaves_under(state.params, embed_pred)
+    for k in before_layers:
+        np.testing.assert_array_equal(before_layers[k], after_layers[k])
+    # decoder embeddings (outside .layers) keep training
+    moved = any(
+        not np.array_equal(before_embed[k], after_embed[k])
+        for k in before_embed
+    )
+    assert moved
+
+
+def test_frozen_fraction_and_labels():
+    model = ChimeraInterlinguaModel(TINY)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 400), jnp.float32),
+        jnp.zeros((1, 400), bool),
+        jnp.full((1, 4), 2, jnp.int32),
+        jnp.full((1, 4), 2, jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    frac = frozen_fraction(params, ["fix_wav2vec"])
+    assert 0.0 < frac < 1.0
+    labels = freeze_labels(params, ["fix_wav2vec"])
+    vals = set(jax.tree_util.tree_leaves(labels))
+    assert vals == {"train", "freeze"}
+
+
+def test_feature_grad_mult_scales_gradients():
+    scale = 0.1
+
+    def loss_at(s):
+        def f(x):
+            y = grad_multiply(x, s)
+            return jnp.sum(y**2)
+
+        return jax.grad(f)(jnp.arange(4.0))
+
+    np.testing.assert_allclose(loss_at(scale), scale * loss_at(1.0), rtol=1e-6)
+    np.testing.assert_array_equal(loss_at(0.0), np.zeros(4))
+
+
+def test_feature_grad_mult_zero_freezes_extractor_only():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, feature_grad_mult=0.0)
+    model = ChimeraInterlinguaModel(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["audio"][:1],
+        batch["audio_padding_mask"][:1],
+        batch["src_text"][:1],
+        batch["prev_output_tokens"][:1],
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    extractor_pred = lambda p: (
+        len(p) >= 2 and p[0] == "wav2vec_model" and p[1] == "feature_extractor"
+    )
+    trunk_pred = lambda p: (
+        len(p) >= 2 and p[0] == "wav2vec_model" and p[1].startswith("layers_")
+    )
+    before_ext = _leaves_under(params, extractor_pred)
+    before_trunk = _leaves_under(params, trunk_pred)
+    state = _train_n_steps(model, params, batch, [])
+    after_ext = _leaves_under(state.params, extractor_pred)
+    after_trunk = _leaves_under(state.params, trunk_pred)
+    for k in before_ext:
+        np.testing.assert_array_equal(before_ext[k], after_ext[k])
+    moved = any(
+        not np.array_equal(before_trunk[k], after_trunk[k])
+        for k in before_trunk
+    )
+    assert moved, "w2v2 transformer trunk should still train"
+
+
+def test_reset_encoder_subtrees():
+    model = ChimeraInterlinguaModel(TINY)
+    mk = lambda seed: model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, 400), jnp.float32),
+        jnp.zeros((1, 400), bool),
+        jnp.full((1, 4), 2, jnp.int32),
+        jnp.full((1, 4), 2, jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    restored, fresh = mk(0), mk(1)
+    merged = reset_encoder_subtrees(restored, fresh)
+    enc_pred = lambda p: p and p[0].startswith("transformer_layers_")
+    other_pred = lambda p: p and p[0] == "decoder"
+    m_enc = _leaves_under(merged, enc_pred)
+    f_enc = _leaves_under(fresh, enc_pred)
+    for k in m_enc:
+        np.testing.assert_array_equal(m_enc[k], f_enc[k])
+    m_dec = _leaves_under(merged, other_pred)
+    r_dec = _leaves_under(restored, other_pred)
+    for k in m_dec:
+        np.testing.assert_array_equal(m_dec[k], r_dec[k])

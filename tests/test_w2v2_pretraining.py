@@ -134,3 +134,43 @@ def test_raw_audio_dataset_collater(tmp_path):
     assert batch["audio"].shape[0] == 3
     assert batch["mask_indices"].shape[0] == 3
     assert batch["negative_indices"].shape[-1] == 4
+
+
+def test_aligning_loss_bimodal(pretrain_setup):
+    """reference: criterions/aligning_loss_bimodal.py — cosine/L2 alignment
+    of the two modalities' unmasked context features."""
+    model, params, batch = pretrain_setup
+    rng = np.random.default_rng(9)
+    bimodal = dict(batch)
+    bimodal["audio2"] = jnp.asarray(
+        rng.normal(size=batch["audio"].shape), jnp.float32
+    )
+    for loss_kind in ("cosine", "l2"):
+        crit = CRITERIONS.get("aligning_loss_bimodal")({"loss": loss_kind})
+        loss, ss, logging = crit(model, params, bimodal, train=False)
+        assert np.isfinite(float(loss)) and float(ss) > 0
+    # identical inputs give ~zero cosine distance
+    same = dict(bimodal)
+    same["audio2"] = batch["audio"]
+    crit = CRITERIONS.get("aligning_loss_bimodal")({"loss": "cosine"})
+    loss0, _, _ = crit(model, params, same, train=False)
+    np.testing.assert_allclose(float(loss0), 0.0, atol=1e-4)
+
+    # fix_side='text': no gradient reaches params through the text branch
+    # alone when both sides share weights (still finite + nonzero overall)
+    crit_fix = CRITERIONS.get("aligning_loss_bimodal")(
+        {"loss": "cosine", "fix_side": "text"}
+    )
+
+    def loss_fn(p):
+        return crit_fix(model, p, bimodal, train=False)[0]
+
+    g = jax.grad(loss_fn)(params)
+    gn = float(
+        jnp.linalg.norm(
+            g["params"]["wav2vec_model"]["layers_0"]["fc1"]["kernel"].astype(
+                jnp.float32
+            )
+        )
+    )
+    assert np.isfinite(gn) and gn > 0
