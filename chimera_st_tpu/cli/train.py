@@ -90,6 +90,9 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- init params
     params = init_params_for_task(model, task, args)
+    if hasattr(task, "post_init_params"):
+        # task-owned warm-start surgery (e.g. translation_from_pretrained_xlm)
+        params = task.post_init_params(params, model, args)
     fixes = [f for f in
              ("fix_wav2vec", "fix_interlingua", "fix_decoder",
               "fix_decoder_transformers", "fix_encoder_transformers")
@@ -282,11 +285,19 @@ def init_params_for_task(model, task, args):
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
     from ..models.bart import BARTModel
+    from ..models.fconv import FConvLM
+    from ..models.hf_gpt2 import GPT2LM
+    from ..models.lm_extra import LightConvLM, LSTMLM, RNNClassifier
+    from ..models.masked_lm import MaskedLMModel
     from ..models.multilingual_transformer import MultilingualTransformer
     from ..models.nat_insertion import InsertionTransformer
     from ..models.nat_levenshtein import LevenshteinTransformer
     from ..models.transformer_mt import TransformerLM, TransformerModel
 
+    # decoder-only / encoder-only models take a single token stream
+    if isinstance(model, (MaskedLMModel, GPT2LM, LSTMLM, LightConvLM,
+                          FConvLM, RNNClassifier)):
+        return model.init(jax.random.PRNGKey(seed), prev)
     if isinstance(model, BARTModel):
         return model.init(
             jax.random.PRNGKey(seed), src, prev,

@@ -116,20 +116,26 @@ class SequenceGenerator:
         max_len = self.s.max_decode_len
         c = self.model.cfg
 
-        # per-sentence encoder K/V projected once, expanded across beams
+        # per-sentence encoder K/V projected once; in lazy-reorder mode it
+        # stays UN-repeated [B, S, H, D] (beams share it — grouped cross-attn
+        # in MultiheadAttention reads it once per sentence, not once per
+        # beam); the eager path keeps the repeated layout
+        lazy_mode = self.s.lazy_beam_reorder and not self.s.sampling
         enc_kv = self.model.apply(
             params,
             encoder_out,
             method=lambda m, e: m.decoder.precompute_encoder_kv(e),
         )
-        enc_kv = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, K, axis=0), enc_kv
-        )  # [B*K, S, H, D]
-        enc_mask = (
-            None
-            if encoder_padding_mask is None
-            else jnp.repeat(encoder_padding_mask, K, axis=0)
-        )
+        if not lazy_mode:
+            enc_kv = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, K, axis=0), enc_kv
+            )  # [B*K, S, H, D]
+        if encoder_padding_mask is None:
+            enc_mask = None
+        elif lazy_mode:
+            enc_mask = encoder_padding_mask  # [B, S]
+        else:
+            enc_mask = jnp.repeat(encoder_padding_mask, K, axis=0)
 
         head_dim = c.decoder_embed_dim // c.decoder_heads
         # time-major cache, beam dim minor (layout rationale: layers.py

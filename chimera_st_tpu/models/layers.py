@@ -205,6 +205,38 @@ class MultiheadAttention(nn.Module):
         q = self._split(self.q_proj(query))
 
         new_cache = None
+        if precomputed_kv is not None and ancestry_groups > 1:
+            # Grouped cross-attention for beam decode: kv stays UN-repeated
+            # [B, S, H, D] while queries carry B*K rows — beams of one
+            # sentence share the encoder K/V, so repeating it across beams
+            # (reference: EnsembleModel reorder_encoder_out) multiplies the
+            # per-step HBM reads by K for no information. Measured at B=128
+            # beam 10: the repeated enc_kv slices were the top DMA occupancy
+            # in the decode trace.
+            k, v = precomputed_kv  # [B, S, H, D]
+            K = ancestry_groups
+            BK = q.shape[0]
+            B = BK // K
+            H, D = self.num_heads, self.embed_dim // self.num_heads
+            assert query.shape[1] == 1, "grouped cross-attn is single-step"
+            qg = q.reshape(B, K, H, D)
+            scale = D**-0.5
+            logits = jnp.einsum(
+                "bkhd,bshd->bhks", qg, k, preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            if key_padding_mask is not None:
+                logits = jnp.where(
+                    key_padding_mask[:, None, None, :], -1e8, logits
+                )
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhks,bshd->bkhd",
+                probs.astype(query.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(query.dtype)
+            out = out.reshape(BK, 1, self.embed_dim)
+            return self.out_proj(out), None
         if precomputed_kv is not None:
             k, v = precomputed_kv
         elif cache is not None and cache_ancestry is not None:
@@ -534,11 +566,21 @@ class TransformerDecoderLayer(nn.Module):
             residual = x
             if self.normalize_before:
                 x = self.encoder_attn_layer_norm(x)
+            # un-repeated encoder K/V (grouped beam cross-attn) only when the
+            # kv batch is actually smaller than the query batch
+            kv_groups = 1
+            if (
+                encoder_kv is not None
+                and ancestry_groups > 1
+                and encoder_kv[0].shape[0] != x.shape[0]
+            ):
+                kv_groups = ancestry_groups
             x, _ = self.encoder_attn(
                 x,
                 kv=encoder_out,
                 precomputed_kv=encoder_kv,
                 key_padding_mask=encoder_padding_mask,
+                ancestry_groups=kv_groups,
                 deterministic=deterministic,
             )
             x = self.dropout_layer(x, deterministic=deterministic)

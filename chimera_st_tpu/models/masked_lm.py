@@ -40,6 +40,9 @@ class MaskedLMConfig:
     activation: str = "gelu"
     dropout: float = 0.1
     max_positions: int = 512
+    # >0: next-sentence-prediction head over the pooled first token
+    # (reference: masked_lm.py --sent-loss / sentence_class_num)
+    sentence_class_num: int = 0
 
 
 class MaskedLMModel(nn.Module):
@@ -74,6 +77,10 @@ class MaskedLMModel(nn.Module):
         self.lm_head_bias = self.param(
             "lm_head_bias", nn.initializers.zeros, (c.vocab_size,), self.param_dtype
         )
+        if c.sentence_class_num > 0:
+            self.sentence_projection = nn.Dense(
+                c.sentence_class_num, name="sentence_projection", **common
+            )
         self.dropout_layer = nn.Dropout(c.dropout)
 
     def encode(self, tokens: jax.Array, deterministic: bool = True):
@@ -93,7 +100,17 @@ class MaskedLMModel(nn.Module):
         x, _ = self.encode(tokens, deterministic)
         act = get_activation(self.cfg.activation)
         x = self.lm_head_layer_norm(act(self.lm_head_dense(x)))
-        return self.embed_tokens.attend(x) + self.lm_head_bias.astype(jnp.float32)
+        logits = self.embed_tokens.attend(x) + self.lm_head_bias.astype(jnp.float32)
+        if self.cfg.sentence_class_num > 0 and self.is_initializing():
+            # touch the NSP head only at init so flax materializes its params
+            self.sentence_projection(x[:, :1, :][:, 0])
+        return logits
+
+    def classify_sentence(self, tokens: jax.Array, deterministic: bool = True):
+        """Next-sentence logits [B, C] from the pooled first-token state
+        (reference: masked_lm.py sentence_projection_layer)."""
+        x, _ = self.encode(tokens, deterministic)
+        return self.sentence_projection(x[:, 0]).astype(jnp.float32)
 
 
 @register_model("masked_lm")
