@@ -222,3 +222,26 @@ def average_checkpoints(paths, state_template):
             acc = jax.tree_util.tree_map(lambda a, x: a + x, acc, host)
         n += 1
     return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+
+
+def prune_layer_params(tree: Dict[str, Any], layers_to_keep, prefix: str = "layers_"):
+    """Load a deep checkpoint into a shallower model: keep only the listed
+    layer indices of a ``{prefix}{i}``-keyed stack and renumber them
+    consecutively (reference: checkpoint_utils.py:479 prune_state_dict +
+    --encoder/decoder-layers-to-keep, used with LayerDrop-trained models).
+
+    ``tree`` is one param subtree (e.g. params['decoder'] or the top-level
+    encoder dict); non-stack keys pass through untouched."""
+    if isinstance(layers_to_keep, str):
+        layers_to_keep = [int(x) for x in layers_to_keep.split(",") if x != ""]
+    keep = sorted(int(i) for i in layers_to_keep)
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        if not (k.startswith(prefix) and k[len(prefix):].isdigit()):
+            out[k] = v
+    for new_i, old_i in enumerate(keep):
+        old_key = f"{prefix}{old_i}"
+        if old_key not in tree:
+            raise KeyError(f"layer {old_key} not present (prune list {keep})")
+        out[f"{prefix}{new_i}"] = tree[old_key]
+    return out

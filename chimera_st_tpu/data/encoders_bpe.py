@@ -245,3 +245,62 @@ class ByteBPE:
     def decode(self, text: str) -> str:
         joined = "".join(text.split(" ")).replace(SPACE_ESCAPE, SPACE)
         return smart_byte_decode(joined)
+
+
+@register_bpe("hf_bert_bpe")
+class HuggingFaceBertBPE:
+    """WordPiece via transformers' BertTokenizer
+    (reference: fairseq/data/encoders/hf_bert_bpe.py). ``bpe_vocab_file``
+    points at a local vocab.txt (no network in this environment; passing a
+    model NAME requires a populated HF cache)."""
+
+    def __init__(self, cfg: Dict):
+        from transformers import BertTokenizer
+
+        vocab = cfg.get("bpe_vocab_file")
+        name = cfg.get("bpe_model_name", "bert-base-uncased")
+        if vocab:
+            self.tok = BertTokenizer(
+                vocab, do_lower_case=bool(cfg.get("bpe_cased", False)) is False
+            )
+        else:
+            self.tok = BertTokenizer.from_pretrained(name)
+
+    def encode(self, text: str) -> str:
+        return " ".join(self.tok.tokenize(text))
+
+    def decode(self, text: str) -> str:
+        return self.tok.clean_up_tokenization(
+            self.tok.convert_tokens_to_string(text.split(" "))
+        )
+
+    def is_beginning_of_word(self, x: str) -> bool:
+        return not x.startswith("##")
+
+
+@register_bpe("hf_byte_bpe")
+class HuggingFaceByteLevelBPE:
+    """Byte-level BPE via the tokenizers library
+    (reference: fairseq/data/encoders/hf_byte_bpe.py — ByteLevelBPETokenizer
+    over --bpe-merges/--bpe-vocab)."""
+
+    def __init__(self, cfg: Dict):
+        from tokenizers import ByteLevelBPETokenizer
+
+        vocab = cfg.get("bpe_vocab")
+        merges = cfg.get("bpe_merges")
+        if not (vocab and merges):
+            raise ValueError("hf_byte_bpe needs bpe_vocab and bpe_merges files")
+        self.tok = ByteLevelBPETokenizer(
+            vocab, merges, add_prefix_space=bool(cfg.get("bpe_add_prefix_space",
+                                                         False)),
+        )
+
+    def encode(self, text: str) -> str:
+        return " ".join(map(str, self.tok.encode(text).ids))
+
+    def decode(self, text: str) -> str:
+        return self.tok.decode([int(t) for t in text.split(" ") if t])
+
+    def is_beginning_of_word(self, x: str) -> bool:
+        return self.decode(x).startswith(" ")

@@ -40,9 +40,12 @@ class CompositeAudioFeatureTransform:
 
 @register_feature_transform("specaugment")
 class SpecAugmentTransform:
-    """Freq/time masking (reference: feature_transforms/specaugment.py:12-80;
-    the time-warp component is gated off by default like the common policies).
-    """
+    """Freq/time masking + time warp (reference:
+    feature_transforms/specaugment.py:12-80 — the reference warps via
+    sparse_image_warp; here the same piecewise-linear time warp is a direct
+    per-channel np.interp resample, which is what a single-control-point
+    sparse warp along time reduces to). ``time_warp_W=0`` (default) matches
+    the lb/ld policies that ship with warp disabled."""
 
     @classmethod
     def from_config_dict(cls, config: Optional[Dict] = None):
@@ -53,20 +56,42 @@ class SpecAugmentTransform:
             time_mask_n=c.get("time_mask_N", 1),
             time_mask_t=c.get("time_mask_T", 100),
             time_mask_p=c.get("time_mask_p", 1.0),
+            time_warp_w=c.get("time_warp_W", 0),
         )
 
     def __init__(self, freq_mask_n=1, freq_mask_f=27, time_mask_n=1,
-                 time_mask_t=100, time_mask_p=1.0):
+                 time_mask_t=100, time_mask_p=1.0, time_warp_w=0):
         self.freq_mask_n = freq_mask_n
         self.freq_mask_f = freq_mask_f
         self.time_mask_n = time_mask_n
         self.time_mask_t = time_mask_t
         self.time_mask_p = time_mask_p
+        self.time_warp_w = time_warp_w
+
+    def _time_warp(self, spec: np.ndarray) -> np.ndarray:
+        T, F = spec.shape
+        W = self.time_warp_w
+        if W <= 0 or T <= 2 * W + 1:
+            return spec
+        center = np.random.randint(W, T - W)
+        w = np.random.randint(-W, W + 1)
+        if w == 0:
+            return spec
+        # control points: 0 -> 0, center -> center + w, T-1 -> T-1
+        src_pts = np.array([0.0, center + w, T - 1.0])
+        dst_pts = np.array([0.0, float(center), T - 1.0])
+        # sample positions in the ORIGINAL spec for each output frame
+        sample_at = np.interp(np.arange(T, dtype=np.float64), src_pts, dst_pts)
+        lo = np.floor(sample_at).astype(np.int64)
+        hi = np.minimum(lo + 1, T - 1)
+        frac = (sample_at - lo)[:, None]
+        return (1.0 - frac) * spec[lo] + frac * spec[hi]
 
     def __call__(self, spec: np.ndarray) -> np.ndarray:
         # spec: [T, F]
         spec = spec.copy()
         T, F = spec.shape
+        spec = self._time_warp(spec).astype(spec.dtype)
         mean = spec.mean()
         for _ in range(self.freq_mask_n):
             f = np.random.randint(0, self.freq_mask_f + 1)

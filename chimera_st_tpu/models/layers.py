@@ -31,6 +31,24 @@ from ..ops.attention import dot_product_attention
 Dtype = Any
 
 
+def maybe_layer_drop(
+    layer_fn: Callable,
+    x: jax.Array,
+    rate: float,
+    rng: Optional[jax.Array],
+    deterministic: bool = True,
+):
+    """LayerDrop (reference: fairseq/modules/layer_drop.py
+    LayerDropModuleList): during training each layer is skipped with
+    probability ``rate``; at inference all layers run. ``layer_fn`` must map
+    x -> y of the same shape. lax.cond executes one branch under jit, so a
+    dropped layer costs nothing."""
+    if deterministic or rate <= 0.0 or rng is None:
+        return layer_fn(x)
+    keep = jax.random.bernoulli(rng, 1.0 - rate)
+    return jax.lax.cond(keep, layer_fn, lambda v: v, x)
+
+
 def xavier_uniform_gain(gain: float):
     base = nn.initializers.xavier_uniform()
 

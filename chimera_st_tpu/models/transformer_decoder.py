@@ -50,6 +50,9 @@ class TransformerDecoder(nn.Module):
     causal: bool = True  # False: bidirectional (CMLM / mask-predict)
     learned_pos: bool = False  # BART-style learned positions
     layernorm_embedding: bool = False
+    # train-time layer skipping (reference: --decoder-layerdrop +
+    # fairseq/modules/layer_drop.py); inference always runs every layer
+    layerdrop: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -136,14 +139,29 @@ class TransformerDecoder(nn.Module):
             x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
 
-        for layer in self.layers:
-            x, _ = layer(
-                x,
-                encoder_out=encoder_out,
-                encoder_padding_mask=encoder_padding_mask,
-                self_attn_padding_mask=pad_mask,
-                deterministic=deterministic,
-            )
+        for i, layer in enumerate(self.layers):
+            if self.layerdrop > 0.0 and not deterministic:
+                from .layers import maybe_layer_drop
+
+                rng = jax.random.fold_in(self.make_rng("dropout"), 2000 + i)
+                x = maybe_layer_drop(
+                    lambda v: layer(
+                        v,
+                        encoder_out=encoder_out,
+                        encoder_padding_mask=encoder_padding_mask,
+                        self_attn_padding_mask=pad_mask,
+                        deterministic=deterministic,
+                    )[0],
+                    x, self.layerdrop, rng, deterministic=deterministic,
+                )
+            else:
+                x, _ = layer(
+                    x,
+                    encoder_out=encoder_out,
+                    encoder_padding_mask=encoder_padding_mask,
+                    self_attn_padding_mask=pad_mask,
+                    deterministic=deterministic,
+                )
         if self.layer_norm is not None:
             x = self.layer_norm(x)
         if features_only:

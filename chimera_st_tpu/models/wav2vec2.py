@@ -236,6 +236,9 @@ class Wav2Vec2Encoder(nn.Module):
     # gradient scale on the conv-extractor output; 0 freezes the extractor
     # through the backward pass (reference: wav2vec2.py:337,529-532)
     feature_grad_mult: float = 1.0
+    # probability of skipping each transformer layer at train time
+    # (reference: wav2vec2.py encoder_layerdrop, default 0.05 in base)
+    layerdrop: float = 0.0
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -316,8 +319,19 @@ class Wav2Vec2Encoder(nn.Module):
         if not self.layer_norm_first:
             x = self.encoder_layer_norm(x)
         x = self.input_dropout(x, deterministic=deterministic)
-        for layer in self.layers:
-            x = layer(x, padding_mask=padding_mask, deterministic=deterministic)
+        for i, layer in enumerate(self.layers):
+            if self.layerdrop > 0.0 and not deterministic:
+                from .layers import maybe_layer_drop
+
+                rng = jax.random.fold_in(self.make_rng("dropout"), 1000 + i)
+                x = maybe_layer_drop(
+                    lambda v: layer(
+                        v, padding_mask=padding_mask, deterministic=deterministic
+                    ),
+                    x, self.layerdrop, rng, deterministic=deterministic,
+                )
+            else:
+                x = layer(x, padding_mask=padding_mask, deterministic=deterministic)
         if self.layer_norm_first:
             x = self.encoder_layer_norm(x)
         return x, padding_mask

@@ -98,3 +98,43 @@ def test_reduce_lr_on_plateau():
     s2 = build_lr_schedule({"_name": "reduce_lr_on_plateau", "lr": 1e-3})
     s2.load_state_dict(st)
     assert float(s2(0)) == pytest.approx(1e-4)
+
+
+def test_hf_byte_bpe_roundtrip(tmp_path):
+    """reference: data/encoders/hf_byte_bpe.py — tokenizers ByteLevelBPE."""
+    import json
+
+    from tokenizers import ByteLevelBPETokenizer
+
+    from chimera_st_tpu.config.registry import BPE
+
+    # train a tiny byte-level BPE on a few lines
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("hello world\nhello there\nworld peace\n" * 20)
+    tok = ByteLevelBPETokenizer()
+    tok.train([str(corpus)], vocab_size=300, min_frequency=1)
+    tok.save_model(str(tmp_path))
+    enc = BPE.get("hf_byte_bpe")({
+        "bpe_vocab": str(tmp_path / "vocab.json"),
+        "bpe_merges": str(tmp_path / "merges.txt"),
+    })
+    ids = enc.encode("hello world")
+    assert ids and all(t.isdigit() for t in ids.split())
+    assert enc.decode(ids) == "hello world"
+
+
+def test_hf_bert_bpe_local_vocab(tmp_path):
+    """reference: data/encoders/hf_bert_bpe.py — BertTokenizer wordpiece."""
+    from chimera_st_tpu.config.registry import BPE
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "hello", "world", "wo", "##rld", "##llo", "he"]
+    ) + "\n")
+    enc = BPE.get("hf_bert_bpe")({"bpe_vocab_file": str(vocab)})
+    out = enc.encode("hello world")
+    assert "hello" in out.split()
+    assert enc.decode(out) == "hello world"
+    assert enc.is_beginning_of_word("hello")
+    assert not enc.is_beginning_of_word("##rld")

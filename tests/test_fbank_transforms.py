@@ -76,3 +76,32 @@ def test_composite_from_config():
     x = np.random.default_rng(3).normal(size=(30, 10)).astype(np.float32)
     out = comp(x)
     assert out.shape == x.shape
+
+
+def test_specaugment_time_warp():
+    """reference: specaugment.py:12-80 sparse_image_warp time warp — shape
+    preserved, energy approximately preserved, frames actually move."""
+    import numpy as np
+
+    from chimera_st_tpu.data.feature_transforms import SpecAugmentTransform
+
+    t = SpecAugmentTransform(freq_mask_n=0, time_mask_n=0, time_warp_w=8)
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(80, 12)).astype(np.float32)
+    np.random.seed(3)
+    out = t(spec)
+    assert out.shape == spec.shape
+    assert np.isfinite(out).all()
+    # warp is a resample: values stay within the original min/max envelope
+    assert out.min() >= spec.min() - 1e-5 and out.max() <= spec.max() + 1e-5
+    # at least one draw moves frames
+    moved = False
+    for seed in range(5):
+        np.random.seed(seed)
+        if not np.allclose(t(spec), spec):
+            moved = True
+            break
+    assert moved
+    # W=0 is identity
+    t0 = SpecAugmentTransform(freq_mask_n=0, time_mask_n=0, time_warp_w=0)
+    np.testing.assert_array_equal(t0(spec), spec)

@@ -224,3 +224,50 @@ def test_reset_encoder_subtrees():
     r_dec = _leaves_under(restored, other_pred)
     for k in m_dec:
         np.testing.assert_array_equal(m_dec[k], r_dec[k])
+
+
+def test_prune_layer_params_renumbers():
+    """reference: checkpoint_utils.py:479 prune_state_dict — load a
+    LayerDrop-trained deep stack into a shallower model by keeping the
+    listed layers, renumbered consecutively."""
+    from chimera_st_tpu.checkpoint.store import prune_layer_params
+
+    tree = {f"layers_{i}": {"w": np.full((2,), i)} for i in range(6)}
+    tree["embed_tokens"] = {"embedding": np.zeros((4, 2))}
+    pruned = prune_layer_params(tree, "0,2,4")
+    assert sorted(k for k in pruned if k.startswith("layers_")) == [
+        "layers_0", "layers_1", "layers_2"
+    ]
+    np.testing.assert_array_equal(pruned["layers_1"]["w"], np.full((2,), 2))
+    np.testing.assert_array_equal(pruned["layers_2"]["w"], np.full((2,), 4))
+    assert "embed_tokens" in pruned
+    with pytest.raises(KeyError):
+        prune_layer_params(tree, [7])
+
+
+def test_layerdrop_trains_and_infers():
+    """LayerDrop (reference: fairseq/modules/layer_drop.py): training with
+    rate>0 stays finite and stochastic across rngs; inference ignores it."""
+    import dataclasses
+
+    from chimera_st_tpu.models.transformer_decoder import TransformerDecoder
+
+    dec = TransformerDecoder(vocab_size=12, embed_dim=16, ffn_dim=32,
+                             num_layers=3, num_heads=2, layerdrop=0.5,
+                             dropout=0.0, attention_dropout=0.0,
+                             activation_dropout=0.0)
+    prev = jnp.full((2, 5), 2, jnp.int32)
+    enc = jnp.zeros((2, 4, 16))
+    params = dec.init(jax.random.PRNGKey(0), prev, enc)
+    # inference deterministic: layerdrop off
+    a = dec.apply(params, prev, enc, deterministic=True)
+    b = dec.apply(params, prev, enc, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training: different rngs give different layer subsets
+    outs = [
+        np.asarray(dec.apply(params, prev, enc, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(s)}))
+        for s in range(6)
+    ]
+    assert all(np.isfinite(o).all() for o in outs)
+    assert any(not np.allclose(outs[0], o) for o in outs[1:])
