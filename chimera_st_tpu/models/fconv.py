@@ -230,7 +230,9 @@ class FConvLM(nn.Module):
         self.out = nn.Dense(c.vocab_size, name="out", **common)
         self.dropout_layer = nn.Dropout(c.dropout)
 
-    def __call__(self, tokens, deterministic: bool = True):
+    def features(self, tokens, deterministic: bool = True):
+        """Pre-vocab hidden states [B, T, out_embed_dim] (used by the
+        fconv_self_att pretrained-LM gating, reference: fconv_self_att.py)."""
         c = self.cfg
         nonpad = (tokens != c.padding_idx).astype(jnp.int32)
         pos_ids = jnp.cumsum(nonpad, axis=1) * nonpad + c.padding_idx
@@ -242,7 +244,10 @@ class FConvLM(nn.Module):
             x = conv(x)
             if x.shape[-1] == residual.shape[-1]:
                 x = (x + residual) * SQRT_HALF
-        x = self.proj_out(x)
+        return self.proj_out(x)
+
+    def __call__(self, tokens, deterministic: bool = True):
+        x = self.features(tokens, deterministic)
         x = self.dropout_layer(x, deterministic=deterministic)
         return self.out(x).astype(jnp.float32)
 

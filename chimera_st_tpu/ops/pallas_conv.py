@@ -1,0 +1,139 @@
+"""Fused wav2vec2 conv-frontend Pallas kernel.
+
+reference: fairseq/models/wav2vec/wav2vec2.py:685 ConvFeatureExtractionModel —
+the 7-layer strided conv stack. The BASELINE north star names this stack as a
+fused-Pallas target. Design:
+
+- layer 0 (k=10, s=5, C_in=1) + Fp32GroupNorm + GELU stay in XLA: the group
+  norm is an instance norm over the FULL time axis, which breaks time-tiling
+  (a fused version would need a second pass just for the statistics), and
+  layer 0 carries ~1% of the stack FLOPs.
+- layers 1..6 (4x k=3 s=2 + 2x k=2 s=2, 512ch) fuse into ONE kernel tiled
+  over (batch, output-time). Each grid step loads the input halo for its
+  output tile once, cascades all six convs in VMEM (even/odd phase split
+  turns each stride-2 conv into k MXU matmuls [S,512]x[512,512]), and writes
+  only the final tile — intermediate layer activations NEVER touch HBM
+  (the XLA path materializes ~2.2 GB of them at B=128 / 6 s audio).
+
+Parity vs the XLA path is tested in tests/test_pallas_conv.py; the A/B
+benchmark lives in benchmarks/ab_conv_frontend.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (kernel, stride) for the fused tail — fixed to the wav2vec2-base spec
+TAIL_SPEC: Tuple[Tuple[int, int], ...] = ((3, 2), (3, 2), (3, 2), (3, 2),
+                                          (2, 2), (2, 2))
+CH = 512
+TILE = 32  # output frames per grid step (VMEM budget: ~12.5 MB with weights)
+
+
+def _spans_for_tile(tile: int) -> List[int]:
+    """Input frames needed at each stage to produce ``tile`` output frames."""
+    spans = [tile]
+    for k, s in reversed(TAIL_SPEC):
+        spans.append(s * (spans[-1] - 1) + k)
+    return list(reversed(spans))  # [input, after l1, ..., after l6 = tile]
+
+
+def conv_tail_fused_windows(x: jax.Array, weights: Sequence[jax.Array],
+                            interpret: bool = False) -> jax.Array:
+    """Fused tail with host-side halo windowing.
+
+    Overlapping (halo) input windows are not expressible as a BlockSpec
+    (block index maps address disjoint blocks), so the input is first viewed
+    as per-tile windows [B, n_tiles, span0, CH] via a cheap XLA gather of
+    slice starts, then the kernel consumes one window per grid step. The
+    window copy is the only extra HBM traffic (span0/stride overlap ~= 1.6%
+    per layer-depth doubling; ~2x on the input layer) and buys keeping all
+    six intermediate activations in VMEM.
+    """
+    B, T1, ch = x.shape
+    assert ch == CH
+    lengths = [T1]
+    for k, s in TAIL_SPEC:
+        lengths.append((lengths[-1] - k) // s + 1)
+    t_out = lengths[-1]
+    if t_out <= 0:
+        return jnp.zeros((B, 0, CH), x.dtype)
+    spans = _spans_for_tile(TILE)
+    span0 = spans[0]
+    stride0 = TILE * 2 ** len(TAIL_SPEC)  # input frames per output tile
+    n_tiles = int(np.ceil(t_out / TILE))
+    need = (n_tiles - 1) * stride0 + span0
+    if need > T1:
+        x = jnp.pad(x, ((0, 0), (0, need - T1), (0, 0)))
+    # [B, n_tiles, span0, CH] halo windows
+    starts = np.arange(n_tiles) * stride0
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(x, int(s0), span0, axis=1)
+         for s0 in starts],
+        axis=1,
+    )
+    wflat = [w.reshape(-1, CH).astype(x.dtype) for w in weights]
+
+    grid = (B, n_tiles)
+    in_specs = [
+        pl.BlockSpec((1, 1, span0, CH), lambda b, t: (b, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((w.shape[0], CH), lambda b, t: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for w in wflat
+    ]
+    out = pl.pallas_call(
+        _conv_tail_kernel_windows,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, TILE, CH), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, CH), x.dtype),
+        interpret=interpret,
+    )(windows, *wflat)
+    return out[:, :t_out]
+
+
+def _conv_tail_kernel_windows(x_ref, *refs):
+    w_refs = refs[:-1]
+    out_ref = refs[-1]
+    spans = _spans_for_tile(TILE)
+    x = x_ref[0, 0]  # [span0, CH]
+    for li, (k, s) in enumerate(TAIL_SPEC):
+        n_out = spans[li + 1]
+        w = w_refs[li]
+        acc = None
+        for off in range(k):
+            tap = jax.lax.slice(
+                x, (off, 0), (off + s * (n_out - 1) + 1, CH), (s, 1)
+            )
+            part = jnp.dot(
+                tap,
+                w[off * CH:(off + 1) * CH, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        x = jax.nn.gelu(acc, approximate=False).astype(x_ref.dtype)
+    out_ref[0] = x
+
+
+def conv_tail_reference(x: jax.Array, weights: Sequence[jax.Array]) -> jax.Array:
+    """XLA composition of the same tail (for parity tests and the A/B)."""
+    for w in weights:
+        k = w.shape[0]
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype),
+            window_strides=(2,), padding="VALID",
+            dimension_numbers=("NTC", "TIO", "NTC"),
+        )
+        x = jax.nn.gelu(x, approximate=False).astype(x.dtype)
+    return x
