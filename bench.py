@@ -36,7 +36,10 @@ import numpy as np
 
 REF_A100_UTT_PER_SEC = 10.0  # assumed fairseq A100 baseline (see docstring)
 
-BATCHES = (32, 64)
+# round-3: lazy beam reorder + grouped cross-attention moved the knee of the
+# batch-scaling curve from 64 to 128 (sweep: 206 utt/s at 128, 170 at 192;
+# see benchmarks/sweep_decode logs)
+BATCHES = (64, 128)
 AUDIO_SECONDS = 6.0
 SAMPLE_RATE = 16000
 BEAM = 10
