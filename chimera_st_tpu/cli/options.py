@@ -128,6 +128,10 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--max-len-a", type=float, default=0)
     p.add_argument("--max-len-b", type=int, default=200)
     p.add_argument("--min-len", type=int, default=1)
+    p.add_argument("--min-len-a", type=float, default=0.0,
+                   help="per-sentence min length = a*src_len + b (reference: "
+                        "search.py:526 LengthConstrainedBeamSearch)")
+    p.add_argument("--min-len-b", type=int, default=0)
     p.add_argument("--lenpen", type=float, default=1)
     p.add_argument("--unkpen", type=float, default=0)
     p.add_argument("--temperature", type=float, default=1.0)

@@ -11,12 +11,18 @@ queries — the reference uses -1e8, see fairseq/modules/transformer_layer.py:12
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e8
+
+# fused Pallas encoder attention (north star "fused attention"); opt out with
+# CHIMERA_FLASH_ATTENTION=0 — only engages on TPU for bidirectional
+# padding-mask-only attention (see ops/pallas_attention.py)
+_FLASH_ENABLED = os.environ.get("CHIMERA_FLASH_ATTENTION", "1") != "0"
 
 
 def dot_product_attention(
@@ -34,6 +40,19 @@ def dot_product_attention(
     orig_dtype = q.dtype
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if _FLASH_ENABLED:
+        from .pallas_attention import (
+            flash_attention_applicable,
+            fused_encoder_attention,
+        )
+
+        eff_dropout = dropout_rate if dropout_rng is not None else 0.0
+        if flash_attention_applicable(q, k, bias, causal, eff_dropout):
+            return fused_encoder_attention(
+                q, k, v, key_padding_mask, float(scale)
+            )
+
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,89 @@
+"""Fused encoder self-attention Pallas kernel (the north star's "fused
+attention").
+
+The XLA lowering of softmax(QK^T)V materializes the [B, H, T, T] probability
+tensor in HBM (at B=128, T=600, H=8 that is ~590 MB per layer per direction
+of traffic, x12 w2v2 layers). This kernel computes logits -> masked softmax
+-> PV entirely in VMEM per (batch, head) grid step, so only Q/K/V/O ever
+touch HBM.
+
+Scope: bidirectional attention with an optional key padding mask — exactly
+the encoder stacks (wav2vec2 trunk, shared/interlingua encoder). Lengths are
+bounded by VMEM (T^2 fp32 logits): T <= MAX_T. Causal/cached/biased paths
+keep the XLA implementation. fp32 softmax like the XLA path, so parity is
+bit-tolerant (tests/test_pallas_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_T = 1024  # T^2 fp32 logits must fit VMEM comfortably (1024^2*4 = 4 MB)
+NEG_INF = -1e8
+
+
+def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
+    # q/k/v: [1, T, 1, D] (one batch row, one head); mask: [1, T] int8
+    q = q_ref[0, :, 0, :].astype(jnp.float32)
+    k = k_ref[0, :, 0, :].astype(jnp.float32)
+    v = v_ref[0, :, 0, :].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [T, T]
+    pad = mask_ref[0, :] != 0  # True = padded key
+    logits = jnp.where(pad[None, :], NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def fused_encoder_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array],  # [B, T] True = pad, or None
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    B, T, H, D = q.shape
+    if key_padding_mask is None:
+        mask = jnp.zeros((B, T), jnp.int8)
+    else:
+        mask = key_padding_mask.astype(jnp.int8)
+
+    qkv_spec = pl.BlockSpec((1, T, 1, D), lambda b, h: (b, 0, h, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale),
+        grid=(B, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec,
+                  pl.BlockSpec((1, T), lambda b, h: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+def flash_attention_applicable(q, k, bias, causal, dropout_rate) -> bool:
+    """True when the fused kernel covers this attention call: bidirectional
+    self/cross attention with only a key padding mask, bounded length, on a
+    TPU backend."""
+    return (
+        bias is None
+        and not causal
+        and dropout_rate == 0.0
+        and q.shape[1] == k.shape[1]  # self-attention shape (enc stacks)
+        and q.shape[1] <= MAX_T
+        and q.shape[1] >= 8
+        and jax.default_backend() == "tpu"
+    )

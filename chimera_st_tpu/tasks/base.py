@@ -94,6 +94,8 @@ class ChimeraTask:
             max_len_a=getattr(g, "max_len_a", 0.0),
             max_len_b=getattr(g, "max_len_b", 200),
             min_len=getattr(g, "min_len", 1),
+            min_len_a=getattr(g, "min_len_a", 0.0),
+            min_len_b=getattr(g, "min_len_b", 0),
             len_penalty=getattr(g, "lenpen", 1.0),
             unk_penalty=getattr(g, "unkpen", 0.0),
             max_decode_len=getattr(g, "max_decode_len", 256),
