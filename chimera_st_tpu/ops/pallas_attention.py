@@ -45,21 +45,8 @@ def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def fused_encoder_attention(
-    q: jax.Array,  # [B, T, H, D]
-    k: jax.Array,
-    v: jax.Array,
-    key_padding_mask: Optional[jax.Array],  # [B, T] True = pad, or None
-    scale: float,
-    interpret: bool = False,
-) -> jax.Array:
+def _fused_forward(q, k, v, mask, scale: float, interpret: bool):
     B, T, H, D = q.shape
-    if key_padding_mask is None:
-        mask = jnp.zeros((B, T), jnp.int8)
-    else:
-        mask = key_padding_mask.astype(jnp.int8)
-
     qkv_spec = pl.BlockSpec((1, T, 1, D), lambda b, h: (b, 0, h, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -72,6 +59,52 @@ def fused_encoder_attention(
         out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
         interpret=interpret,
     )(q, k, v, mask)
+
+
+def fused_encoder_attention(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    key_padding_mask: Optional[jax.Array],  # [B, T] True = pad, or None
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable wrapper: pallas_call has no automatic transpose rule,
+    so the backward pass recomputes the attention in plain XLA (standard
+    softmax-attention VJP; training-path gradients match the XLA forward)."""
+    B, T, H, D = q.shape
+    if key_padding_mask is None:
+        mask = jnp.zeros((B, T), jnp.int8)
+    else:
+        mask = key_padding_mask.astype(jnp.int8)
+
+    @jax.custom_vjp
+    def inner(q, k, v):
+        return _fused_forward(q, k, v, mask, scale, interpret)
+
+    def fwd(q, k, v):
+        return inner(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        gf = g.astype(jnp.float32)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+        logits = jnp.where(
+            (mask != 0)[:, None, None, :], NEG_INF, logits
+        )
+        p = jax.nn.softmax(logits, axis=-1)
+        dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+        dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
+        dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * scale
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    inner.defvjp(fwd, bwd)
+    return inner(q, k, v)
 
 
 def flash_attention_applicable(q, k, bias, causal, dropout_rate) -> bool:

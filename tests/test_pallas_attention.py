@@ -51,3 +51,31 @@ def test_applicability_gating():
     assert not flash_attention_applicable(q, q, jnp.zeros(()), False, 0.0)
     assert not flash_attention_applicable(q, q, None, False, 0.1)
     assert not flash_attention_applicable(q, k_cross, None, False, 0.0)
+
+
+def test_fused_attention_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) must match grads of the plain
+    XLA attention — the training path runs through this when flash engages."""
+    rng = np.random.default_rng(2)
+    B, T, H, D = 2, 32, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    mask = np.zeros((B, T), bool)
+    mask[0, 20:] = True
+    mask_j = jnp.asarray(mask)
+    scale = float(D**-0.5)
+
+    def loss_flash(q, k, v):
+        out = fused_encoder_attention(q, k, v, mask_j, scale, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        out = dot_product_attention(q, k, v, key_padding_mask=mask_j)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
