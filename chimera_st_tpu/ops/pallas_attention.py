@@ -29,10 +29,11 @@ NEG_INF = -1e8
 
 
 def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
-    # q/k/v: [1, T, 1, D] (one batch row, one head); mask: [1, T] int8
-    q = q_ref[0, :, 0, :].astype(jnp.float32)
-    k = k_ref[0, :, 0, :].astype(jnp.float32)
-    v = v_ref[0, :, 0, :].astype(jnp.float32)
+    # q/k/v: [1, 1, T, D] (one batch row, one head, head-major layout so the
+    # tiled minor dims are (T, D) rather than (1, D)); mask: [1, T] int8
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [T, T]
@@ -42,23 +43,28 @@ def _attn_kernel(scale, q_ref, k_ref, v_ref, mask_ref, o_ref):
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _fused_forward(q, k, v, mask, scale: float, interpret: bool):
     B, T, H, D = q.shape
-    qkv_spec = pl.BlockSpec((1, T, 1, D), lambda b, h: (b, 0, h, 0),
+    # head-major [B, H, T, D] so each grid step's block has (T, D) minor dims
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    qkv_spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_kernel, scale),
         grid=(B, H),
         in_specs=[qkv_spec, qkv_spec, qkv_spec,
                   pl.BlockSpec((1, T), lambda b, h: (b, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(qt, kt, vt, mask)
+    return jnp.transpose(out, (0, 2, 1, 3))
 
 
 def fused_encoder_attention(
