@@ -19,10 +19,15 @@ import jax.numpy as jnp
 
 NEG_INF = -1e8
 
-# fused Pallas encoder attention (north star "fused attention"); opt out with
-# CHIMERA_FLASH_ATTENTION=0 — only engages on TPU for bidirectional
-# padding-mask-only attention (see ops/pallas_attention.py)
-_FLASH_ENABLED = os.environ.get("CHIMERA_FLASH_ATTENTION", "1") != "0"
+# fused Pallas encoder attention (north star "fused attention") — MEASURED
+# DEAD END at flagship shapes, default OFF: on-chip A/B at B=128/T=600/H=8
+# (benchmarks/ab_flash_attention.py) reads 242 ms XLA vs 263 ms (per-head
+# grid) / 273 ms (head-batched) Pallas for the full encoder. XLA's own
+# attention lowering keeps the probs tensor in a fused loop at these sizes,
+# so the kernel only adds transposes + pipeline overhead. Kept in-tree
+# (correct + parity/grad-tested) for larger-T regimes; opt in with
+# CHIMERA_FLASH_ATTENTION=1.
+_FLASH_ENABLED = os.environ.get("CHIMERA_FLASH_ATTENTION", "0") == "1"
 
 
 def dot_product_attention(

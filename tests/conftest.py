@@ -38,10 +38,12 @@ def rng():
 
 
 def pytest_collection_modifyitems(config, items):
-    """Tiering: e2e CLI tests are 'slow'; everything else is 'quick'.
+    """Three tiers (measured on an idle box with a warm compile cache):
 
-    `pytest -m quick` keeps the torch-parity + unit layers under a minute;
-    `pytest -m "not slow"` skips only the multi-minute CLI runs."""
+    - `-m quick`      unit + light parity, ~3-4 min warm
+    - `-m "not slow"` adds the compile-heavy model/criterion tests (~12 min)
+    - full suite      adds the multi-minute e2e CLI runs (~30+ min)
+    """
     slow_files = {
         "test_cli_e2e.py",
         "test_cli_spmd.py",
@@ -51,8 +53,32 @@ def pytest_collection_modifyitems(config, items):
         "test_w2v2_warmstart.py",
         "test_resampling.py",
     }
+    # compile-heavy (>=10 s/test warm): in "not slow" but out of "quick"
+    heavy_files = {
+        "test_adaptive_softmax.py",
+        "test_berard_wav2vec1.py",
+        "test_cache_segments.py",
+        "test_ctc.py",
+        "test_ensemble.py",
+        "test_freeze_controls.py",
+        "test_hf_gpt2.py",
+        "test_lm_extra.py",
+        "test_lm_tail_tasks.py",
+        "test_masked_lm_task.py",
+        "test_model_zoo.py",
+        "test_multichip_decode.py",
+        "test_nat_cmlm.py",
+        "test_pallas_conv.py",
+        "test_quantization_modules.py",
+        "test_sentence_tasks.py",
+        "test_train_step.py",
+        "test_w2v2_pretraining.py",
+    }
     for item in items:
-        if item.fspath.basename in slow_files:
+        name = item.fspath.basename
+        if name in slow_files:
             item.add_marker(pytest.mark.slow)
+        elif name in heavy_files:
+            item.add_marker(pytest.mark.heavy)
         elif item.get_closest_marker("slow") is None:
             item.add_marker(pytest.mark.quick)
