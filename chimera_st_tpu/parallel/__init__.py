@@ -1,4 +1,10 @@
 from .mesh import initialize_distributed, make_mesh
+from .pipeline import (
+    make_layer_stage_fn,
+    microbatch,
+    pipeline_apply,
+    stack_stage_params,
+)
 from .partition import (
     batch_sharding,
     param_partition_specs,
@@ -15,4 +21,8 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "zero1_opt_state_specs",
+    "pipeline_apply",
+    "stack_stage_params",
+    "microbatch",
+    "make_layer_stage_fn",
 ]

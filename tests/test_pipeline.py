@@ -1,0 +1,193 @@
+"""Pipeline parallelism (GPipe schedule over a `pipe` mesh axis).
+
+Parity oracle: sequential layer application on one device. The pipeline is
+an execution schedule, not a math change — outputs and grads must match to
+fp32 tolerance (reference capability:
+fairseq/model_parallel/models/pipeline_parallel_transformer/model.py:44-120).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from chimera_st_tpu.parallel.pipeline import (
+    make_layer_stage_fn,
+    microbatch,
+    pipeline_apply,
+    pipeline_bubble_fraction,
+    stack_stage_params,
+)
+
+pytestmark = pytest.mark.quick
+
+D = 16
+N_LAYERS = 8
+N_STAGES = 4
+
+
+def _mlp_layer_params(rng, n_layers):
+    return [
+        {
+            "w": jnp.asarray(rng.normal(scale=0.3, size=(D, D)), jnp.float32),
+            "b": jnp.asarray(rng.normal(scale=0.1, size=(D,)), jnp.float32),
+        }
+        for _ in range(n_layers)
+    ]
+
+
+def _mlp_apply(p, x, *extras):
+    h = jnp.tanh(x @ p["w"] + p["b"])
+    if extras:  # padding mask [mb, T] True = pad -> zero padded frames
+        h = jnp.where(extras[0][..., None], 0.0, h)
+    return h
+
+
+def _sequential(per_layer, x, *extras):
+    for p in per_layer:
+        x = _mlp_apply(p, x, *extras)
+    return x
+
+
+def _pipe_mesh():
+    return Mesh(np.asarray(jax.devices()[:N_STAGES]), ("pipe",))
+
+
+def test_stack_stage_params_shape():
+    rng = np.random.default_rng(0)
+    per_layer = _mlp_layer_params(rng, N_LAYERS)
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    assert stacked["w"].shape == (N_STAGES, N_LAYERS // N_STAGES, D, D)
+    # stage s owns layers [2s, 2s+1] in order
+    np.testing.assert_array_equal(stacked["w"][1, 0], per_layer[2]["w"])
+    with pytest.raises(ValueError):
+        stack_stage_params(per_layer[:6], N_STAGES)
+
+
+def test_forward_parity_and_bubble():
+    rng = np.random.default_rng(1)
+    per_layer = _mlp_layer_params(rng, N_LAYERS)
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    x = jnp.asarray(rng.normal(size=(16, 6, D)), jnp.float32)
+
+    ref = _sequential(per_layer, x)
+    mesh = _pipe_mesh()
+    stage_fn = make_layer_stage_fn(_mlp_apply)
+    for num_micro in (4, 8):
+        mb = microbatch(x, num_micro)
+        out = pipeline_apply(stage_fn, stacked, mb, mesh=mesh)
+        assert out.shape == mb.shape
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(ref.shape), np.asarray(ref), atol=1e-5
+        )
+    assert pipeline_bubble_fraction(4, 12) == pytest.approx(0.2)
+
+
+def test_forward_with_extras_padding_mask():
+    rng = np.random.default_rng(2)
+    per_layer = _mlp_layer_params(rng, N_LAYERS)
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    x = jnp.asarray(rng.normal(size=(8, 5, D)), jnp.float32)
+    pad = jnp.asarray(rng.random((8, 5)) < 0.3)
+
+    ref = _sequential(per_layer, x, pad)
+    mesh = _pipe_mesh()
+    stage_fn = make_layer_stage_fn(_mlp_apply)
+    out = pipeline_apply(
+        stage_fn, stacked, microbatch(x, 4), extras=(microbatch(pad, 4),),
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref), atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_grad_parity(remat):
+    rng = np.random.default_rng(3)
+    per_layer = _mlp_layer_params(rng, N_LAYERS)
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    x = jnp.asarray(rng.normal(size=(8, 4, D)), jnp.float32)
+    mesh = _pipe_mesh()
+    stage_fn = make_layer_stage_fn(_mlp_apply)
+
+    def loss_pipe(params):
+        out = pipeline_apply(
+            stage_fn, params, microbatch(x, 4), mesh=mesh, remat=remat
+        )
+        return jnp.mean(out**2)
+
+    def loss_seq(params):
+        per = [
+            jax.tree_util.tree_map(lambda a: a[s, l], params)
+            for s in range(N_STAGES)
+            for l in range(N_LAYERS // N_STAGES)
+        ]
+        return jnp.mean(_sequential(per, x) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pipe)(stacked)
+    ls, gs = jax.value_and_grad(loss_seq)(stacked)
+    np.testing.assert_allclose(float(lp), float(ls), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        gp,
+        gs,
+    )
+
+
+def test_dp_pp_composed_mesh():
+    """dp x pp on a (2 data, 4 pipe) mesh: batch sharded over data."""
+    rng = np.random.default_rng(4)
+    per_layer = _mlp_layer_params(rng, N_LAYERS)
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    x = jnp.asarray(rng.normal(size=(16, 3, D)), jnp.float32)
+
+    ref = _sequential(per_layer, x)
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe")
+    )
+    stage_fn = make_layer_stage_fn(_mlp_apply)
+    out = pipeline_apply(
+        stage_fn, stacked, microbatch(x, 4), mesh=mesh, batch_axis="data"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_transformer_encoder_layer_stage():
+    """Pipeline a real TransformerEncoderLayer stack (the unit the MT/LM
+    models are built from) and check parity with sequential application."""
+    from chimera_st_tpu.models.layers import TransformerEncoderLayer
+
+    rng = np.random.default_rng(5)
+    layer = TransformerEncoderLayer(embed_dim=D, ffn_dim=2 * D, num_heads=2)
+    x = jnp.asarray(rng.normal(size=(8, 6, D)), jnp.float32)
+    pad = jnp.asarray(rng.random((8, 6)) < 0.25)
+
+    per_layer = []
+    for i in range(N_LAYERS):
+        v = layer.init(jax.random.PRNGKey(i), x, pad)
+        per_layer.append(v["params"])
+
+    def layer_apply(p, h, mask):
+        return layer.apply({"params": p}, h, mask)
+
+    ref = x
+    for p in per_layer:
+        ref = layer_apply(p, ref, pad)
+
+    stacked = stack_stage_params(per_layer, N_STAGES)
+    out = pipeline_apply(
+        make_layer_stage_fn(layer_apply),
+        stacked,
+        microbatch(x, 4),
+        extras=(microbatch(pad, 4),),
+        mesh=_pipe_mesh(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(ref.shape), np.asarray(ref), atol=2e-5
+    )
