@@ -22,6 +22,7 @@ the reference rule exactly (chop remainder, block-ALL; wav2vec2.py:543-548).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +32,11 @@ from flax import linen as nn
 from .layers import LayerNorm, get_activation
 
 Dtype = Any
+
+# fused Pallas tail for the extractor (ops/pallas_conv.py); opt-in via env
+# (same mechanism as CHIMERA_FLASH_ATTENTION; default set by the on-chip A/B
+# in benchmarks/ab_conv_frontend.py)
+_PALLAS_CONV_ENABLED = os.environ.get("CHIMERA_PALLAS_CONV", "0") == "1"
 
 # (dim, kernel, stride) — wav2vec2-base/small default extractor spec
 DEFAULT_CONV_SPEC: Tuple[Tuple[int, int, int], ...] = (
@@ -85,19 +91,82 @@ class Fp32GroupNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class _ConvKernelParam(nn.Module):
+    """Declares the SAME param tree as a bias-free nn.Conv (``kernel`` with
+    shape [k, in, out], he_normal init) without owning the compute, so the
+    fused-Pallas tail path stays checkpoint-compatible with the XLA path."""
+
+    kernel_shape: Tuple[int, int, int]
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.he_normal(), self.kernel_shape,
+            self.param_dtype,
+        )
+
+
 class ConvFeatureExtractor(nn.Module):
-    """Raw waveform [B, T] -> features [B, T', C]."""
+    """Raw waveform [B, T] -> features [B, T', C].
+
+    With ``use_pallas_tail`` (env CHIMERA_PALLAS_CONV=1) and the standard
+    wav2vec2-base tail spec, layers 1-6 run as ONE fused Pallas kernel
+    (ops/pallas_conv.py; intermediate activations stay in VMEM). Layer 0 +
+    the global GroupNorm stay XLA either way — the instance-norm statistics
+    span the full time axis, which breaks time tiling."""
 
     conv_spec: Tuple[Tuple[int, int, int], ...] = DEFAULT_CONV_SPEC
     mode: str = "default"  # default: group_norm on first layer; layer_norm: all
     conv_bias: bool = False
+    use_pallas_tail: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _pallas_tail_applicable(self) -> bool:
+        from chimera_st_tpu.ops.pallas_conv import CH, TAIL_SPEC
+
+        tail = self.conv_spec[1:]
+        return (
+            self.use_pallas_tail
+            and self.mode == "default"
+            and not self.conv_bias
+            and len(self.conv_spec) >= 2
+            and self.conv_spec[0][0] == CH
+            and tuple((k, s) for _, k, s in tail) == TAIL_SPEC
+            and all(d == CH for d, _, _ in tail)
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         gelu = get_activation("gelu")
         x = x[:, :, None].astype(self.dtype)  # [B, T, 1]
+        if self._pallas_tail_applicable():
+            from chimera_st_tpu.ops.pallas_conv import fused_conv_tail
+
+            dim0, k0, s0 = self.conv_spec[0]
+            x = nn.Conv(
+                features=dim0, kernel_size=(k0,), strides=(s0,),
+                padding="VALID", use_bias=self.conv_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.he_normal(), name="conv_0",
+            )(x)
+            x = Fp32GroupNorm(dim0, dtype=self.dtype, name="group_norm")(x)
+            x = gelu(x)
+            ws = [
+                _ConvKernelParam(
+                    kernel_shape=(k, cin, d), param_dtype=self.param_dtype,
+                    name=f"conv_{i}",
+                )()
+                for i, ((d, k, _), (cin, _, _)) in enumerate(
+                    zip(self.conv_spec[1:], self.conv_spec[:-1]), start=1
+                )
+            ]
+            # pallas lowering exists for TPU only; interpret elsewhere
+            interpret = jax.default_backend() != "tpu"
+            return fused_conv_tail(
+                x, [w.astype(self.dtype) for w in ws], interpret=interpret
+            )
         for i, (dim, k, stride) in enumerate(self.conv_spec):
             x = nn.Conv(
                 features=dim,
@@ -247,6 +316,7 @@ class Wav2Vec2Encoder(nn.Module):
             conv_spec=self.conv_spec,
             mode=self.extractor_mode,
             conv_bias=self.conv_bias,
+            use_pallas_tail=_PALLAS_CONV_ENABLED,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="feature_extractor",

@@ -137,3 +137,28 @@ def conv_tail_reference(x: jax.Array, weights: Sequence[jax.Array]) -> jax.Array
         )
         x = jax.nn.gelu(x, approximate=False).astype(x.dtype)
     return x
+
+
+def fused_conv_tail(x: jax.Array, weights: Sequence[jax.Array],
+                    interpret: bool = False) -> jax.Array:
+    """Differentiable fused tail: Pallas forward, XLA-composition backward.
+
+    pallas_call has no automatic transpose rule, so the VJP re-derives the
+    gradient through ``conv_tail_reference`` (same math; the fused kernel is
+    an execution-schedule change only). Same pattern as
+    ops/pallas_attention.fused_encoder_attention."""
+
+    @jax.custom_vjp
+    def inner(x, *ws):
+        return conv_tail_fused_windows(x, ws, interpret=interpret)
+
+    def fwd(x, *ws):
+        return inner(x, *ws), (x, ws)
+
+    def bwd(res, g):
+        x, ws = res
+        _, vjp = jax.vjp(lambda x, *ws: conv_tail_reference(x, ws), x, *ws)
+        return vjp(g)
+
+    inner.defvjp(fwd, bwd)
+    return inner(x, *weights)
