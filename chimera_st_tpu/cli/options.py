@@ -38,6 +38,18 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--zero-sharding", default="none", choices=["none", "os"],
                    help="'os': shard optimizer state over the data axis "
                         "(ZeRO-1; reference: fairseq/optim/shard.py)")
+    p.add_argument("--pipeline-stages", type=int, default=0,
+                   help="pipeline-parallel stages over a `pipe` mesh axis "
+                        "(GPipe schedule, parallel/pipeline.py; reference: "
+                        "--pipeline-balance/--pipeline-devices via fairscale "
+                        "Pipe). Supported archs: transformer_lm (uniform "
+                        "layer balance). Requires --dropout 0.")
+    p.add_argument("--pipeline-chunks", type=int, default=0,
+                   help="microbatches through the pipeline (reference: "
+                        "--pipeline-chunks); default = stages")
+    p.add_argument("--pipeline-checkpoint", action="store_true",
+                   help="rematerialize each stage in backward (reference: "
+                        "--pipeline-checkpoint)")
     p.add_argument("--source-lang", "-s", default=None)
     p.add_argument("--target-lang", "-t", default=None)
     p.add_argument("--max-source-positions", type=int, default=6000000)

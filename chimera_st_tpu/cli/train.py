@@ -59,7 +59,25 @@ def main(argv=None) -> None:
     model_cfg = {"arch": args.arch, **model_overrides}
     if args.feature_grad_mult != 1.0:
         model_cfg["feature_grad_mult"] = args.feature_grad_mult
+    pipeline_stages = getattr(args, "pipeline_stages", 0)
+    if pipeline_stages > 1:
+        # the model needs the (data x pipe) mesh at build time; built here
+        # instead of the default (data x model) mesh below
+        from ..parallel.mesh import make_pipeline_mesh
+
+        devs = jax.devices()
+        if args.distributed_world_size > 0:
+            devs = devs[: args.distributed_world_size]
+        pipe_mesh = make_pipeline_mesh(pipeline_stages, devices=devs)
+        model_cfg.update(
+            pipeline_stages=pipeline_stages,
+            pipeline_chunks=args.pipeline_chunks,
+            pipeline_remat=args.pipeline_checkpoint,
+            pipeline_mesh=pipe_mesh,
+        )
     model = task.build_model(model_cfg, dtype=dtype)
+    # the mesh object must not leak into the persisted run config
+    model_cfg = {k: v for k, v in model_cfg.items() if k != "pipeline_mesh"}
     logger.info(f"model arch {args.arch} ({type(model).__name__})")
 
     lr = parse_lr(args.lr)
@@ -108,7 +126,10 @@ def main(argv=None) -> None:
     devices = jax.devices()
     if args.distributed_world_size > 0:
         devices = devices[: args.distributed_world_size]
-    mesh = make_mesh(model_parallel=args.model_parallel_size, devices=devices)
+    if pipeline_stages > 1:
+        mesh = pipe_mesh  # (data x pipe); TP composes with dp only
+    else:
+        mesh = make_mesh(model_parallel=args.model_parallel_size, devices=devices)
     if mesh.devices.size > 1:
         params = shard_params(params, mesh)
     logger.info(

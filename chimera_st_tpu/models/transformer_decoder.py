@@ -53,6 +53,18 @@ class TransformerDecoder(nn.Module):
     # train-time layer skipping (reference: --decoder-layerdrop +
     # fairseq/modules/layer_drop.py); inference always runs every layer
     layerdrop: float = 0.0
+    # pipeline parallelism over the layer stack (parallel/pipeline.py;
+    # reference capability: pipeline_parallel_transformer via fairscale Pipe,
+    # model_parallel/models/pipeline_parallel_transformer/model.py:44-120).
+    # pipeline_mesh must carry a `pipe` axis of size pipeline_stages (and
+    # optionally a `data` axis the batch is sharded over). Engaged for the
+    # teacher-forced full-sequence forward with no cross-attention and no
+    # dropout; init and incremental decode always use the plain layer loop,
+    # so the param tree is identical either way.
+    pipeline_mesh: Any = None
+    pipeline_stages: int = 0
+    pipeline_chunks: int = 0
+    pipeline_remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -139,6 +151,19 @@ class TransformerDecoder(nn.Module):
             x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
 
+        if (
+            self.pipeline_mesh is not None
+            and self.pipeline_stages > 1
+            and encoder_out is None
+            and not self.is_initializing()
+        ):
+            x = self._pipelined_layers(x, pad_mask)
+            if self.layer_norm is not None:
+                x = self.layer_norm(x)
+            if features_only:
+                return x
+            return self._output_layer(x)
+
         for i, layer in enumerate(self.layers):
             if self.layerdrop > 0.0 and not deterministic:
                 from .layers import maybe_layer_drop
@@ -167,6 +192,71 @@ class TransformerDecoder(nn.Module):
         if features_only:
             return x
         return self._output_layer(x)
+
+    def _pipelined_layers(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+        """Run the layer stack through the GPipe schedule.
+
+        The per-layer param subtrees are stacked at trace time and sharded
+        over the `pipe` mesh axis by shard_map; grads flow back to the
+        original per-layer subtrees, so the optimizer and checkpoints are
+        unchanged. Dropout inside the stack is unsupported on this path
+        (dropout must be 0; asserted at build in the CLI) — rng plumbing
+        through the schedule is not worth the parity risk."""
+        from ..parallel.pipeline import (
+            make_layer_stage_fn,
+            microbatch,
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        per_layer = [
+            self.variables["params"][f"layers_{i}"]
+            for i in range(self.num_layers)
+        ]
+        stacked = stack_stage_params(per_layer, self.pipeline_stages)
+        layer_tmpl = TransformerDecoderLayer(
+            self.embed_dim,
+            self.ffn_dim,
+            self.num_heads,
+            dropout=0.0,
+            attention_dropout=0.0,
+            activation_dropout=0.0,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
+            causal=self.causal,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            parent=None,
+        )
+
+        def layer_apply(p, h, pmask):
+            y, _ = layer_tmpl.apply(
+                {"params": p},
+                h,
+                encoder_out=None,
+                encoder_padding_mask=None,
+                self_attn_padding_mask=pmask,
+                deterministic=True,
+            )
+            return y
+
+        b, t, c = x.shape
+        chunks = self.pipeline_chunks or self.pipeline_stages
+        mesh = self.pipeline_mesh
+        n_data = mesh.shape.get("data", 1)
+        batch_axis = (
+            "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
+        )
+        out = pipeline_apply(
+            make_layer_stage_fn(layer_apply),
+            stacked,
+            microbatch(x, chunks),
+            extras=(microbatch(pad_mask, chunks),),
+            mesh=mesh,
+            batch_axis=batch_axis,
+            remat=self.pipeline_remat,
+        )
+        return out.reshape(b, t, c)
 
     def cross_attention_weights(
         self,

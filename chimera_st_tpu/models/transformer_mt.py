@@ -177,6 +177,11 @@ class TransformerLMConfig:
     activation: str = "relu"
     # reference: --adaptive-softmax-cutoff (fairseq/modules/adaptive_softmax.py)
     adaptive_softmax_cutoffs: Optional[Tuple[int, ...]] = None
+    # pipeline parallelism (reference: --pipeline-balance/-chunks via
+    # fairscale Pipe; here the GPipe schedule in parallel/pipeline.py)
+    pipeline_stages: int = 0
+    pipeline_chunks: int = 0
+    pipeline_remat: bool = False
 
 
 class TransformerLM(nn.Module):
@@ -186,6 +191,9 @@ class TransformerLM(nn.Module):
     cfg: TransformerLMConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # mesh with a `pipe` axis, required when cfg.pipeline_stages > 1 (set by
+    # the train CLI; not part of the persisted config)
+    pipeline_mesh: Any = None
 
     def setup(self):
         c = self.cfg
@@ -200,6 +208,10 @@ class TransformerLM(nn.Module):
             normalize_before=c.normalize_before,
             padding_idx=c.padding_idx,
             max_target_positions=c.max_target_positions,
+            pipeline_mesh=self.pipeline_mesh,
+            pipeline_stages=c.pipeline_stages,
+            pipeline_chunks=c.pipeline_chunks,
+            pipeline_remat=c.pipeline_remat,
             name="decoder",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -245,8 +257,19 @@ def build_transformer_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.floa
     known = {f.name for f in dataclasses.fields(TransformerLMConfig)}
     d = dict(cfg_dict)
     d.setdefault("vocab_size", d.pop("tgt_vocab_size", 8))
+    mesh = d.pop("pipeline_mesh", None)
     cfg = TransformerLMConfig(**{k: v for k, v in d.items() if k in known})
-    return TransformerLM(cfg, dtype=dtype, param_dtype=param_dtype)
+    if cfg.pipeline_stages > 1:
+        assert mesh is not None and mesh.shape.get("pipe", 1) >= cfg.pipeline_stages, (
+            "pipeline_stages > 1 needs a mesh with a `pipe` axis "
+            "(train CLI: --pipeline-stages builds it)"
+        )
+        assert cfg.dropout == 0.0, (
+            "the pipeline path runs layers without dropout; set --dropout 0 "
+            "(documented delta vs the reference's Pipe)"
+        )
+    return TransformerLM(cfg, dtype=dtype, param_dtype=param_dtype,
+                         pipeline_mesh=mesh)
 
 
 @register_model_architecture("transformer", "transformer")

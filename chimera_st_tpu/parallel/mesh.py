@@ -41,6 +41,25 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_pipeline_mesh(
+    pipeline_stages: int,
+    data_parallel: int = -1,
+    devices=None,
+) -> Mesh:
+    """(data x pipe) mesh for pipeline-parallel training
+    (parallel/pipeline.py; reference flags: --pipeline-devices)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % pipeline_stages == 0, (
+        f"{n} devices do not divide into {pipeline_stages} pipeline stages"
+    )
+    if data_parallel == -1:
+        data_parallel = n // pipeline_stages
+    used = devices[: data_parallel * pipeline_stages]
+    arr = np.asarray(used).reshape(data_parallel, pipeline_stages)
+    return Mesh(arr, ("data", "pipe"))
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -223,3 +223,28 @@ def _tree_leaves(tree):
             yield from _tree_leaves(v)
     else:
         yield tree
+
+
+def test_train_pipeline_parallel_lm(tmp_path):
+    """--pipeline-stages on transformer_lm: 2 updates of GPipe training on a
+    (2 data x 4 pipe) mesh of the 8 virtual CPU devices (reference surface:
+    --pipeline-balance/--pipeline-chunks via fairscale Pipe)."""
+    from chimera_st_tpu.cli import train
+
+    save_dir = str(tmp_path / "pp_ckpt")
+    train.main([
+        "dummy", "--task", "dummy_lm",
+        "--dict-size", "32", "--tokens-per-sample", "12",
+        "--dataset-size", "32",
+        "--arch", "transformer_lm",
+        "--embed-dim", "16", "--ffn-dim", "32", "--layers", "4",
+        "--heads", "2", "--dropout", "0.0",
+        "--pipeline-stages", "4", "--pipeline-chunks", "4",
+        "--criterion", "cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--batch-size", "8", "--max-update", "2",
+        "--save-dir", save_dir, "--dtype", "float32",
+        "--disable-validation", "--num-length-buckets", "1",
+    ])
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()

@@ -191,3 +191,54 @@ def test_transformer_encoder_layer_stage():
     np.testing.assert_allclose(
         np.asarray(out).reshape(ref.shape), np.asarray(ref), atol=2e-5
     )
+
+
+def test_transformer_lm_pipeline_parity():
+    """The CLI-facing surface: transformer_lm with pipeline_stages engages
+    the GPipe path in TransformerDecoder; logits and grads must match the
+    plain layer loop bit-close on the same params."""
+    from chimera_st_tpu.models.transformer_mt import (
+        TransformerLM,
+        TransformerLMConfig,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe")
+    )
+    base = dict(vocab_size=32, embed_dim=D, ffn_dim=2 * D, layers=4, heads=2,
+                dropout=0.0)
+    plain = TransformerLM(TransformerLMConfig(**base))
+    piped = TransformerLM(
+        TransformerLMConfig(**base, pipeline_stages=4, pipeline_chunks=4),
+        pipeline_mesh=mesh,
+    )
+    rng = np.random.default_rng(6)
+    tokens = jnp.asarray(rng.integers(4, 32, size=(8, 12)), jnp.int32)
+    v = plain.init(jax.random.PRNGKey(0), tokens)
+
+    ref = plain.apply(v, tokens)
+    got = piped.apply(v, tokens)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    target = jnp.asarray(rng.integers(4, 32, size=(8, 12)), jnp.int32)
+
+    def ce(model):
+        def loss(params):
+            logits = model.apply(params, tokens)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return -jnp.mean(
+                jnp.take_along_axis(logp, target[..., None], axis=-1)
+            )
+        return loss
+
+    lr, gr = jax.value_and_grad(ce(plain))(v)
+    lp, gp = jax.value_and_grad(ce(piped))(v)
+    np.testing.assert_allclose(float(lp), float(lr), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        gp,
+        gr,
+    )
