@@ -42,8 +42,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="pipeline-parallel stages over a `pipe` mesh axis "
                         "(GPipe schedule, parallel/pipeline.py; reference: "
                         "--pipeline-balance/--pipeline-devices via fairscale "
-                        "Pipe). Supported archs: transformer_lm (uniform "
-                        "layer balance). Requires --dropout 0.")
+                        "Pipe). Supported archs: transformer, transformer_lm "
+                        "(uniform layer balance). Requires --dropout 0.")
     p.add_argument("--pipeline-chunks", type=int, default=0,
                    help="microbatches through the pipeline (reference: "
                         "--pipeline-chunks); default = stages")

@@ -154,10 +154,11 @@ class TransformerDecoder(nn.Module):
         if (
             self.pipeline_mesh is not None
             and self.pipeline_stages > 1
-            and encoder_out is None
             and not self.is_initializing()
         ):
-            x = self._pipelined_layers(x, pad_mask)
+            x = self._pipelined_layers(
+                x, pad_mask, encoder_out, encoder_padding_mask
+            )
             if self.layer_norm is not None:
                 x = self.layer_norm(x)
             if features_only:
@@ -193,15 +194,25 @@ class TransformerDecoder(nn.Module):
             return x
         return self._output_layer(x)
 
-    def _pipelined_layers(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+    def _pipelined_layers(
+        self,
+        x: jax.Array,
+        pad_mask: jax.Array,
+        encoder_out: Optional[jax.Array] = None,
+        encoder_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Run the layer stack through the GPipe schedule.
 
         The per-layer param subtrees are stacked at trace time and sharded
         over the `pipe` mesh axis by shard_map; grads flow back to the
         original per-layer subtrees, so the optimizer and checkpoints are
-        unchanged. Dropout inside the stack is unsupported on this path
-        (dropout must be 0; asserted at build in the CLI) — rng plumbing
-        through the schedule is not worth the parity risk."""
+        unchanged. Cross-attention inputs ride along as per-microbatch
+        extras (every stage attends to its microbatch's encoder states —
+        the reference's pipeline_decoder_balance path moves encoder_out
+        between devices the same way). Dropout inside the stack is
+        unsupported on this path (dropout must be 0; asserted at build in
+        the CLI) — rng plumbing through the schedule is not worth the
+        parity risk."""
         from ..parallel.pipeline import (
             make_layer_stage_fn,
             microbatch,
@@ -229,17 +240,6 @@ class TransformerDecoder(nn.Module):
             parent=None,
         )
 
-        def layer_apply(p, h, pmask):
-            y, _ = layer_tmpl.apply(
-                {"params": p},
-                h,
-                encoder_out=None,
-                encoder_padding_mask=None,
-                self_attn_padding_mask=pmask,
-                deterministic=True,
-            )
-            return y
-
         b, t, c = x.shape
         chunks = self.pipeline_chunks or self.pipeline_stages
         mesh = self.pipeline_mesh
@@ -247,11 +247,43 @@ class TransformerDecoder(nn.Module):
         batch_axis = (
             "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
         )
+
+        if encoder_out is None:  # decoder-only (LM)
+
+            def layer_apply(p, h, pmask):
+                y, _ = layer_tmpl.apply(
+                    {"params": p}, h,
+                    encoder_out=None, encoder_padding_mask=None,
+                    self_attn_padding_mask=pmask, deterministic=True,
+                )
+                return y
+
+            extras = (microbatch(pad_mask, chunks),)
+        else:
+            if encoder_padding_mask is None:
+                encoder_padding_mask = jnp.zeros(
+                    encoder_out.shape[:2], bool
+                )
+
+            def layer_apply(p, h, pmask, enc, emask):
+                y, _ = layer_tmpl.apply(
+                    {"params": p}, h,
+                    encoder_out=enc, encoder_padding_mask=emask,
+                    self_attn_padding_mask=pmask, deterministic=True,
+                )
+                return y
+
+            extras = (
+                microbatch(pad_mask, chunks),
+                microbatch(encoder_out, chunks),
+                microbatch(encoder_padding_mask, chunks),
+            )
+
         out = pipeline_apply(
             make_layer_stage_fn(layer_apply),
             stacked,
             microbatch(x, chunks),
-            extras=(microbatch(pad_mask, chunks),),
+            extras=extras,
             mesh=mesh,
             batch_axis=batch_axis,
             remat=self.pipeline_remat,

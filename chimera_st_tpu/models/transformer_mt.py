@@ -59,12 +59,21 @@ class TransformerMTConfig:
     # learned positions + embedding layernorm)
     learned_pos: bool = False
     layernorm_embedding: bool = False
+    # pipeline parallelism: encoder and decoder stacks each pipelined over
+    # the `pipe` mesh axis (reference: pipeline_parallel_transformer's
+    # pipeline_encoder_balance / pipeline_decoder_balance,
+    # model_parallel/models/pipeline_parallel_transformer/model.py:441-463)
+    pipeline_stages: int = 0
+    pipeline_chunks: int = 0
+    pipeline_remat: bool = False
 
 
 class TransformerModel(nn.Module):
     cfg: TransformerMTConfig
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # mesh with a `pipe` axis, required when cfg.pipeline_stages > 1
+    pipeline_mesh: Any = None
 
     def setup(self):
         c = self.cfg
@@ -105,6 +114,10 @@ class TransformerModel(nn.Module):
             causal=c.decoder_causal,
             learned_pos=c.learned_pos,
             layernorm_embedding=c.layernorm_embedding,
+            pipeline_mesh=self.pipeline_mesh,
+            pipeline_stages=c.pipeline_stages,
+            pipeline_chunks=c.pipeline_chunks,
+            pipeline_remat=c.pipeline_remat,
             name="decoder", **common,
         )
         self.embed_scale = (
@@ -139,11 +152,64 @@ class TransformerModel(nn.Module):
         if c.layernorm_embedding:
             x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
-        for layer in self.encoder_layers_list:
-            x = layer(x, encoder_padding_mask=pad_mask, deterministic=deterministic)
+        if (
+            self.pipeline_mesh is not None
+            and c.pipeline_stages > 1
+            and not self.is_initializing()
+        ):
+            x = self._pipelined_encoder(x, pad_mask)
+        else:
+            for layer in self.encoder_layers_list:
+                x = layer(x, encoder_padding_mask=pad_mask,
+                          deterministic=deterministic)
         if c.encoder_normalize_before:
             x = self.encoder_layer_norm(x)
         return x, pad_mask
+
+    def _pipelined_encoder(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+        """Encoder stack through the GPipe schedule (parallel/pipeline.py);
+        same trace-time param stacking as TransformerDecoder._pipelined_layers."""
+        from ..parallel.pipeline import (
+            make_layer_stage_fn,
+            microbatch,
+            pipeline_apply,
+            stack_stage_params,
+        )
+
+        c = self.cfg
+        per_layer = [
+            self.variables["params"][f"layers_{i}"]
+            for i in range(c.encoder_layers)
+        ]
+        stacked = stack_stage_params(per_layer, c.pipeline_stages)
+        layer_tmpl = TransformerEncoderLayer(
+            c.encoder_embed_dim, c.encoder_ffn_dim, c.encoder_heads,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            activation=c.activation,
+            normalize_before=c.encoder_normalize_before,
+            dtype=self.dtype, param_dtype=self.param_dtype, parent=None,
+        )
+
+        def layer_apply(p, h, pmask):
+            return layer_tmpl.apply({"params": p}, h, pmask)
+
+        b, t, d = x.shape
+        chunks = c.pipeline_chunks or c.pipeline_stages
+        mesh = self.pipeline_mesh
+        n_data = mesh.shape.get("data", 1)
+        batch_axis = (
+            "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
+        )
+        out = pipeline_apply(
+            make_layer_stage_fn(layer_apply),
+            stacked,
+            microbatch(x, chunks),
+            extras=(microbatch(pad_mask, chunks),),
+            mesh=mesh,
+            batch_axis=batch_axis,
+            remat=c.pipeline_remat,
+        )
+        return out.reshape(b, t, d)
 
     def __call__(self, src_tokens, prev_output_tokens, deterministic: bool = True):
         enc, enc_mask = self.encode(src_tokens, deterministic)
@@ -248,8 +314,26 @@ class TransformerLM(nn.Module):
 @register_model("transformer")
 def build_transformer(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
     known = {f.name for f in dataclasses.fields(TransformerMTConfig)}
-    cfg = TransformerMTConfig(**{k: v for k, v in cfg_dict.items() if k in known})
-    return TransformerModel(cfg, dtype=dtype, param_dtype=param_dtype)
+    d = dict(cfg_dict)
+    mesh = d.pop("pipeline_mesh", None)
+    cfg = TransformerMTConfig(**{k: v for k, v in d.items() if k in known})
+    if cfg.pipeline_stages > 1:
+        assert mesh is not None and mesh.shape.get("pipe", 1) >= cfg.pipeline_stages, (
+            "pipeline_stages > 1 needs a mesh with a `pipe` axis "
+            "(train CLI: --pipeline-stages builds it)"
+        )
+        assert cfg.dropout == 0.0, (
+            "the pipeline path runs layers without dropout; set --dropout 0 "
+            "(documented delta vs the reference's Pipe)"
+        )
+        assert cfg.encoder_layers % cfg.pipeline_stages == 0, (
+            "encoder_layers must divide into pipeline_stages (uniform balance)"
+        )
+        assert cfg.decoder_layers % cfg.pipeline_stages == 0, (
+            "decoder_layers must divide into pipeline_stages (uniform balance)"
+        )
+    return TransformerModel(cfg, dtype=dtype, param_dtype=param_dtype,
+                            pipeline_mesh=mesh)
 
 
 @register_model("transformer_lm")

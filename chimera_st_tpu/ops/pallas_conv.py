@@ -103,6 +103,34 @@ def conv_tail_fused_windows(x: jax.Array, weights: Sequence[jax.Array],
     return out[:, :t_out]
 
 
+def _gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact GELU with a polynomial erf (Abramowitz & Stegun 7.1.26,
+    max abs err 1.5e-7 — far below bf16 resolution).
+
+    jax.nn.gelu(approximate=False) lowers through `erfc`, which has no
+    Pallas TPU lowering (NotImplementedError in mosaic; found by the
+    on-chip A/B). exp/mul/add all lower, so the polynomial form runs on
+    the VPU."""
+    a = x * jnp.float32(0.7071067811865476)  # x / sqrt(2)
+    s = jnp.sign(a)
+    z = jnp.abs(a)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * z)
+    poly = t * (
+        jnp.float32(0.254829592)
+        + t * (
+            jnp.float32(-0.284496736)
+            + t * (
+                jnp.float32(1.421413741)
+                + t * (
+                    jnp.float32(-1.453152027) + t * jnp.float32(1.061405429)
+                )
+            )
+        )
+    )
+    erf = s * (1.0 - poly * jnp.exp(-z * z))
+    return 0.5 * x * (1.0 + erf)
+
+
 def _conv_tail_kernel_windows(x_ref, *refs):
     w_refs = refs[:-1]
     out_ref = refs[-1]
@@ -122,7 +150,7 @@ def _conv_tail_kernel_windows(x_ref, *refs):
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-        x = jax.nn.gelu(acc, approximate=False).astype(x_ref.dtype)
+        x = _gelu_exact(acc).astype(x_ref.dtype)
     out_ref[0] = x
 
 

@@ -242,3 +242,59 @@ def test_transformer_lm_pipeline_parity():
         gp,
         gr,
     )
+
+
+def test_transformer_mt_pipeline_parity():
+    """Enc-dec pipeline (reference: pipeline_parallel_transformer's separate
+    encoder/decoder balance): both stacks pipelined; cross-attention rides as
+    per-microbatch extras. Logits + grads match the plain loop."""
+    from chimera_st_tpu.models.transformer_mt import (
+        TransformerMTConfig,
+        TransformerModel,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe")
+    )
+    base = dict(
+        src_vocab_size=32, tgt_vocab_size=32,
+        encoder_embed_dim=D, encoder_ffn_dim=2 * D, encoder_layers=4,
+        encoder_heads=2,
+        decoder_embed_dim=D, decoder_ffn_dim=2 * D, decoder_layers=4,
+        decoder_heads=2, dropout=0.0,
+    )
+    plain = TransformerModel(TransformerMTConfig(**base))
+    piped = TransformerModel(
+        TransformerMTConfig(**base, pipeline_stages=4, pipeline_chunks=4),
+        pipeline_mesh=mesh,
+    )
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.integers(4, 32, size=(8, 9)), jnp.int32)
+    prev = jnp.asarray(rng.integers(4, 32, size=(8, 7)), jnp.int32)
+    v = plain.init(jax.random.PRNGKey(0), src, prev)
+
+    ref = plain.apply(v, src, prev)
+    got = piped.apply(v, src, prev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    target = jnp.asarray(rng.integers(4, 32, size=(8, 7)), jnp.int32)
+
+    def ce(model):
+        def loss(params):
+            logits = model.apply(params, src, prev)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+            return -jnp.mean(
+                jnp.take_along_axis(logp, target[..., None], axis=-1)
+            )
+        return loss
+
+    lr, gr = jax.value_and_grad(ce(plain))(v)
+    lp, gp = jax.value_and_grad(ce(piped))(v)
+    np.testing.assert_allclose(float(lp), float(lr), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        gp,
+        gr,
+    )
