@@ -46,6 +46,21 @@ def _spans_for_tile(tile: int) -> List[int]:
     return list(reversed(spans))  # [input, after l1, ..., after l6 = tile]
 
 
+def _padded_spans_for_tile(tile: int) -> List[int]:
+    """Even, slack-padded spans so every in-kernel tap is a UNIT-STRIDE
+    slice + pair reshape (mosaic rejects stride-2 extract_strided_slice —
+    found by the on-chip A/B). Layer l computes spans_pad[l+1] rows from
+    spans_pad[l] input rows; tap `off` reads rows [off, off + 2*n) via
+    reshape-to-pairs, so the input must hold k-1 + 2*n rows, rounded up to
+    even. Valid rows stay a prefix; the few trailing garbage rows are
+    finite (convs of zero padding) and are trimmed by the final [:tile]."""
+    spans = [tile if tile % 2 == 0 else tile + 1]
+    for k, _ in reversed(TAIL_SPEC):
+        need = 2 * spans[-1] + k - 1
+        spans.append(need + (need % 2))
+    return list(reversed(spans))
+
+
 def conv_tail_fused_windows(x: jax.Array, weights: Sequence[jax.Array],
                             interpret: bool = False) -> jax.Array:
     """Fused tail with host-side halo windowing.
@@ -66,8 +81,7 @@ def conv_tail_fused_windows(x: jax.Array, weights: Sequence[jax.Array],
     t_out = lengths[-1]
     if t_out <= 0:
         return jnp.zeros((B, 0, CH), x.dtype)
-    spans = _spans_for_tile(TILE)
-    span0 = spans[0]
+    span0 = _padded_spans_for_tile(TILE)[0]
     stride0 = TILE * 2 ** len(TAIL_SPEC)  # input frames per output tile
     n_tiles = int(np.ceil(t_out / TILE))
     need = (n_tiles - 1) * stride0 + span0
@@ -98,6 +112,12 @@ def conv_tail_fused_windows(x: jax.Array, weights: Sequence[jax.Array],
         out_specs=pl.BlockSpec((1, TILE, CH), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * TILE, CH), x.dtype),
+        # the unrolled 6-layer body's fp32 accumulators + gelu temporaries
+        # exceed the 16 MB default scoped-vmem budget (measured: 33 MB at
+        # TILE=32); v5e has 128 MB VMEM, so raise the per-kernel cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(windows, *wflat)
     return out[:, :t_out]
@@ -134,16 +154,17 @@ def _gelu_exact(x: jax.Array) -> jax.Array:
 def _conv_tail_kernel_windows(x_ref, *refs):
     w_refs = refs[:-1]
     out_ref = refs[-1]
-    spans = _spans_for_tile(TILE)
-    x = x_ref[0, 0]  # [span0, CH]
+    spans = _padded_spans_for_tile(TILE)
+    x = x_ref[0, 0]  # [span0_pad, CH]
     for li, (k, s) in enumerate(TAIL_SPEC):
         n_out = spans[li + 1]
         w = w_refs[li]
         acc = None
         for off in range(k):
-            tap = jax.lax.slice(
-                x, (off, 0), (off + s * (n_out - 1) + 1, CH), (s, 1)
-            )
+            # stride-2 tap as unit-stride slice + pair reshape (mosaic has
+            # no strided extract; see _padded_spans_for_tile)
+            seg = jax.lax.slice(x, (off, 0), (off + 2 * n_out, CH))
+            tap = seg.reshape(n_out, 2, CH)[:, 0, :]
             part = jnp.dot(
                 tap,
                 w[off * CH:(off + 1) * CH, :],
@@ -151,7 +172,7 @@ def _conv_tail_kernel_windows(x_ref, *refs):
             )
             acc = part if acc is None else acc + part
         x = _gelu_exact(acc).astype(x_ref.dtype)
-    out_ref[0] = x
+    out_ref[0] = x[:TILE]
 
 
 def conv_tail_reference(x: jax.Array, weights: Sequence[jax.Array]) -> jax.Array:
