@@ -44,15 +44,31 @@ def main():
     d = float(jnp.max(jnp.abs(r0.astype(jnp.float32) - f0.astype(jnp.float32))))
     print(f"max |diff| = {d:.4f}")
 
-    t0 = time.perf_counter()
-    for x in xs:
-        np.asarray(ref_fn(x, ws))
-    t_ref = (time.perf_counter() - t0) / ITERS
+    # sync via an on-device scalar reduce: materializing the full [B, T', C]
+    # output pays a multi-hundred-ms tunnel transfer per iteration that
+    # swamps the on-chip time (first A/B rounds measured 742 ms/iter at
+    # B=64 for a stack whose whole encode leg runs in 139 ms in-bench)
+    sum_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
 
-    t0 = time.perf_counter()
-    for x in xs:
-        np.asarray(fused_fn(x, ws))
-    t_fused = (time.perf_counter() - t0) / ITERS
+    trace_dir = os.environ.get("AB_TRACE_DIR")
+    if trace_dir:
+        from jax.profiler import trace as jprofile_trace
+    else:
+        import contextlib
+
+        def jprofile_trace(_):
+            return contextlib.nullcontext()
+
+    with jprofile_trace(trace_dir):
+        t0 = time.perf_counter()
+        for x in xs:
+            np.asarray(sum_fn(ref_fn(x, ws)))
+        t_ref = (time.perf_counter() - t0) / ITERS
+
+        t0 = time.perf_counter()
+        for x in xs:
+            np.asarray(sum_fn(fused_fn(x, ws)))
+        t_fused = (time.perf_counter() - t0) / ITERS
     print(f"B={B} T1={T1}: xla={t_ref*1e3:.1f}ms  pallas={t_fused*1e3:.1f}ms  "
           f"speedup={t_ref/t_fused:.2f}x")
 
