@@ -54,20 +54,12 @@ def main():
             np.asarray(gen.generate_audio(params, audio, mask)[0])
     print("trace captured", flush=True)
 
-    # dump op stats from the xplane
-    xplanes = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
-    print(xplanes)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # dump op stats from the xplane (parse_xplane parses the proto directly;
+    # the tensorboard plugin's native converter is broken with installed TF)
+    os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+    import parse_xplane
 
-    data, _ = rtd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-    import csv
-    import io
-
-    # data is tool-specific; framework_op_stats returns a json/csv blob
-    out = data.decode() if isinstance(data, bytes) else str(data)
-    with open("/tmp/opstats.txt", "w") as f:
-        f.write(out)
-    print(out[:3000])
+    parse_xplane.parse(TRACE_DIR, topk=50)
 
 
 if __name__ == "__main__":

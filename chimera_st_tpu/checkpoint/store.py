@@ -53,9 +53,22 @@ def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
     import jax.numpy as jnp
 
     params = serialization.from_state_dict(state_template.params, payload["params"])
-    opt_state = serialization.from_state_dict(
-        state_template.opt_state, payload["opt_state"]
-    )
+    try:
+        opt_state = serialization.from_state_dict(
+            state_template.opt_state, payload["opt_state"]
+        )
+    except (ValueError, KeyError) as e:
+        # optimizer structure changed between save and restore (e.g. the run
+        # was saved with --fix-* freeze masking and restored without, or
+        # vice versa — optax.multi_transform wraps the opt-state tree).
+        # Reference behavior: fairseq resets the optimizer state with a
+        # warning when the optimizer config no longer matches
+        # (trainer.py load_checkpoint / checkpoint_utils arg overrides).
+        logger.warning(
+            f"optimizer state in {path} does not match the current optimizer "
+            f"tree ({e}); keeping freshly initialized optimizer state"
+        )
+        opt_state = state_template.opt_state
     state = state_template._replace(
         step=jnp.asarray(payload["step"], jnp.int32),
         params=params,
