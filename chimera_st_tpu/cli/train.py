@@ -75,9 +75,18 @@ def main(argv=None) -> None:
             pipeline_remat=args.pipeline_checkpoint,
             pipeline_mesh=pipe_mesh,
         )
+    if pipeline_stages > 1 and args.model_parallel_size > 1:
+        raise SystemExit(
+            "--pipeline-stages and --model-parallel-size are mutually "
+            "exclusive (the pipe mesh has no model axis); pick one"
+        )
     model = task.build_model(model_cfg, dtype=dtype)
-    # the mesh object must not leak into the persisted run config
-    model_cfg = {k: v for k, v in model_cfg.items() if k != "pipeline_mesh"}
+    # pipeline_* keys are execution config for THIS run, not model identity:
+    # persisting them would make generate/validate rebuilds demand a pipe
+    # mesh (and the mesh object itself is not serializable)
+    model_cfg = {
+        k: v for k, v in model_cfg.items() if not k.startswith("pipeline_")
+    }
     logger.info(f"model arch {args.arch} ({type(model).__name__})")
 
     lr = parse_lr(args.lr)

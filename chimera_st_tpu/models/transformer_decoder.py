@@ -154,16 +154,19 @@ class TransformerDecoder(nn.Module):
         if (
             self.pipeline_mesh is not None
             and self.pipeline_stages > 1
+            and self.layerdrop == 0.0
             and not self.is_initializing()
         ):
-            x = self._pipelined_layers(
+            piped = self._pipelined_layers(
                 x, pad_mask, encoder_out, encoder_padding_mask
             )
-            if self.layer_norm is not None:
-                x = self.layer_norm(x)
-            if features_only:
-                return x
-            return self._output_layer(x)
+            if piped is not None:  # None: ragged batch -> sequential loop
+                x = piped
+                if self.layer_norm is not None:
+                    x = self.layer_norm(x)
+                if features_only:
+                    return x
+                return self._output_layer(x)
 
         for i, layer in enumerate(self.layers):
             if self.layerdrop > 0.0 and not deterministic:
@@ -210,21 +213,16 @@ class TransformerDecoder(nn.Module):
         extras (every stage attends to its microbatch's encoder states —
         the reference's pipeline_decoder_balance path moves encoder_out
         between devices the same way). Dropout inside the stack is
-        unsupported on this path (dropout must be 0; asserted at build in
-        the CLI) — rng plumbing through the schedule is not worth the
-        parity risk."""
-        from ..parallel.pipeline import (
-            make_layer_stage_fn,
-            microbatch,
-            pipeline_apply,
-            stack_stage_params,
-        )
+        unsupported on this path (all three dropout rates must be 0;
+        asserted at build) — rng plumbing through the schedule is not
+        worth the parity risk. Returns None for ragged batches (the caller
+        falls back to the sequential loop)."""
+        from ..parallel.pipeline import pipelined_layer_stack
 
         per_layer = [
             self.variables["params"][f"layers_{i}"]
             for i in range(self.num_layers)
         ]
-        stacked = stack_stage_params(per_layer, self.pipeline_stages)
         layer_tmpl = TransformerDecoderLayer(
             self.embed_dim,
             self.ffn_dim,
@@ -240,14 +238,6 @@ class TransformerDecoder(nn.Module):
             parent=None,
         )
 
-        b, t, c = x.shape
-        chunks = self.pipeline_chunks or self.pipeline_stages
-        mesh = self.pipeline_mesh
-        n_data = mesh.shape.get("data", 1)
-        batch_axis = (
-            "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
-        )
-
         if encoder_out is None:  # decoder-only (LM)
 
             def layer_apply(p, h, pmask):
@@ -258,7 +248,7 @@ class TransformerDecoder(nn.Module):
                 )
                 return y
 
-            extras = (microbatch(pad_mask, chunks),)
+            extras = (pad_mask,)
         else:
             if encoder_padding_mask is None:
                 encoder_padding_mask = jnp.zeros(
@@ -273,22 +263,15 @@ class TransformerDecoder(nn.Module):
                 )
                 return y
 
-            extras = (
-                microbatch(pad_mask, chunks),
-                microbatch(encoder_out, chunks),
-                microbatch(encoder_padding_mask, chunks),
-            )
+            extras = (pad_mask, encoder_out, encoder_padding_mask)
 
-        out = pipeline_apply(
-            make_layer_stage_fn(layer_apply),
-            stacked,
-            microbatch(x, chunks),
-            extras=extras,
-            mesh=mesh,
-            batch_axis=batch_axis,
+        return pipelined_layer_stack(
+            per_layer, layer_apply, x, extras,
+            mesh=self.pipeline_mesh,
+            stages=self.pipeline_stages,
+            chunks=self.pipeline_chunks,
             remat=self.pipeline_remat,
         )
-        return out.reshape(b, t, c)
 
     def cross_attention_weights(
         self,

@@ -152,13 +152,16 @@ class TransformerModel(nn.Module):
         if c.layernorm_embedding:
             x = self.layernorm_embedding_mod(x)
         x = self.dropout_layer(x, deterministic=deterministic)
+        piped = None
         if (
             self.pipeline_mesh is not None
             and c.pipeline_stages > 1
             and not self.is_initializing()
         ):
-            x = self._pipelined_encoder(x, pad_mask)
-        else:
+            piped = self._pipelined_encoder(x, pad_mask)
+        if piped is not None:
+            x = piped
+        else:  # pipeline off, init pass, or ragged tail batch
             for layer in self.encoder_layers_list:
                 x = layer(x, encoder_padding_mask=pad_mask,
                           deterministic=deterministic)
@@ -166,22 +169,17 @@ class TransformerModel(nn.Module):
             x = self.encoder_layer_norm(x)
         return x, pad_mask
 
-    def _pipelined_encoder(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+    def _pipelined_encoder(self, x: jax.Array, pad_mask: jax.Array):
         """Encoder stack through the GPipe schedule (parallel/pipeline.py);
-        same trace-time param stacking as TransformerDecoder._pipelined_layers."""
-        from ..parallel.pipeline import (
-            make_layer_stage_fn,
-            microbatch,
-            pipeline_apply,
-            stack_stage_params,
-        )
+        same trace-time param stacking as TransformerDecoder._pipelined_layers.
+        Returns None for ragged batches (caller runs the sequential loop)."""
+        from ..parallel.pipeline import pipelined_layer_stack
 
         c = self.cfg
         per_layer = [
             self.variables["params"][f"layers_{i}"]
             for i in range(c.encoder_layers)
         ]
-        stacked = stack_stage_params(per_layer, c.pipeline_stages)
         layer_tmpl = TransformerEncoderLayer(
             c.encoder_embed_dim, c.encoder_ffn_dim, c.encoder_heads,
             dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
@@ -193,23 +191,13 @@ class TransformerModel(nn.Module):
         def layer_apply(p, h, pmask):
             return layer_tmpl.apply({"params": p}, h, pmask)
 
-        b, t, d = x.shape
-        chunks = c.pipeline_chunks or c.pipeline_stages
-        mesh = self.pipeline_mesh
-        n_data = mesh.shape.get("data", 1)
-        batch_axis = (
-            "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
-        )
-        out = pipeline_apply(
-            make_layer_stage_fn(layer_apply),
-            stacked,
-            microbatch(x, chunks),
-            extras=(microbatch(pad_mask, chunks),),
-            mesh=mesh,
-            batch_axis=batch_axis,
+        return pipelined_layer_stack(
+            per_layer, layer_apply, x, (pad_mask,),
+            mesh=self.pipeline_mesh,
+            stages=c.pipeline_stages,
+            chunks=c.pipeline_chunks,
             remat=c.pipeline_remat,
         )
-        return out.reshape(b, t, d)
 
     def __call__(self, src_tokens, prev_output_tokens, deterministic: bool = True):
         enc, enc_mask = self.encode(src_tokens, deterministic)
@@ -240,6 +228,8 @@ class TransformerLMConfig:
     normalize_before: bool = True
     max_target_positions: int = 1024
     dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
     activation: str = "relu"
     # reference: --adaptive-softmax-cutoff (fairseq/modules/adaptive_softmax.py)
     adaptive_softmax_cutoffs: Optional[Tuple[int, ...]] = None
@@ -270,6 +260,8 @@ class TransformerLM(nn.Module):
             num_layers=c.layers,
             num_heads=c.heads,
             dropout=c.dropout,
+            attention_dropout=c.attention_dropout,
+            activation_dropout=c.activation_dropout,
             activation=c.activation,
             normalize_before=c.normalize_before,
             padding_idx=c.padding_idx,
@@ -318,12 +310,17 @@ def build_transformer(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32
     mesh = d.pop("pipeline_mesh", None)
     cfg = TransformerMTConfig(**{k: v for k, v in d.items() if k in known})
     if cfg.pipeline_stages > 1:
-        assert mesh is not None and mesh.shape.get("pipe", 1) >= cfg.pipeline_stages, (
-            "pipeline_stages > 1 needs a mesh with a `pipe` axis "
-            "(train CLI: --pipeline-stages builds it)"
+        assert mesh is not None and mesh.shape.get("pipe", 1) == cfg.pipeline_stages, (
+            "pipeline_stages > 1 needs a mesh whose `pipe` axis equals the "
+            "stage count (train CLI: --pipeline-stages builds it)"
         )
-        assert cfg.dropout == 0.0, (
+        assert (
+            cfg.dropout == 0.0
+            and cfg.attention_dropout == 0.0
+            and cfg.activation_dropout == 0.0
+        ), (
             "the pipeline path runs layers without dropout; set --dropout 0 "
+            "--attention-dropout 0 --activation-dropout 0 "
             "(documented delta vs the reference's Pipe)"
         )
         assert cfg.encoder_layers % cfg.pipeline_stages == 0, (
@@ -344,13 +341,21 @@ def build_transformer_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.floa
     mesh = d.pop("pipeline_mesh", None)
     cfg = TransformerLMConfig(**{k: v for k, v in d.items() if k in known})
     if cfg.pipeline_stages > 1:
-        assert mesh is not None and mesh.shape.get("pipe", 1) >= cfg.pipeline_stages, (
-            "pipeline_stages > 1 needs a mesh with a `pipe` axis "
-            "(train CLI: --pipeline-stages builds it)"
+        assert mesh is not None and mesh.shape.get("pipe", 1) == cfg.pipeline_stages, (
+            "pipeline_stages > 1 needs a mesh whose `pipe` axis equals the "
+            "stage count (train CLI: --pipeline-stages builds it)"
         )
-        assert cfg.dropout == 0.0, (
+        assert (
+            cfg.dropout == 0.0
+            and cfg.attention_dropout == 0.0
+            and cfg.activation_dropout == 0.0
+        ), (
             "the pipeline path runs layers without dropout; set --dropout 0 "
+            "--attention-dropout 0 --activation-dropout 0 "
             "(documented delta vs the reference's Pipe)"
+        )
+        assert cfg.layers % cfg.pipeline_stages == 0, (
+            "layers must divide into pipeline_stages (uniform balance)"
         )
     return TransformerLM(cfg, dtype=dtype, param_dtype=param_dtype,
                          pipeline_mesh=mesh)

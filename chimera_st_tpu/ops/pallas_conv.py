@@ -38,14 +38,6 @@ CH = 512
 TILE = 32  # output frames per grid step (VMEM budget: ~12.5 MB with weights)
 
 
-def _spans_for_tile(tile: int) -> List[int]:
-    """Input frames needed at each stage to produce ``tile`` output frames."""
-    spans = [tile]
-    for k, s in reversed(TAIL_SPEC):
-        spans.append(s * (spans[-1] - 1) + k)
-    return list(reversed(spans))  # [input, after l1, ..., after l6 = tile]
-
-
 def _padded_spans_for_tile(tile: int) -> List[int]:
     """Even, slack-padded spans so every in-kernel tap is a UNIT-STRIDE
     slice + pair reshape (mosaic rejects stride-2 extract_strided_slice —

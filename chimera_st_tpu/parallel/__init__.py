@@ -3,6 +3,7 @@ from .pipeline import (
     make_layer_stage_fn,
     microbatch,
     pipeline_apply,
+    pipelined_layer_stack,
     stack_stage_params,
 )
 from .partition import (
@@ -22,6 +23,7 @@ __all__ = [
     "shard_params",
     "zero1_opt_state_specs",
     "pipeline_apply",
+    "pipelined_layer_stack",
     "stack_stage_params",
     "microbatch",
     "make_layer_stage_fn",

@@ -32,6 +32,22 @@ The TPU-native design is a single SPMD program instead:
 ``num_microbatches`` is the reference's ``--pipeline-chunks``. The bubble
 fraction is ``(n_stages - 1) / (num_microbatches + n_stages - 1)``; pick
 chunks >= 4x stages for >80% pipeline utilisation.
+
+Two scope notes:
+
+- PERSISTENT params stay in their per-layer subtrees (replicated over the
+  mesh); the stage-stacked copy exists only inside the step, where XLA
+  shards it over ``pipe``. This keeps optimizer/checkpoint layouts
+  identical with and without the pipeline, at the cost of not reducing
+  per-device HBM for the weights — the flagship models fit one chip many
+  times over, so this build pipelines for THROUGHPUT composition, not
+  capacity. Capacity-PP would store the stack as a scanned ``[L, ...]``
+  param tree sharded over ``pipe`` (documented delta; the reference's Pipe
+  moves module shards between devices and rewrites the state dict,
+  model.py:336 convert_to_pipeline_parallel_state_dict).
+- ``pipeline_apply`` jits a fresh shard_map closure per call: callers must
+  sit inside an enclosing jit (the train step does) or accept a retrace
+  per invocation.
 """
 
 from __future__ import annotations
@@ -183,3 +199,40 @@ def pipeline_apply(
 def pipeline_bubble_fraction(n_stages: int, num_microbatches: int) -> float:
     """Idle fraction of the GPipe schedule (documentation helper)."""
     return (n_stages - 1) / (num_microbatches + n_stages - 1)
+
+
+def pipelined_layer_stack(
+    per_layer_params: Sequence[Any],
+    layer_apply: Callable[..., jax.Array],
+    x: jax.Array,  # [B, ...]
+    extras: Sequence[jax.Array] = (),
+    *,
+    mesh: Mesh,
+    stages: int,
+    chunks: int = 0,
+    remat: bool = False,
+) -> Optional[jax.Array]:
+    """One-call wrapper the models use: stack per-layer params, microbatch
+    the batch dim, pick the data axis, run the schedule, restore the shape.
+
+    Returns None when the batch is not divisible into ``chunks``
+    microbatches (ragged tail batches from token-budget batching) — the
+    caller falls back to the plain sequential layer loop for that shape.
+    """
+    chunks = chunks or stages
+    b = x.shape[0]
+    if b % chunks != 0:
+        return None
+    stacked = stack_stage_params(per_layer_params, stages)
+    n_data = mesh.shape.get("data", 1)
+    batch_axis = "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
+    out = pipeline_apply(
+        make_layer_stage_fn(layer_apply),
+        stacked,
+        microbatch(x, chunks),
+        extras=tuple(microbatch(e, chunks) for e in extras),
+        mesh=mesh,
+        batch_axis=batch_axis,
+        remat=remat,
+    )
+    return out.reshape(x.shape)

@@ -239,6 +239,7 @@ def test_train_pipeline_parallel_lm(tmp_path):
         "--arch", "transformer_lm",
         "--embed-dim", "16", "--ffn-dim", "32", "--layers", "4",
         "--heads", "2", "--dropout", "0.0",
+        "--attention-dropout", "0.0", "--activation-dropout", "0.0",
         "--pipeline-stages", "4", "--pipeline-chunks", "4",
         "--criterion", "cross_entropy",
         "--optimizer", "adam", "--lr", "1e-3",

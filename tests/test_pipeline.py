@@ -298,3 +298,29 @@ def test_transformer_mt_pipeline_parity():
         gp,
         gr,
     )
+
+
+def test_ragged_batch_falls_back_to_sequential():
+    """Token-budget batching emits ragged tail batches; the pipeline path
+    must fall back to the plain loop instead of crashing (review finding)."""
+    from chimera_st_tpu.models.transformer_mt import (
+        TransformerLM,
+        TransformerLMConfig,
+    )
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe")
+    )
+    base = dict(vocab_size=32, embed_dim=D, ffn_dim=2 * D, layers=4, heads=2,
+                dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+    plain = TransformerLM(TransformerLMConfig(**base))
+    piped = TransformerLM(
+        TransformerLMConfig(**base, pipeline_stages=4, pipeline_chunks=4),
+        pipeline_mesh=mesh,
+    )
+    rng = np.random.default_rng(8)
+    tokens = jnp.asarray(rng.integers(4, 32, size=(3, 6)), jnp.int32)  # B=3
+    v = plain.init(jax.random.PRNGKey(0), tokens)
+    ref = plain.apply(v, tokens)
+    got = piped.apply(v, tokens)  # 3 % 4 != 0 -> sequential fallback
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
