@@ -43,7 +43,9 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "(GPipe schedule, parallel/pipeline.py; reference: "
                         "--pipeline-balance/--pipeline-devices via fairscale "
                         "Pipe). Supported archs: transformer, transformer_lm "
-                        "(uniform layer balance). Requires --dropout 0.")
+                        "(throughput; params replicated), transformer_lm_pipe "
+                        "(capacity; stacked params sharded over pipe). "
+                        "Uniform layer balance; requires --dropout 0.")
     p.add_argument("--pipeline-chunks", type=int, default=0,
                    help="microbatches through the pipeline (reference: "
                         "--pipeline-chunks); default = stages")

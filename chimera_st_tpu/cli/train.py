@@ -342,7 +342,9 @@ def init_params_for_task(model, task, args):
         return model.init(jax.random.PRNGKey(seed), src, prev)
     if isinstance(model, LevenshteinTransformer):
         return model.init(jax.random.PRNGKey(seed), src, prev, prev, prev)
-    if isinstance(model, TransformerLM):
+    from ..models.pipeline_lm import PipelinedTransformerLM
+
+    if isinstance(model, (TransformerLM, PipelinedTransformerLM)):
         return model.init(jax.random.PRNGKey(seed), prev)
     if isinstance(model, TransformerModel):
         return model.init(jax.random.PRNGKey(seed), src, prev)

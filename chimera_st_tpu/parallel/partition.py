@@ -42,15 +42,24 @@ def _path_str(path) -> str:
 
 
 def param_partition_specs(params: Any, mesh: Mesh) -> Any:
-    """PartitionSpec pytree for params (TP rules when mesh has a model axis)."""
+    """PartitionSpec pytree for params (TP rules when mesh has a model axis;
+    pipe rules for scan-over-layers stacks when it has a pipe axis)."""
     use_tp = mesh.shape.get("model", 1) > 1
+    n_pipe = mesh.shape.get("pipe", 1)
 
     def spec_for(path, leaf):
+        p = _path_str(path)
         if use_tp:
-            p = _path_str(path)
             for rx, spec in TP_RULES:
                 if re.search(rx, p):
                     return spec
+        if n_pipe > 1 and "scan_layers" in p:
+            # persistently stacked layer params (models/pipeline_lm.py):
+            # shard the [L, ...] leading axis over pipe so each device holds
+            # ONLY its stage's layers (weights + inherited opt moments)
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                    and leaf.shape[0] % n_pipe == 0:
+                return P("pipe")
         return P()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -218,12 +218,28 @@ def pipelined_layer_stack(
     Returns None when the batch is not divisible into ``chunks``
     microbatches (ragged tail batches from token-budget batching) — the
     caller falls back to the plain sequential layer loop for that shape.
+
+    ``per_layer_params`` is either a list of per-layer param trees (stacked
+    here at trace time) or an already-stacked tree with a leading ``[L]``
+    axis (the persistent scan-over-layers layout of
+    models/pipeline_lm.py, which a ``P('pipe')`` spec shards for real
+    per-device stage residency).
     """
     chunks = chunks or stages
     b = x.shape[0]
     if b % chunks != 0:
         return None
-    stacked = stack_stage_params(per_layer_params, stages)
+    if isinstance(per_layer_params, (list, tuple)):
+        stacked = stack_stage_params(per_layer_params, stages)
+    else:  # [L, ...] tree -> [stages, L/stages, ...]
+        n_layers = jax.tree_util.tree_leaves(per_layer_params)[0].shape[0]
+        if n_layers % stages != 0:
+            raise ValueError(f"{n_layers} layers / {stages} stages uneven")
+        per = n_layers // stages
+        stacked = jax.tree_util.tree_map(
+            lambda a: a.reshape((stages, per) + a.shape[1:]),
+            per_layer_params,
+        )
     n_data = mesh.shape.get("data", 1)
     batch_axis = "data" if n_data > 1 and (b // chunks) % n_data == 0 else None
     out = pipeline_apply(

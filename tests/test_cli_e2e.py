@@ -249,3 +249,27 @@ def test_train_pipeline_parallel_lm(tmp_path):
         "--disable-validation", "--num-length-buckets", "1",
     ])
     assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+
+
+def test_train_capacity_pipeline_lm(tmp_path):
+    """--arch transformer_lm_pipe: stacked-param (capacity) pipeline LM
+    trains through the CLI; params + moments shard over the pipe axis."""
+    from chimera_st_tpu.cli import train
+
+    save_dir = str(tmp_path / "ppc_ckpt")
+    train.main([
+        "dummy", "--task", "dummy_lm",
+        "--dict-size", "32", "--tokens-per-sample", "12",
+        "--dataset-size", "32",
+        "--arch", "transformer_lm_pipe",
+        "--embed-dim", "16", "--ffn-dim", "32", "--layers", "4",
+        "--heads", "2",
+        "--pipeline-stages", "4", "--pipeline-chunks", "4",
+        "--criterion", "cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--batch-size", "8", "--max-update", "2",
+        "--save-dir", save_dir, "--dtype", "float32",
+        "--disable-validation", "--num-length-buckets", "1",
+    ])
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()

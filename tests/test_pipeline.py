@@ -324,3 +324,80 @@ def test_ragged_batch_falls_back_to_sequential():
     ref = plain.apply(v, tokens)
     got = piped.apply(v, tokens)  # 3 % 4 != 0 -> sequential fallback
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_capacity_pipeline_lm_parity_and_residency():
+    """transformer_lm_pipe: persistently stacked layers. Checks (a) logits
+    parity with a plain transformer_lm through the param converter, (b) the
+    P('pipe') spec gives each device ONLY its stage's layer slice (real
+    per-device residency — weights sharded, not replicated), (c) the
+    converter round-trips."""
+    from chimera_st_tpu.models.pipeline_lm import (
+        PipelinedTransformerLM,
+        stack_lm_params,
+        unstack_lm_params,
+    )
+    from chimera_st_tpu.models.transformer_mt import (
+        TransformerLM,
+        TransformerLMConfig,
+    )
+    from chimera_st_tpu.parallel import param_partition_specs, shard_params
+
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe")
+    )
+    base = dict(vocab_size=32, embed_dim=D, ffn_dim=2 * D, layers=4, heads=2,
+                dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+    plain = TransformerLM(TransformerLMConfig(**base))
+    piped = PipelinedTransformerLM(
+        TransformerLMConfig(**base, pipeline_stages=4, pipeline_chunks=4),
+        pipeline_mesh=mesh,
+    )
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(4, 32, size=(8, 10)), jnp.int32)
+
+    v_plain = plain.init(jax.random.PRNGKey(0), tokens)
+    v_pipe = stack_lm_params(v_plain, num_layers=4)
+
+    # param-tree compatibility: converter output loads into the pipe model
+    v_pipe_own = piped.init(jax.random.PRNGKey(0), tokens)
+    own = {jax.tree_util.keystr(p): l.shape
+           for p, l in jax.tree_util.tree_leaves_with_path(v_pipe_own)}
+    conv = {jax.tree_util.keystr(p): l.shape
+            for p, l in jax.tree_util.tree_leaves_with_path(v_pipe)}
+    assert own == conv
+
+    ref = plain.apply(v_plain, tokens)
+    got = piped.apply(v_pipe, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # round-trip
+    back = unstack_lm_params(v_pipe)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        back, v_plain,
+    )
+
+    # persistent residency: stacked leaves shard over pipe
+    specs = param_partition_specs(v_pipe, mesh)
+    stacked_spec = specs["params"]["scan_layers"]["layer"]
+    from jax.sharding import PartitionSpec as P
+    assert all(
+        s == P("pipe")
+        for s in jax.tree_util.tree_leaves(
+            stacked_spec, is_leaf=lambda x: isinstance(x, P)
+        )
+    )
+    sharded = shard_params(v_pipe, mesh)
+    leaf = sharded["params"]["scan_layers"]["layer"]["self_attn"]["q_proj"][
+        "kernel"
+    ]
+    assert leaf.shape[0] == 4  # global: all 4 layers
+    shard_shapes = {tuple(s.data.shape) for s in leaf.addressable_shards}
+    assert shard_shapes == {(1,) + leaf.shape[1:]}  # 1 layer per device
+
+    # and the model still runs + matches on the sharded params
+    with mesh:
+        got2 = piped.apply(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-5)
