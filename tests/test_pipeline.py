@@ -20,7 +20,7 @@ from chimera_st_tpu.parallel.pipeline import (
     stack_stage_params,
 )
 
-pytestmark = pytest.mark.quick
+# tiered heavy via conftest (compile-heavy shard_map programs)
 
 D = 16
 N_LAYERS = 8
