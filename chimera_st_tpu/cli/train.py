@@ -342,10 +342,14 @@ def init_params_for_task(model, task, args):
         return model.init(jax.random.PRNGKey(seed), src, prev)
     if isinstance(model, LevenshteinTransformer):
         return model.init(jax.random.PRNGKey(seed), src, prev, prev, prev)
+    from ..models.nat_vanilla import NATransformer
     from ..models.pipeline_lm import PipelinedTransformerLM
 
     if isinstance(model, (TransformerLM, PipelinedTransformerLM)):
         return model.init(jax.random.PRNGKey(seed), prev)
+    if isinstance(model, NATransformer):
+        return model.init(jax.random.PRNGKey(seed), src, prev,
+                          method=NATransformer.init_everything)
     if isinstance(model, TransformerModel):
         return model.init(jax.random.PRNGKey(seed), src, prev)
     params = model.init(

@@ -138,3 +138,44 @@ def make_nat_loss(cfg: dict):
         }
 
     return criterion
+
+
+@register_criterion("nacrf_loss")
+def make_nacrf_loss(cfg: dict):
+    """NAT-CRF objective: -CRF log-likelihood + length CE (reference:
+    nat_crf_transformer.py forward — word_ins loss from DynamicCRF)."""
+    length_weight = float(cfg.get("length_loss_factor", 0.1))
+
+    def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
+        from ..models.nat_vanilla import NATransformer
+
+        llh, length_logits = model.apply(
+            params,
+            batch["src_tokens"],
+            batch["masked_target"],
+            batch["target"],
+            deterministic=not train,
+            rngs=rngs,
+            method=NATransformer.crf_loglikelihood,
+        )
+        crf_loss = -jnp.sum(llh)
+
+        max_len = length_logits.shape[-1]
+        tgt_len = jnp.clip(batch["target_lengths"], 0, max_len - 1)
+        len_lp = jax.nn.log_softmax(length_logits, axis=-1)
+        len_loss = -jnp.sum(
+            jnp.take_along_axis(len_lp, tgt_len[:, None], axis=-1)
+        )
+
+        sample_size = jnp.asarray(batch["ntokens"], jnp.float32)
+        loss = crf_loss + length_weight * len_loss
+        return loss, sample_size, {
+            "loss": loss,
+            "crf_loss": crf_loss,
+            "length_loss": len_loss,
+            "ntokens": batch["ntokens"],
+            "nsentences": batch["target"].shape[0],
+            "sample_size": sample_size,
+        }
+
+    return criterion
