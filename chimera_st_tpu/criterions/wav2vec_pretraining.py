@@ -13,7 +13,12 @@ from ..config.registry import register_criterion
 
 
 def infonce_from_outputs(out, loss_weights=(0.1, 10.0)):
-    """(loss, sample_size, logging) from a pretrain-model output dict."""
+    """(loss, sample_size, logging) from a pretrain-model output dict.
+
+    ``loss_weights`` is (diversity, features_pen[, kmeans]); the optional
+    third entry weights the kmeans-VQ latent+commitment MSE the model emits
+    on the straight-through quantizer path (reference:
+    modules/kmeans_vector_quantizer.py ``kmeans_loss``; defaults to 1.0)."""
     logits = out["logits"].astype(jnp.float32)  # [B, T, 1+N], class 0 positive
     mask = out["mask"]
     lsm = jax.nn.log_softmax(logits, axis=-1)
@@ -22,13 +27,15 @@ def infonce_from_outputs(out, loss_weights=(0.1, 10.0)):
     sample_size = jnp.sum(mask).astype(jnp.float32)
     contrastive = jnp.sum(masked_nll)
 
-    div_w, pen_w = loss_weights
+    div_w, pen_w = loss_weights[:2]
+    kmeans_w = loss_weights[2] if len(loss_weights) > 2 else 1.0
     diversity = (
         (out["num_vars"] - out["prob_perplexity"]) / out["num_vars"]
     ) * sample_size
     features_pen = out["features_pen"] * sample_size
+    kmeans = out.get("kmeans_loss", jnp.float32(0.0)) * sample_size
 
-    loss = contrastive + div_w * diversity + pen_w * features_pen
+    loss = contrastive + div_w * diversity + pen_w * features_pen + kmeans_w * kmeans
     # accuracy over masked frames
     correct = jnp.where(mask, jnp.argmax(logits, axis=-1) == 0, False)
     logging = {
@@ -36,6 +43,7 @@ def infonce_from_outputs(out, loss_weights=(0.1, 10.0)):
         "contrastive_loss": contrastive,
         "diversity_loss": diversity,
         "features_pen": features_pen,
+        "kmeans_loss": kmeans,
         "prob_perplexity": out["prob_perplexity"],
         "n_correct": jnp.sum(correct).astype(jnp.float32),
         "total": sample_size,

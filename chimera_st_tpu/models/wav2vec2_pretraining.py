@@ -155,6 +155,102 @@ class GumbelVectorQuantizer(nn.Module):
         }
 
 
+class KmeansVectorQuantizer(nn.Module):
+    """reference: fairseq/modules/kmeans_vector_quantizer.py — hard
+    nearest-neighbour VQ with a straight-through estimator and
+    latent + gamma*commitment MSE ("kmeans_loss"; vq-wav2vec's kmeans
+    mode). BTC-native: the reference's grouped 1x1 Conv1d + Fp32GroupNorm
+    projection becomes a grouped pointwise Dense + fp32 GroupNorm."""
+
+    input_dim: int
+    num_vars: int = 320
+    groups: int = 2
+    vq_dim: int = 256
+    combine_groups: bool = False
+    gamma: float = 0.25
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.vq_dim % self.groups == 0
+        assert self.input_dim == self.vq_dim, (
+            "kmeans VQ quantizes in the projected input space "
+            "(reference views the projection output as [groups, vq_dim/groups])"
+        )
+        self.var_dim = self.vq_dim // self.groups
+        n_groups = 1 if self.combine_groups else self.groups
+        self.embedding = self.param(
+            "embedding",
+            lambda k, s, d: 0.01 * jax.random.normal(k, s, d),
+            (self.num_vars, n_groups, self.var_dim),
+            self.param_dtype,
+        )
+        self.proj = nn.Conv(
+            self.input_dim, kernel_size=(1,),
+            feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="proj",
+        )
+        self.group_norm = nn.GroupNorm(
+            num_groups=self.groups, dtype=jnp.float32, name="group_norm"
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T, C]
+        temperature: float = 0.0,  # unused; signature-compatible w/ gumbel
+        train: bool = True,
+        rng: Optional[jax.Array] = None,
+        produce_targets: bool = False,
+    ) -> Dict[str, jax.Array]:
+        B, T, _ = x.shape
+        ze = self.group_norm(self.proj(x).astype(jnp.float32))
+        zeg = ze.reshape(B, T, self.groups, self.var_dim)
+
+        emb = self.embedding.astype(jnp.float32)
+        if self.combine_groups:
+            emb = jnp.broadcast_to(
+                emb, (self.num_vars, self.groups, self.var_dim)
+            )
+        # d[b,t,g,v] = ||ze[b,t,g] - e[v,g]||
+        d = jnp.linalg.norm(
+            zeg[:, :, :, None, :] - jnp.transpose(emb, (1, 0, 2))[None, None],
+            axis=-1,
+        )
+        idx = jnp.argmin(d, axis=-1)  # [B, T, G]
+        zq = jnp.take_along_axis(
+            jnp.transpose(emb, (1, 0, 2))[None, None],  # [1,1,G,V,D]
+            idx[..., None, None],
+            axis=3,
+        )[:, :, :, 0, :]  # [B, T, G, D]
+
+        latent = jnp.mean(jnp.square(zq - jax.lax.stop_gradient(zeg)))
+        commitment = jnp.mean(jnp.square(zeg - jax.lax.stop_gradient(zq)))
+        kmeans_loss = latent + self.gamma * commitment
+
+        # straight-through: forward zq, backward d/dze
+        st = jax.lax.stop_gradient(zq) + (zeg - jax.lax.stop_gradient(zeg))
+        out = st.reshape(B, T, self.vq_dim).astype(self.dtype)
+
+        hard = jax.nn.one_hot(idx.reshape(-1, self.groups), self.num_vars)
+        hard_probs = jnp.mean(hard, axis=0)  # [G, V]
+        code_ppl = jnp.sum(
+            jnp.exp(-jnp.sum(hard_probs * jnp.log(hard_probs + 1e-7), axis=-1))
+        )
+
+        res = {
+            "x": out,
+            # code perplexity doubles as the diversity signal on this path
+            # (the reference's kmeans mode has no prob_perplexity)
+            "prob_perplexity": code_ppl,
+            "code_perplexity": code_ppl,
+            "num_vars": self.num_vars * self.groups,
+            "kmeans_loss": kmeans_loss,
+        }
+        if produce_targets:
+            res["targets"] = idx
+        return res
+
+
 @dataclass(frozen=True)
 class W2V2PretrainConfig:
     encoder_embed_dim: int = 768
@@ -170,6 +266,11 @@ class W2V2PretrainConfig:
     num_negatives: int = 100
     mask_prob: float = 0.65
     mask_length: int = 10
+    # "gumbel" (wav2vec 2.0) or "kmeans" (vq-wav2vec's straight-through VQ;
+    # reference: modules/kmeans_vector_quantizer.py). kmeans quantizes in
+    # the feat_dim space, so final_dim must equal the extractor dim there.
+    quantizer_type: str = "gumbel"
+    kmeans_gamma: float = 0.25
     conv_pos: int = 128
     conv_pos_groups: int = 16
     dropout: float = 0.1
@@ -204,14 +305,25 @@ class Wav2Vec2PretrainModel(nn.Module):
             (c.encoder_embed_dim,),
             self.param_dtype,
         )
-        self.quantizer = GumbelVectorQuantizer(
-            feat_dim,
-            num_vars=c.latent_vars,
-            groups=c.latent_groups,
-            vq_dim=c.final_dim,
-            name="quantizer",
-            **common,
-        )
+        if c.quantizer_type == "kmeans":
+            self.quantizer = KmeansVectorQuantizer(
+                feat_dim,
+                num_vars=c.latent_vars,
+                groups=c.latent_groups,
+                vq_dim=feat_dim,
+                gamma=c.kmeans_gamma,
+                name="quantizer",
+                **common,
+            )
+        else:
+            self.quantizer = GumbelVectorQuantizer(
+                feat_dim,
+                num_vars=c.latent_vars,
+                groups=c.latent_groups,
+                vq_dim=c.final_dim,
+                name="quantizer",
+                **common,
+            )
         self.project_q = nn.Dense(c.final_dim, name="project_q", **common)
         self.final_proj = nn.Dense(c.final_dim, name="final_proj", **common)
 
@@ -303,4 +415,6 @@ class Wav2Vec2PretrainModel(nn.Module):
             "prob_perplexity": q["prob_perplexity"],
             "num_vars": q["num_vars"],
             "features_pen": features_pen,
+            # nonzero only on the kmeans-VQ path (latent+commitment MSE)
+            "kmeans_loss": q.get("kmeans_loss", jnp.float32(0.0)),
         }

@@ -120,6 +120,10 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     n_data = mesh.shape.get("data", 1)
 
     def put(v):
+        if v is None:
+            # optional leaves (e.g. audio_padding_mask when every crop in the
+            # batch has equal length) stay host-side None
+            return None
         arr = np.asarray(v) if not hasattr(v, "ndim") else v
         if arr.ndim >= 1 and arr.shape[0] % n_data == 0:
             return jax.device_put(arr, NamedSharding(mesh, P("data")))

@@ -273,3 +273,52 @@ def test_train_capacity_pipeline_lm(tmp_path):
         "--disable-validation", "--num-length-buckets", "1",
     ])
     assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+
+
+def test_train_audio_pretraining_kmeans(tmp_path):
+    """--task audio_pretraining with the straight-through kmeans VQ
+    (reference: tasks/audio_pretraining.py + modules/kmeans_vector_quantizer.py):
+    the wav2vec criterion's kmeans latent+commitment term is live and the
+    run checkpoints."""
+    import jax.numpy as jnp
+
+    from chimera_st_tpu.cli import train
+    from chimera_st_tpu.data.audio import write_wav
+
+    rng = np.random.default_rng(11)
+    data = tmp_path / "raw"
+    data.mkdir()
+    rows = ["audio\tn_frames"]
+    for i in range(6):
+        n = int(rng.integers(1500, 2500))
+        write_wav(str(data / f"u{i}.wav"), (rng.normal(size=n) * 0.1).astype(np.float32))
+        rows.append(f"u{i}.wav\t{n}")
+    for split in ("train", "valid"):
+        (data / f"{split}.tsv").write_text("\n".join(rows) + "\n")
+
+    save_dir = str(tmp_path / "w2vk_ckpt")
+    train.main([
+        str(data), "--task", "audio_pretraining",
+        "--arch", "wav2vec2_pretrain", "--criterion", "wav2vec",
+        "--quantizer-type", "kmeans",
+        "--encoder-embed-dim", "16", "--encoder-ffn-dim", "32",
+        "--encoder-layers", "1", "--encoder-heads", "2",
+        "--conv-spec", "((8,10,5),(12,3,2))",
+        "--final-dim", "8", "--latent-vars", "16", "--latent-groups", "2",
+        "--num-negatives", "4", "--conv-pos", "8", "--conv-pos-groups", "4",
+        "--min-sample-size", "500", "--max-sample-size", "2500",
+        "--optimizer", "adam", "--lr", "5e-4",
+        "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "2",
+        "--max-sentences", "3", "--max-update", "2",
+        "--save-dir", save_dir, "--dtype", "float32",
+        "--log-interval", "1", "--no-progress-bar",
+    ])
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+
+    import pickle
+
+    with open(Path(save_dir) / "checkpoint_last.ckpt", "rb") as f:
+        payload = pickle.load(f)
+    # the kmeans codebook is a trained parameter in the checkpoint
+    emb = payload["params"]["params"]["quantizer"]["embedding"]
+    assert jnp.asarray(emb).shape == (16, 2, 6)
