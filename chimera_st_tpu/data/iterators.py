@@ -16,15 +16,22 @@ from typing import Any, Callable, Iterable, Iterator, List, Optional
 import numpy as np
 
 
-class CountingIterator:
-    """Iterator wrapper that counts elements (reference: iterators.py:27)."""
+_INFER = object()
 
-    def __init__(self, iterable, start: int = 0, total: Optional[int] = None):
+
+class CountingIterator:
+    """Iterator wrapper that counts elements (reference: iterators.py:27).
+
+    ``total`` defaults to the iterable's length when it has one; pass
+    ``total=None`` explicitly for an unsized/streaming source (then
+    ``has_next`` answers by peeking one element)."""
+
+    def __init__(self, iterable, start: int = 0, total=_INFER):
         self._itr = iter(iterable)
         self.n = start
         self.total = (
-            start + len(iterable) if total is None and hasattr(iterable, "__len__")
-            else total
+            start + len(iterable) if total is _INFER and hasattr(iterable, "__len__")
+            else (None if total is _INFER else total)
         )
 
     def __len__(self):
@@ -33,15 +40,28 @@ class CountingIterator:
     def __iter__(self):
         return self
 
+    _SENTINEL = object()
+
     def __next__(self):
         if self.total is not None and self.n >= self.total:
             raise StopIteration
-        x = next(self._itr)
+        if getattr(self, "_peeked", self._SENTINEL) is not self._SENTINEL:
+            x, self._peeked = self._peeked, self._SENTINEL
+        else:
+            x = next(self._itr)
         self.n += 1
         return x
 
     def has_next(self) -> bool:
-        return self.total is None or self.n < self.total
+        if self.total is not None:
+            return self.n < self.total
+        # unsized source (streaming): peek one element to answer truthfully
+        if getattr(self, "_peeked", self._SENTINEL) is self._SENTINEL:
+            try:
+                self._peeked = next(self._itr)
+            except StopIteration:
+                return False
+        return True
 
     def skip(self, n: int) -> "CountingIterator":
         next(itertools.islice(self._itr, n, n), None)
@@ -100,8 +120,13 @@ class BackgroundPrefetcher:
         return self
 
     def __next__(self):
+        # the worker enqueues exactly one sentinel; remember exhaustion so a
+        # later next() (e.g. a has_next peek) re-raises instead of blocking
+        if getattr(self, "_done", False):
+            raise StopIteration
         x = self._queue.get()
         if x is self._SENTINEL:
+            self._done = True
             if self._error is not None:
                 raise self._error
             raise StopIteration
@@ -245,3 +270,57 @@ class _SizedGenerator:
 
     def __iter__(self):
         return iter(self._gen)
+
+
+class StreamingEpochBatchIterator:
+    """Epoch iterator over an iterable dataset that yields ready batches
+    (reference: iterators.py:142-193 StreamingEpochBatchIterator).
+
+    For unsized/streaming corpora there is no frozen batch list to shuffle or
+    to mid-epoch-resume into; the contract shrinks to per-epoch iteration
+    (``set_epoch`` forwarded to the dataset), shard slicing, and an
+    epoch-granular ``state_dict``. ``num_shards``/``shard_id`` keep the
+    reference signature; under single-program SPMD one process feeds the
+    global batch, so the default 1/0 is the normal case."""
+
+    def __init__(self, dataset, epoch: int = 1, num_shards: int = 1,
+                 shard_id: int = 0, buffer_size: int = 0):
+        self.dataset = dataset
+        self.epoch = max(int(epoch), 1)
+        self.num_shards = int(num_shards)
+        self.shard_id = int(shard_id)
+        self.buffer_size = int(buffer_size)
+        self._cur: Optional[CountingIterator] = None
+
+    @property
+    def next_epoch_idx(self) -> int:
+        if self._cur is not None and self.end_of_epoch():
+            return self.epoch + 1
+        return self.epoch
+
+    def next_epoch_itr(self, shuffle: bool = True, offset: int = 0):
+        self.epoch = self.next_epoch_idx
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
+        source: Any = self.dataset
+        if self.num_shards > 1:
+            source = itertools.islice(
+                iter(source), self.shard_id, None, self.num_shards
+            )
+        if self.buffer_size > 0:
+            source = BackgroundPrefetcher(source, self.buffer_size)
+        self._cur = CountingIterator(source, total=None)
+        return self._cur
+
+    def end_of_epoch(self) -> bool:
+        return self._cur is None or not self._cur.has_next()
+
+    @property
+    def iterations_in_epoch(self) -> int:
+        return self._cur.n if self._cur is not None else 0
+
+    def state_dict(self):
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, state):
+        self.epoch = state.get("epoch", 1)

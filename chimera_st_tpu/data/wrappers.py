@@ -268,3 +268,89 @@ class LRUCacheDataset(_TokenWrapper):
 
     def num_tokens(self, i):
         return self.dataset.num_tokens(int(i))
+
+
+class ColorizeDataset(_TokenWrapper):
+    """Attach a per-sentence integer ``colors`` entry to collated batches
+    (reference: fairseq/data/colorize_dataset.py — used to tag language or
+    domain ids for models that consume them).
+
+    ``color_getter(dataset, id)`` follows the reference signature; items must
+    be dicts carrying an ``id`` (the repo's pair/manifest datasets all do)."""
+
+    def __init__(self, dataset, color_getter):
+        super().__init__(dataset)
+        self.color_getter = color_getter
+
+    def __getitem__(self, i):
+        return self.dataset[int(i)]
+
+    def num_tokens(self, i):
+        return self.dataset.num_tokens(int(i))
+
+    def collater(self, samples, **kwargs):
+        batch = self.dataset.collater(samples, **kwargs)
+        if batch:
+            batch["colors"] = np.asarray(
+                [self.color_getter(self.dataset, s["id"]) for s in samples],
+                np.int32,
+            )
+        return batch
+
+
+class MultiCorpusSampledDataset:
+    """Several corpora in one dataset; every batch comes wholly from ONE
+    corpus, chosen by a sampling function at collate time (reference:
+    fairseq/data/multi_corpus_sampled_dataset.py).
+
+    Each global index addresses all corpora (wrapping modulo each length), so
+    the batcher sees ``sum(len(d))`` items; the collater then picks the corpus
+    for the whole batch. Whole-corpus batches keep per-batch shapes
+    homogeneous — one jit shape bucket per corpus instead of a mixed-shape
+    explosion. Delta from the reference: corpus choice uses a dataset-owned
+    seeded Generator (reseeded by ``set_epoch``) rather than global
+    ``np.random``, so runs are reproducible."""
+
+    def __init__(self, datasets, sampling_func=None, seed: int = 0):
+        assert len(datasets) > 0
+        self.datasets = dict(datasets)  # insertion-ordered
+        self.keys = list(self.datasets.keys())
+        self.seed = int(seed)
+        self._rng = np.random.default_rng(self.seed)
+        self.sampling_func = sampling_func
+        self.total = sum(len(d) for d in self.datasets.values())
+
+    def _pick_key(self):
+        if self.sampling_func is not None:
+            return self.sampling_func(self.keys)
+        return self.keys[int(self._rng.integers(len(self.keys)))]
+
+    def __len__(self):
+        return self.total
+
+    def __getitem__(self, idx: int):
+        i = int(idx)
+        return {
+            key: ds[i % len(ds)] for key, ds in self.datasets.items()
+        }
+
+    def num_tokens(self, idx: int) -> int:
+        # max across corpora (reference :112-121): batching must budget for
+        # whichever corpus the collater ends up picking
+        i = int(idx)
+        return max(
+            ds.num_tokens(i % len(ds)) for ds in self.datasets.values()
+        )
+
+    def collater(self, samples, **kwargs):
+        if not samples:
+            return None
+        key = self._pick_key()
+        picked = [s[key] for s in samples]
+        return self.datasets[key].collater(picked, **kwargs)
+
+    def set_epoch(self, epoch: int):
+        self._rng = np.random.default_rng(self.seed + int(epoch))
+        for ds in self.datasets.values():
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)

@@ -231,3 +231,107 @@ def test_lru_cache_dataset():
     ds[4], ds[5]  # evicts 3
     ds[3]
     assert calls == [3, 4, 5, 3]
+
+
+def test_multi_corpus_sampled_dataset():
+    """reference: data/multi_corpus_sampled_dataset.py — every collated batch
+    comes wholly from one corpus; indices wrap modulo corpus length;
+    num_tokens budgets for the largest corpus item."""
+    from chimera_st_tpu.data.wrappers import MultiCorpusSampledDataset
+
+    a, b = FakeDataset(4, "a"), FakeDataset(6, "b")
+    ds = MultiCorpusSampledDataset({"a": a, "b": b}, seed=0)
+    assert len(ds) == 10
+
+    item = ds[5]
+    assert item["a"] == ("a", 5 % 4) and item["b"] == ("b", 5)
+    assert ds.num_tokens(5) == max(a.num_tokens(1), b.num_tokens(5))
+
+    # batches are single-corpus and the choice is seed-deterministic
+    picks = set()
+    for _ in range(20):
+        batch = ds.collater([ds[i] for i in (0, 1, 2)])
+        tags = {t for t, _ in batch["items"]}
+        assert len(tags) == 1
+        picks |= tags
+    assert picks == {"a", "b"}  # both corpora get sampled eventually
+
+    ds2 = MultiCorpusSampledDataset({"a": a, "b": b}, seed=0)
+    seq1 = [ds.collater([ds[0]])["items"][0][0] for _ in range(8)]
+    ds.set_epoch(3), ds2.set_epoch(3)
+    seq_a = [ds.collater([ds[0]])["items"][0][0] for _ in range(8)]
+    seq_b = [ds2.collater([ds2[0]])["items"][0][0] for _ in range(8)]
+    assert seq_a == seq_b  # same epoch seed -> same corpus schedule
+
+    # explicit sampling_func overrides the RNG
+    only_b = MultiCorpusSampledDataset({"a": a, "b": b}, sampling_func=lambda keys: "b")
+    assert all(t == "b" for t, _ in only_b.collater([only_b[0], only_b[1]])["items"])
+
+
+def test_colorize_dataset():
+    """reference: data/colorize_dataset.py — collated batches gain a
+    per-sentence integer 'colors' entry from color_getter(dataset, id)."""
+    from chimera_st_tpu.data.wrappers import ColorizeDataset
+
+    class DictDataset(FakeDataset):
+        def __getitem__(self, i):
+            return {"id": i, "tag": self.tag}
+
+        def collater(self, samples, **kwargs):
+            return {"id": np.asarray([s["id"] for s in samples])}
+
+    base = DictDataset(5, "x")
+    ds = ColorizeDataset(base, color_getter=lambda d, i: 100 + i * 2)
+    batch = ds.collater([ds[0], ds[3]])
+    np.testing.assert_array_equal(batch["colors"], [100, 106])
+    assert batch["colors"].dtype == np.int32
+    assert ds.num_tokens(3) == base.num_tokens(3)
+
+
+def test_streaming_epoch_batch_iterator():
+    """reference: iterators.py:142-193 — epoch iteration over an unsized
+    streaming dataset: set_epoch forwarded, shard slicing, truthful
+    end_of_epoch, epoch-granular state_dict."""
+    from chimera_st_tpu.data.iterators import StreamingEpochBatchIterator
+
+    class Stream:
+        def __init__(self):
+            self.epochs = []
+
+        def set_epoch(self, epoch):
+            self.epochs.append(epoch)
+            self._items = [f"e{epoch}b{i}" for i in range(5)]
+
+        def __iter__(self):
+            return iter(self._items)
+
+    s = Stream()
+    it = StreamingEpochBatchIterator(s)
+    epoch1 = list(it.next_epoch_itr())
+    assert epoch1 == ["e1b0", "e1b1", "e1b2", "e1b3", "e1b4"]
+    assert it.end_of_epoch()
+    assert it.iterations_in_epoch == 5
+    assert it.next_epoch_idx == 2
+
+    # mid-epoch: end_of_epoch is false while elements remain
+    itr = it.next_epoch_itr()
+    next(itr)
+    assert not it.end_of_epoch()
+    assert s.epochs == [1, 2]
+
+    # sharding takes every num_shards-th element
+    sh = StreamingEpochBatchIterator(Stream(), num_shards=2, shard_id=1)
+    assert list(sh.next_epoch_itr()) == ["e1b1", "e1b3"]
+
+    # state_dict restores the epoch counter
+    st = it.state_dict()
+    fresh = StreamingEpochBatchIterator(Stream())
+    fresh.load_state_dict(st)
+    assert list(fresh.next_epoch_itr())[0] == "e2b0"
+
+    # with the background prefetcher: end_of_epoch after exhaustion must not
+    # block on the drained queue (regression: sentinel consumed once only)
+    pf = StreamingEpochBatchIterator(Stream(), buffer_size=2)
+    assert len(list(pf.next_epoch_itr())) == 5
+    assert pf.end_of_epoch()
+    assert [b[-2:] for b in pf.next_epoch_itr()][:2] == ["b0", "b1"]
