@@ -30,7 +30,7 @@ MAX_DECODE_LEN = 64
 ITERS = 4
 
 
-def run(batch):
+def run(batch, cache_segment=16):
     from chimera_st_tpu.generation.generator import (
         GeneratorSettings,
         SequenceGenerator,
@@ -55,7 +55,7 @@ def run(batch):
         model,
         GeneratorSettings(
             beam_size=BEAM, max_decode_len=MAX_DECODE_LEN,
-            len_penalty=1.5, min_len=30,
+            len_penalty=1.5, min_len=30, cache_segment=cache_segment,
         ),
     )
 
@@ -96,6 +96,10 @@ def run(batch):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batches", type=int, nargs="+", default=[16, 32, 64, 128])
+    p.add_argument(
+        "--cache-segment", type=int, default=16,
+        help="KV-cache growth segment (0 = preallocate max_len)",
+    )
     args = p.parse_args()
     for b in args.batches:
-        run(b)
+        run(b, cache_segment=args.cache_segment)
