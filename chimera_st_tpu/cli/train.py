@@ -314,6 +314,12 @@ def init_params_for_task(model, task, args):
         )
     src = jnp.full((B, 4), 2, jnp.int32)
     prev = jnp.full((B, 4), 2, jnp.int32)
+    from ..models.wav2vec2_asr import Wav2VecCtcModel, Wav2VecSeq2SeqModel
+
+    if isinstance(model, Wav2VecCtcModel):
+        return model.init(jax.random.PRNGKey(seed), audio, mask)
+    if isinstance(model, Wav2VecSeq2SeqModel):
+        return model.init(jax.random.PRNGKey(seed), audio, mask, prev)
     from ..models.bart import BARTModel
     from ..models.fconv import FConvLM
     from ..models.hf_gpt2 import GPT2LM

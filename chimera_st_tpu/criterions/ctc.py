@@ -21,19 +21,32 @@ def make_ctc_criterion(cfg: dict):
     zero_infinity = bool(cfg.get("zero_infinity", True))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        # encoder states -> per-frame vocabulary logits via the tied decoder
-        # embedding (no extra head; a dedicated ctc head can be configured)
-        enc, enc_mask = model.apply(
-            params,
-            batch["audio"],
-            batch["audio_padding_mask"],
-            deterministic=not train,
-            rngs=rngs,
-            method=type(model).encode_audio,
-        )
-        logits = model.apply(
-            params, enc, method=lambda m, e: m.decoder.embed_tokens.attend(e)
-        ).astype(jnp.float32)
+        if hasattr(type(model), "ctc_logits"):
+            # dedicated CTC head (wav2vec_ctc fine-tune model)
+            logits, enc_mask = model.apply(
+                params,
+                batch["audio"],
+                batch["audio_padding_mask"],
+                mask_indices=batch.get("mask_indices"),
+                num_updates=num_updates,
+                deterministic=not train,
+                rngs=rngs,
+                method=type(model).ctc_logits,
+            )
+        else:
+            # encoder states -> per-frame vocabulary logits via the tied
+            # decoder embedding (no extra head on the ST models)
+            enc, enc_mask = model.apply(
+                params,
+                batch["audio"],
+                batch["audio_padding_mask"],
+                deterministic=not train,
+                rngs=rngs,
+                method=type(model).encode_audio,
+            )
+            logits = model.apply(
+                params, enc, method=lambda m, e: m.decoder.embed_tokens.attend(e)
+            ).astype(jnp.float32)
 
         B, T, V = logits.shape
         if enc_mask is None:

@@ -65,14 +65,26 @@ def make_label_smoothed_ce(cfg: dict):
     ignore_index = int(cfg.get("padding_idx", 1))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        logits, _ = model.apply(
-            params,
-            batch["src_tokens"],
-            batch["prev_output_tokens"],
-            deterministic=not train,
-            rngs=rngs,
-            method=type(model).forward_text_with_internal,
-        )
+        if "audio" in batch:
+            # audio-source batch (pure-CE ST / wav2vec_seq2seq ASR fine-tune)
+            logits, _ = model.apply(
+                params,
+                batch["audio"],
+                batch["audio_padding_mask"],
+                batch["prev_output_tokens"],
+                deterministic=not train,
+                rngs=rngs,
+                method=type(model).forward_audio_with_internal,
+            )
+        else:
+            logits, _ = model.apply(
+                params,
+                batch["src_tokens"],
+                batch["prev_output_tokens"],
+                deterministic=not train,
+                rngs=rngs,
+                method=type(model).forward_text_with_internal,
+            )
         loss, nll = ce_loss_from_logits(
             logits, batch["target"], eps, ignore_index
         )

@@ -28,9 +28,12 @@ class RawAudioDataset:
         frames_fn=None,  # raw samples -> model frames (conv downsampling)
         seed: int = 1,
     ):
-        self.rows = [
-            r for r in manifest_rows if int(r["n_frames"]) >= min_sample_size
+        self.kept_indices = [
+            j
+            for j, r in enumerate(manifest_rows)
+            if int(r["n_frames"]) >= min_sample_size
         ]
+        self.rows = [manifest_rows[j] for j in self.kept_indices]
         self.audio_root = audio_root
         self.max_sample_size = max_sample_size
         self.mask_prob = mask_prob
@@ -86,3 +89,82 @@ class RawAudioDataset:
             "ntokens": float(mask.sum()),
             "nsentences": B,
         }
+
+
+class AddTargetDataset:
+    """Raw-audio dataset + per-utterance label token arrays for ASR
+    fine-tuning (reference: fairseq/data/add_target_dataset.py — wraps the
+    pretraining dataset with letter/phone targets from ``{split}.{labels}``).
+
+    Unlike the pretraining collater (equal-length crops, no padding), the
+    fine-tune collater pads waveforms to the batch max so no labeled frames
+    are lost; targets are padded with ``pad_idx`` and ``prev_output_tokens``
+    are the eos-rotated inputs for seq2seq decoders."""
+
+    def __init__(
+        self,
+        base: RawAudioDataset,
+        labels: List[np.ndarray],  # int arrays, eos appended
+        pad_idx: int = 1,
+        eos_idx: int = 2,
+    ):
+        assert len(base) == len(labels), (len(base), len(labels))
+        self.base = base
+        self.labels = labels
+        self.pad_idx = pad_idx
+        self.eos_idx = eos_idx
+
+    def __len__(self):
+        return len(self.base)
+
+    def num_tokens(self, i: int) -> int:
+        return self.base.num_tokens(i)
+
+    def __getitem__(self, i: int):
+        return self.base[int(i)], self.labels[int(i)]
+
+    def collater(self, items, target_len: Optional[int] = None):
+        wavs = [w for w, _ in items]
+        labs = [l for _, l in items]
+        B = len(wavs)
+        T = min(max(len(w) for w in wavs), target_len or self.base.max_sample_size)
+        audio = np.zeros((B, T), np.float32)
+        pad_mask = np.ones((B, T), bool)
+        for i, w in enumerate(wavs):
+            n = min(len(w), T)
+            audio[i, :n] = w[:n]
+            pad_mask[i, :n] = False
+        frames = self.base.frames_fn(T)
+        # per-utterance frame counts through the conv downsampling
+        frame_lens = np.array(
+            [self.base.frames_fn(min(len(w), T)) for w in wavs], np.int64
+        )
+        frame_pad = np.arange(frames)[None, :] >= frame_lens[:, None]
+        mask = compute_mask_for_finetune(
+            (B, frames), frame_pad, self.base.mask_prob, self.base.mask_length,
+            rng=self.base.rng,
+        )
+        L = max(len(l) for l in labs)
+        target = np.full((B, L), self.pad_idx, np.int32)
+        prev = np.full((B, L), self.pad_idx, np.int32)
+        for i, l in enumerate(labs):
+            target[i, : len(l)] = l
+            prev[i, 0] = self.eos_idx  # eos-rotated decoder input
+            prev[i, 1 : len(l)] = l[:-1]
+        return {
+            "audio": audio,
+            "audio_padding_mask": pad_mask,
+            "mask_indices": mask,
+            "target": target,
+            "prev_output_tokens": prev,
+            "ntokens": float(sum(len(l) for l in labs)),
+            "nsentences": B,
+        }
+
+
+def compute_mask_for_finetune(shape, frame_padding_mask, mask_prob, mask_length, rng):
+    from ..models.wav2vec2_pretraining import compute_mask_indices
+
+    return compute_mask_indices(
+        shape, frame_padding_mask, mask_prob, mask_length, rng=rng
+    )

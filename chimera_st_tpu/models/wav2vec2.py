@@ -308,6 +308,9 @@ class Wav2Vec2Encoder(nn.Module):
     # probability of skipping each transformer layer at train time
     # (reference: wav2vec2.py encoder_layerdrop, default 0.05 in base)
     layerdrop: float = 0.0
+    # learned masked-frame embedding for fine-tune span masking (reference:
+    # wav2vec2.py mask_emb / apply_mask :321-340); indices come from the host
+    mask_emb: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -360,6 +363,13 @@ class Wav2Vec2Encoder(nn.Module):
             for i in range(self.encoder_layers)
         ]
         self.input_dropout = nn.Dropout(self.dropout)
+        if self.mask_emb:
+            self.masked_spec_embed = self.param(
+                "mask_emb",
+                nn.initializers.uniform(scale=1.0),
+                (self.encoder_embed_dim,),
+                self.param_dtype,
+            )
 
     def extract_conv_features(self, source: jax.Array) -> jax.Array:
         return self.feature_extractor(source)
@@ -369,6 +379,7 @@ class Wav2Vec2Encoder(nn.Module):
         source: jax.Array,  # [B, T] raw waveform
         padding_mask: Optional[jax.Array] = None,  # [B, T] True = pad
         deterministic: bool = True,
+        mask_indices: Optional[jax.Array] = None,  # [B, T'] bool span mask
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """extract_features: returns (features [B, T', C], padding_mask' or None)."""
         features = self.feature_extractor(source)  # [B, T', 512]
@@ -380,6 +391,13 @@ class Wav2Vec2Encoder(nn.Module):
 
         if self.post_extract_proj is not None:
             features = self.post_extract_proj(features)
+        if mask_indices is not None and self.mask_emb:
+            # span-masked frames take the learned embedding (reference
+            # apply_mask :321-340); indices are host-sampled per batch
+            m = mask_indices[:, : features.shape[1], None]
+            features = jnp.where(
+                m, self.masked_spec_embed.astype(features.dtype), features
+            )
         x = self.input_dropout(features, deterministic=deterministic)
 
         # context network (reference: wav2vec2.py:810-846)

@@ -18,17 +18,38 @@ logger = logging.getLogger(__name__)
 
 @register_task("audio_pretraining")
 class AudioPretrainingTask(ChimeraTask):
+    """Self-supervised pretraining over raw waveforms; with ``labels`` set
+    (reference: audio_pretraining.py:65,85-124) the same task drives ASR
+    fine-tuning — targets come from ``{split}.{labels}`` lines encoded with
+    ``dict.{labels}.txt`` and the models are the registry's wav2vec_ctc /
+    wav2vec_seq2seq fine-tune heads."""
+
+    def __init__(self, cfg: Dict):
+        super().__init__(cfg)
+        self._label_dict = None
+        if cfg.get("labels"):
+            dict_path = Path(cfg["data"]) / f"dict.{cfg['labels']}.txt"
+            self._label_dict = self.load_dictionary(str(dict_path))
+
     @classmethod
     def setup_task(cls, cfg: Dict, **kwargs):
         return cls(cfg)
 
+    @property
+    def target_dictionary(self):
+        return self._label_dict
+
     def load_dataset(self, split: str, **kwargs):
         from ..models.wav2vec2 import DEFAULT_CONV_SPEC, extractor_output_length
 
-        conv_spec = self.cfg.get("conv_spec") or DEFAULT_CONV_SPEC
+        conv_spec = (
+            self.cfg.get("conv_spec")
+            or self.cfg.get("w2v2_conv_spec")  # model-side flag name
+            or DEFAULT_CONV_SPEC
+        )
         frames_fn = lambda n: extractor_output_length(n, tuple(map(tuple, conv_spec)))
         root = Path(self.cfg["data"])
-        self.datasets[split] = RawAudioDataset.from_tsv(
+        base = RawAudioDataset.from_tsv(
             str(root / f"{split}.tsv"),
             audio_root=self.cfg.get("audio_root", str(root)),
             max_sample_size=int(self.cfg.get("max_sample_size", 250000)),
@@ -38,9 +59,36 @@ class AudioPretrainingTask(ChimeraTask):
             num_negatives=int(self.cfg.get("num_negatives", 100)),
             frames_fn=frames_fn,
         )
+        if not self.cfg.get("labels"):
+            self.datasets[split] = base
+            return
+        # fine-tune split: one label line per (post-filter) manifest row.
+        # seq2seq decoding needs eos-terminated targets; CTC ignores the
+        # rotation and just reads non-pad labels.
+        from ..data.raw_audio_dataset import AddTargetDataset
+
+        label_path = root / f"{split}.{self.cfg['labels']}"
+        append_eos = bool(self.cfg.get("autoregressive", False))
+        with open(label_path) as f:
+            all_labels = [
+                self._label_dict.encode_line(line, append_eos=append_eos)
+                for line in f
+            ]
+        kept = [all_labels[j] for j in base.kept_indices]
+        self.datasets[split] = AddTargetDataset(
+            base,
+            kept,
+            pad_idx=self._label_dict.pad(),
+            eos_idx=self._label_dict.eos(),
+        )
 
     def build_model(self, model_cfg: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
         import dataclasses
+
+        if self.cfg.get("labels"):
+            # fine-tune archs (wav2vec_ctc / wav2vec_seq2seq) resolve through
+            # the generic registry with the label vocab injected
+            return super().build_model(model_cfg, dtype, param_dtype)
 
         from ..models.wav2vec2_pretraining import (
             W2V2PretrainConfig,

@@ -68,6 +68,7 @@ def pytest_collection_modifyitems(config, items):
         "test_model_zoo.py",
         "test_multichip_decode.py",
         "test_nat_cmlm.py",
+        "test_wav2vec_asr.py",
         "test_nat_vanilla.py",
         "test_pallas_conv.py",
         "test_pipeline.py",
