@@ -138,12 +138,19 @@ def _count_layers(sd, pattern: str) -> int:
 
 
 def import_wav2vec2_state_dict(
-    sd: Dict[str, Any], prefix: str = ""
+    sd: Dict[str, Any], prefix: str = "", keep_mask_emb: bool = False
 ) -> Dict[str, Any]:
     """Import a Wav2Vec2Model state dict (keys under `prefix`) to the
-    Wav2Vec2Encoder param subtree."""
+    Wav2Vec2Encoder param subtree.
+
+    ``keep_mask_emb``: ASR fine-tune checkpoints (wav2vec2_asr.py) retain the
+    learned masked-frame embedding for train-time span masking — map it to
+    the encoder's ``mask_emb`` param instead of treating it as a
+    pretraining-only key."""
     out: Dict[str, Any] = {}
     p = prefix
+    if keep_mask_emb and f"{p}mask_emb" in sd:
+        _set(out, ["mask_emb"], _to_np(sd[f"{p}mask_emb"]))
 
     n_conv = _count_layers(sd, re.escape(p) + r"feature_extractor\.conv_layers\.(\d+)\.0\.weight")
     for i in range(n_conv):
@@ -170,6 +177,84 @@ def import_wav2vec2_state_dict(
         _enc_layer(sd, f"{p}encoder.layers.{i}", out, [f"layers_{i}"])
     _norm(sd, f"{p}encoder.layer_norm", out, ["encoder_layer_norm"])
     return out
+
+
+def _finish_import(sd: Dict[str, Any], out: Dict[str, Any], handled: set):
+    """Completeness check + device conversion shared by the full-model
+    importers: any non-allowlisted unmatched key is an error."""
+    unmatched = []
+    for k in sd:
+        if k in handled:
+            continue
+        if any(re.search(pat, k) for pat in SKIP_PATTERNS):
+            continue
+        unmatched.append(k)
+    if unmatched:
+        raise ValueError(
+            f"unmatched checkpoint keys (importer out of date?): {unmatched[:20]}"
+        )
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, out)
+
+
+def import_wav2vec_ctc_state_dict(
+    sd: Dict[str, Any], apply_mask: bool = True
+) -> Dict[str, Any]:
+    """Import a fairseq Wav2VecCtc fine-tune state dict
+    (reference wav2vec2_asr.py:146-184: ``w2v_encoder.w2v_model.*`` trunk +
+    ``w2v_encoder.proj`` vocabulary projection) to Wav2VecCtcModel params.
+
+    ``apply_mask=False`` drops the checkpoint's mask_emb for models built
+    without fine-tune span masking (the param only exists when masking)."""
+    out: Dict[str, Any] = {}
+    handled = set()
+    p = "w2v_encoder.w2v_model."
+    out["trunk"] = {
+        "w2v_model": import_wav2vec2_state_dict(sd, p, keep_mask_emb=apply_mask)
+    }
+    handled.update(k for k in sd if k.startswith(p))
+    _linear(sd, "w2v_encoder.proj", out, ["proj"])
+    handled.update(k for k in sd if k.startswith("w2v_encoder.proj."))
+    return _finish_import(sd, out, handled)
+
+
+def import_wav2vec_seq2seq_state_dict(
+    sd: Dict[str, Any], apply_mask: bool = True
+) -> Dict[str, Any]:
+    """Import a fairseq wav2vec_seq2seq fine-tune state dict
+    (reference wav2vec2_asr.py:186-302: ``encoder.w2v_model.*`` trunk,
+    optional ``encoder.proj`` dim bridge, ``decoder.*``) to
+    Wav2VecSeq2SeqModel params."""
+    out: Dict[str, Any] = {}
+    handled = set()
+    p = "encoder.w2v_model."
+    out["trunk"] = {
+        "w2v_model": import_wav2vec2_state_dict(sd, p, keep_mask_emb=apply_mask)
+    }
+    handled.update(k for k in sd if k.startswith(p))
+    if "encoder.proj.weight" in sd:
+        _linear(sd, "encoder.proj", out, ["proj"])
+        handled.update(k for k in sd if k.startswith("encoder.proj."))
+
+    _embedding(sd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
+    handled.update(k for k in sd if k.startswith("decoder.embed_tokens."))
+    n_dec = _count_layers(sd, r"decoder\.layers\.(\d+)\.")
+    for i in range(n_dec):
+        _dec_layer(sd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
+    handled.update(k for k in sd if k.startswith("decoder.layers."))
+    if "decoder.layer_norm.weight" in sd:
+        _norm(sd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
+        handled.update(k for k in sd if k.startswith("decoder.layer_norm."))
+    if "decoder.embed_out" in sd:
+        # untied output matrix (reference :588-590 F.linear(x, embed_out))
+        _set(
+            out,
+            ["decoder", "output_projection", "kernel"],
+            _to_np(sd["decoder.embed_out"]).T,
+        )
+        handled.add("decoder.embed_out")
+    return _finish_import(sd, out, handled)
 
 
 def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
@@ -245,21 +330,7 @@ def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
             _set(out, ["decoder", "output_projection", "kernel"], w_proj.T)
         mark("decoder.output_projection.")
 
-    # --- completeness check
-    unmatched = []
-    for k in sd:
-        if k in handled:
-            continue
-        if any(re.search(pat, k) for pat in SKIP_PATTERNS):
-            continue
-        unmatched.append(k)
-    if unmatched:
-        raise ValueError(
-            f"unmatched checkpoint keys (importer out of date?): {unmatched[:20]}"
-        )
-    import jax.numpy as jnp
-
-    return jax.tree_util.tree_map(jnp.asarray, out)
+    return _finish_import(sd, out, handled)
 
 
 def strip_w2v2_pretraining_keys(sd: Dict[str, Any]) -> Dict[str, Any]:

@@ -62,6 +62,91 @@ def load_model_and_params(path: str, task, dtype, gen_model_overrides=None):
     return model, params
 
 
+def run_ctc_generate(args, task, model, params, dataset, tgt_dict) -> None:
+    """CTC recognition loop for decoder-less models (wav2vec_ctc): per-frame
+    log-probs -> greedy collapse (beam=1) or prefix beam search with optional
+    ARPA LM fusion (generation/ctc_decoder.py). Emits fairseq-style T-/H-
+    lines and a final WER (letter labels: ``|`` = word boundary)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..criterions.ctc import ctc_greedy_decode
+    from ..generation.ctc_decoder import ArpaLM, ctc_beam_search
+    from ..scoring.wer import levenshtein
+
+    @jax.jit
+    def logits_fn(p, audio, mask):
+        return model.apply(p, audio, mask, method=type(model).ctc_logits)
+
+    lm = None
+    if getattr(args, "ctc_lm_path", None):
+        lm = ArpaLM(args.ctc_lm_path)
+    token_strings = [tgt_dict[i] for i in range(len(tgt_dict))]
+    special = {tgt_dict.pad(), tgt_dict.eos(), tgt_dict.bos()}
+
+    def words(token_ids):
+        syms = [tgt_dict[int(t)] for t in token_ids if int(t) not in special]
+        return "".join(syms).replace("|", " ").split()
+
+    itr = task.make_batch_iterator(
+        dataset,
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        seed=args.seed,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+    out = open(Path(args.results_path) / f"generate-{args.gen_subset}.txt", "w") \
+        if args.results_path else sys.stdout
+    errs = total = n_sent = 0
+    t0 = time.time()
+    for batch in itr:
+        logits, frame_pad = logits_fn(
+            params, jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["audio_padding_mask"]),
+        )
+        lprobs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        frame_pad = None if frame_pad is None else np.asarray(frame_pad)
+        for b in range(lprobs.shape[0]):
+            sid = int(batch["id"][b]) if "id" in batch else n_sent
+            lp = lprobs[b] if frame_pad is None else lprobs[b][~frame_pad[b]]
+            if args.beam > 1:
+                hyps = ctc_beam_search(
+                    lp, beam_size=args.beam, blank=0, lm=lm,
+                    lm_weight=getattr(args, "ctc_lm_weight", 1.0),
+                    token_strings=token_strings,
+                )
+                hyp_ids, score = hyps[0]
+            else:
+                hyp_ids = ctc_greedy_decode(lp, blank_idx=0)
+                score = float(lp.max(-1).sum())
+            hyp = words(hyp_ids)
+            if not args.quiet:
+                print(f"H-{sid}\t{score:.4f}\t{' '.join(hyp)}", file=out)
+            if batch.get("target") is not None:
+                ref = words(np.asarray(batch["target"][b]))
+                if not args.quiet:
+                    print(f"T-{sid}\t{' '.join(ref)}", file=out)
+                errs += levenshtein(hyp, ref)
+                total += max(len(ref), 1)
+            n_sent += 1
+    dt = time.time() - t0
+    logger.info(
+        f"Recognized {n_sent} utterances in {dt:.1f}s "
+        f"({n_sent / max(dt, 1e-9):.2f} utt/s)"
+    )
+    if total:
+        print(
+            f"Generate {args.gen_subset} with beam={args.beam}: "
+            f"WER {100.0 * errs / total:.2f}",
+            file=out,
+        )
+    if out is not sys.stdout:
+        out.close()
+
+
 def main(argv=None) -> None:
     from . import options
 
@@ -80,7 +165,8 @@ def main(argv=None) -> None:
     from ..tasks import setup_task
 
     task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
-                "source_lang": args.source_lang, "target_lang": args.target_lang}
+                "source_lang": args.source_lang, "target_lang": args.target_lang,
+                **model_overrides}  # unknown flags reach the task (e.g. --labels)
     task = setup_task(task_cfg)
     task.load_dataset(args.gen_subset)
     dataset = task.dataset(args.gen_subset)
@@ -88,6 +174,13 @@ def main(argv=None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, params = load_model_and_params(args.path.split(":")[0], task, dtype, model_overrides)
+
+    if hasattr(type(model), "ctc_logits") and not hasattr(model, "decoder"):
+        # speech recognition over a CTC head (wav2vec_ctc): greedy collapse
+        # or prefix beam search, optional ARPA LM fusion (reference analogue:
+        # examples/speech_recognition W2l decoders driving Wav2VecCtc)
+        run_ctc_generate(args, task, model, params, dataset, tgt_dict)
+        return
 
     # data-parallel decode over the device mesh: batch dims shard on `data`
     # and XLA propagates (verified output-identical to single-device decode,

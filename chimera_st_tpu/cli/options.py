@@ -136,6 +136,9 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--path", default=None, help="checkpoint path(s), ':' separated (ensemble)")
     p.add_argument("--lm-path", default=None, help="language model checkpoint for shallow fusion")
     p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--ctc-lm-path", default=None,
+                   help="ARPA n-gram LM for CTC prefix-beam fusion (wav2vec_ctc decode)")
+    p.add_argument("--ctc-lm-weight", type=float, default=1.0)
     p.add_argument("--gen-subset", default="test")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)

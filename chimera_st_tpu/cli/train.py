@@ -404,6 +404,11 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
         # BLEU-during-validation drives checkpoint selection (reference:
         # tasks/translation.py:218-239 / speech_to_text_bleu.py:207-297)
         stats["bleu"] = validate_bleu(args, task, trainer)
+    if args.best_checkpoint_metric == "wer":
+        # greedy-CTC WER during validation (reference: criterions/ctc_chi.py
+        # valid-time wer/uer logging; the KenLM beam path is replaced by
+        # greedy decode — criterions/ctc.py docstring)
+        stats["wer"] = validate_wer(args, task, trainer)
     logger.info(
         "validation | " + " | ".join(f"{k} {v:.3f}" for k, v in sorted(stats.items()))
     )
@@ -454,6 +459,62 @@ def validate_bleu(args, task, trainer, beam: int = 4, max_decode_len: int = 64) 
                 batch["target"][b], bpe_symbol="sentencepiece",
                 extra_symbols_to_ignore=strip))
     return sacrebleu.corpus_bleu(hyps, [refs], tokenize="13a").score
+
+
+def validate_wer(args, task, trainer) -> float:
+    """Corpus WER over the valid split via greedy CTC decode (reference:
+    criterions/ctc_chi.py valid-time w_errs/w_len logging; its KenLM beam
+    is replaced by host-side greedy collapse — see criterions/ctc.py).
+
+    Letter-label convention: symbols are joined and ``|`` marks word
+    boundaries (reference post_process="letter", fairseq data_utils
+    post_process:340)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..criterions.ctc import ctc_greedy_decode
+    from ..scoring.wer import levenshtein
+
+    model = trainer.model
+    if not hasattr(type(model), "ctc_logits"):
+        logger.warning("--best-checkpoint-metric wer needs a CTC-head model")
+        return float("inf")
+    d = task.target_dictionary
+    special = {d.pad(), d.eos(), d.bos()}
+
+    @jax.jit
+    def logits_fn(params, audio, mask):
+        return model.apply(params, audio, mask, method=type(model).ctc_logits)
+
+    def words(token_ids):
+        syms = [d[int(t)] for t in token_ids if int(t) not in special]
+        return "".join(syms).replace("|", " ").split()
+
+    itr = task.make_batch_iterator(
+        task.dataset(args.valid_subset),
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+    errs, total = 0, 0
+    for batch in itr:
+        logits, frame_pad = logits_fn(
+            trainer.state.params,
+            jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["audio_padding_mask"]),
+        )
+        logits = np.asarray(logits)
+        frame_pad = None if frame_pad is None else np.asarray(frame_pad)
+        for b in range(logits.shape[0]):
+            valid = (
+                logits[b] if frame_pad is None else logits[b][~frame_pad[b]]
+            )
+            hyp = words(ctc_greedy_decode(valid, blank_idx=0))
+            ref = words(np.asarray(batch["target"][b]))
+            errs += levenshtein(hyp, ref)
+            total += max(len(ref), 1)
+    return 100.0 * errs / max(total, 1)
 
 
 def cli_main():

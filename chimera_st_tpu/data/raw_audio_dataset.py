@@ -121,11 +121,12 @@ class AddTargetDataset:
         return self.base.num_tokens(i)
 
     def __getitem__(self, i: int):
-        return self.base[int(i)], self.labels[int(i)]
+        return int(i), self.base[int(i)], self.labels[int(i)]
 
     def collater(self, items, target_len: Optional[int] = None):
-        wavs = [w for w, _ in items]
-        labs = [l for _, l in items]
+        ids = [i for i, _, _ in items]
+        wavs = [w for _, w, _ in items]
+        labs = [l for _, _, l in items]
         B = len(wavs)
         T = min(max(len(w) for w in wavs), target_len or self.base.max_sample_size)
         audio = np.zeros((B, T), np.float32)
@@ -152,8 +153,12 @@ class AddTargetDataset:
             prev[i, 0] = self.eos_idx  # eos-rotated decoder input
             prev[i, 1 : len(l)] = l[:-1]
         return {
+            "id": np.asarray(ids, np.int64),
             "audio": audio,
             "audio_padding_mask": pad_mask,
+            "audio_lengths": np.minimum(
+                np.asarray([len(w) for w in wavs], np.int64), T
+            ),
             "mask_indices": mask,
             "target": target,
             "prev_output_tokens": prev,

@@ -177,6 +177,17 @@ class Wav2VecSeq2SeqModel(nn.Module):
             c, dtype=self.dtype, param_dtype=self.param_dtype, name="trunk"
         )
         self.final_dropout = nn.Dropout(c.final_dropout)
+        if c.decoder_embed_dim != c.w2v2_embed_dim:
+            # trunk dim -> decoder dim (reference wav2vec2_asr.py:360-364:
+            # Wav2VecEncoder.proj when tgt_dict is None)
+            self.proj = nn.Dense(
+                c.decoder_embed_dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="proj",
+            )
+        else:
+            self.proj = None
         self.decoder = TransformerDecoder(
             vocab_size=c.vocab_size,
             embed_dim=c.decoder_embed_dim,
@@ -206,7 +217,10 @@ class Wav2VecSeq2SeqModel(nn.Module):
         x, out_mask = self.trunk(
             source, padding_mask, mask_indices, num_updates, deterministic
         )
-        return self.final_dropout(x, deterministic=deterministic), out_mask
+        x = self.final_dropout(x, deterministic=deterministic)
+        if self.proj is not None:
+            x = self.proj(x)
+        return x, out_mask
 
     def decode(
         self,

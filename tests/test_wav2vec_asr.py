@@ -306,3 +306,91 @@ def test_audio_finetuning_task_e2e(tmp_path):
         train=True,
     )
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+# ---------------------------------------------------------------- torch import
+
+
+def test_ctc_checkpoint_import_parity():
+    """fairseq Wav2VecCtc state dict -> importer -> identical logits
+    (reference wav2vec2_asr.py:146-184 key layout)."""
+    import torch
+
+    from chimera_st_tpu.checkpoint.torch_import import (
+        import_wav2vec_ctc_state_dict,
+    )
+    from tests.torch_reference import TorchWav2VecCtc
+
+    torch.manual_seed(0)
+    tref = TorchWav2VecCtc(CONV, 32, 64, 2, 4, vocab=12).eval()
+    sd = tref.state_dict()
+    params = {"params": import_wav2vec_ctc_state_dict(sd)}
+
+    cfg = Wav2VecAsrConfig(apply_mask=True, **TINY)
+    model = Wav2VecCtcModel(cfg)
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 400)).astype(np.float32)
+    mask = np.zeros((2, 400), bool)
+    mask[1, 250:] = True
+    with torch.no_grad():
+        ref_logits, ref_mask = tref(torch.tensor(wav), torch.tensor(mask))
+    logits, out_mask = model.apply(params, jnp.asarray(wav), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(out_mask), ref_mask.numpy())
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits.numpy(), atol=2e-3
+    )
+    # mask_emb came through
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["trunk"]["w2v_model"]["mask_emb"]),
+        tref.w2v_encoder.w2v_model.mask_emb.detach().numpy(),
+    )
+    # apply_mask=False drops it instead of erroring
+    p2 = import_wav2vec_ctc_state_dict(sd, apply_mask=False)
+    assert "mask_emb" not in p2["trunk"]["w2v_model"]
+
+
+def test_seq2seq_checkpoint_import_parity():
+    """fairseq wav2vec_seq2seq state dict (encoder.proj dim bridge + untied
+    embed_out) -> importer -> identical logits (wav2vec2_asr.py:186-302)."""
+    import torch
+
+    from chimera_st_tpu.checkpoint.torch_import import (
+        import_wav2vec_seq2seq_state_dict,
+    )
+    from tests.torch_reference import TorchWav2VecSeq2Seq
+
+    torch.manual_seed(1)
+    tref = TorchWav2VecSeq2Seq(
+        CONV, 32, 64, 2, 4, vocab=12, dec_d=48, dec_ffn=96,
+        dec_layers=2, dec_heads=4,
+    ).eval()
+    sd = tref.state_dict()
+    params = {"params": import_wav2vec_seq2seq_state_dict(sd)}
+
+    cfg = Wav2VecAsrConfig(
+        apply_mask=True,
+        **{**TINY, "decoder_embed_dim": 48, "decoder_ffn_dim": 96},
+        decoder_normalize_before=True,
+        share_decoder_input_output_embed=False,
+    )
+    model = Wav2VecSeq2SeqModel(cfg)
+
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(2, 400)).astype(np.float32)
+    mask = np.zeros((2, 400), bool)
+    mask[1, 250:] = True
+    prev = np.array([[2, 4, 5, 6], [2, 7, 8, 1]], np.int64)
+    with torch.no_grad():
+        ref_logits = tref(
+            torch.tensor(wav), torch.tensor(mask), torch.tensor(prev)
+        )
+    logits = model.apply(
+        params,
+        jnp.asarray(wav),
+        jnp.asarray(mask),
+        jnp.asarray(prev, jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits.numpy(), atol=2e-3
+    )

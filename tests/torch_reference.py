@@ -285,3 +285,66 @@ class TorchChimera(nn.Module):
     def forward_text(self, tokens, prev_tokens):
         mem = self.encode_text(tokens)
         return self.decode(prev_tokens, mem), mem
+
+
+class TorchWav2VecCtc(nn.Module):
+    """wav2vec 2.0 CTC fine-tune model, fairseq key naming
+    (wav2vec2_asr.py:146-184: w2v_encoder.w2v_model + w2v_encoder.proj; the
+    trunk keeps mask_emb for train-time span masking)."""
+
+    def __init__(self, conv_spec, d, ffn, layers, heads, vocab,
+                 conv_pos=8, conv_pos_groups=4):
+        super().__init__()
+        self.w2v_encoder = nn.Module()
+        e = self.w2v_encoder
+        e.w2v_model = TorchW2V2(conv_spec, d, ffn, layers, heads,
+                                conv_pos, conv_pos_groups)
+        e.w2v_model.mask_emb = nn.Parameter(torch.FloatTensor(d).uniform_())
+        e.proj = nn.Linear(d, vocab)
+
+    def forward(self, wav, padding_mask):
+        x, mask = self.w2v_encoder.w2v_model.extract_features(wav, padding_mask)
+        return self.w2v_encoder.proj(x), mask
+
+
+class TorchWav2VecSeq2Seq(nn.Module):
+    """wav2vec 2.0 seq2seq fine-tune model, fairseq key naming
+    (wav2vec2_asr.py:186-302: encoder.w2v_model + encoder.proj dim bridge +
+    decoder with untied embed_out). Decoder mirrors TorchChimera.decode
+    (pre-LN layers + final layer_norm + sinusoidal positions)."""
+
+    def __init__(self, conv_spec, d, ffn, layers, heads, vocab,
+                 dec_d, dec_ffn, dec_layers, dec_heads,
+                 conv_pos=8, conv_pos_groups=4):
+        super().__init__()
+        self.encoder = nn.Module()
+        e = self.encoder
+        e.w2v_model = TorchW2V2(conv_spec, d, ffn, layers, heads,
+                                conv_pos, conv_pos_groups)
+        e.w2v_model.mask_emb = nn.Parameter(torch.FloatTensor(d).uniform_())
+        e.proj = nn.Linear(d, dec_d)
+        self.decoder = nn.Module()
+        dec = self.decoder
+        dec.embed_tokens = nn.Embedding(vocab, dec_d, 1)
+        dec.layers = nn.ModuleList(
+            [DecLayer(dec_d, dec_ffn, dec_heads) for _ in range(dec_layers)]
+        )
+        dec.layer_norm = nn.LayerNorm(dec_d)
+        dec.embed_out = nn.Parameter(torch.FloatTensor(vocab, dec_d).uniform_(-0.1, 0.1))
+        self.dec_d = dec_d
+
+    def encode(self, wav, padding_mask):
+        x, mask = self.encoder.w2v_model.extract_features(wav, padding_mask)
+        return self.encoder.proj(x), mask
+
+    def forward(self, wav, padding_mask, prev_tokens):
+        enc, enc_mask = self.encode(wav, padding_mask)
+        pad = prev_tokens.eq(1)
+        x = math.sqrt(self.dec_d) * self.decoder.embed_tokens(prev_tokens)
+        nonpad = ~pad
+        pos_ids = torch.cumsum(nonpad.long(), 1) * nonpad.long() + 1
+        x = x + sin_positions(x.size(1), self.dec_d)[pos_ids]
+        for layer in self.decoder.layers:
+            x = layer(x, enc, enc_mask=enc_mask, self_pad_mask=pad)
+        x = self.decoder.layer_norm(x)
+        return F.linear(x, self.decoder.embed_out)
