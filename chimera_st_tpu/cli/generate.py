@@ -147,6 +147,62 @@ def run_ctc_generate(args, task, model, params, dataset, tgt_dict) -> None:
         out.close()
 
 
+def run_score_reference(args, task, model, params, dataset, tgt_dict) -> None:
+    """--score-reference: teacher-force the gold target through the model and
+    emit H-/P- lines carrying its mean/positional log-probs (reference:
+    fairseq_cli/generate.py:135-141 building SequenceScorer instead of the
+    beam generator)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..generation.scorer import SequenceScorer
+
+    scorer = SequenceScorer(model, pad=tgt_dict.pad(), eos=tgt_dict.eos())
+    itr = task.make_batch_iterator(
+        dataset,
+        max_tokens=int(args.max_tokens) if args.max_tokens else None,
+        max_sentences=args.batch_size,
+        seed=args.seed,
+        num_length_buckets=args.num_length_buckets,
+    ).next_epoch_itr(shuffle=False)
+    out = open(Path(args.results_path) / f"generate-{args.gen_subset}.txt", "w") \
+        if args.results_path else sys.stdout
+    strip = task.lang_tag_indices() if hasattr(task, "lang_tag_indices") else set()
+    n_sent = 0
+    for batch in itr:
+        target = jnp.asarray(batch["target"])
+        if "audio" in batch:
+            res = scorer.score_audio(
+                params, jnp.asarray(batch["audio"]),
+                jnp.asarray(batch["audio_padding_mask"]), target,
+            )
+        else:
+            res = scorer.score_text(
+                params, jnp.asarray(batch["src_tokens"]), target
+            )
+        score = np.asarray(res["score"])
+        pos = np.asarray(res["positional_scores"])
+        length = np.asarray(res["length"])
+        for b in range(target.shape[0]):
+            sid = int(batch["id"][b]) if "id" in batch else n_sent
+            ref_str = tgt_dict.string(
+                batch["target"][b], bpe_symbol=args.remove_bpe,
+                extra_symbols_to_ignore=strip,
+            )
+            if not args.quiet:
+                print(f"T-{sid}\t{ref_str}", file=out)
+                print(f"H-{sid}\t{score[b]:.4f}\t{ref_str}", file=out)
+                print(
+                    f"P-{sid}\t"
+                    + " ".join(f"{p:.4f}" for p in pos[b][: int(length[b])]),
+                    file=out,
+                )
+            n_sent += 1
+    logger.info(f"Scored {n_sent} reference sentences")
+    if out is not sys.stdout:
+        out.close()
+
+
 def main(argv=None) -> None:
     from . import options
 
@@ -210,7 +266,14 @@ def main(argv=None) -> None:
             return jax.device_put(x, NamedSharding(mesh, P("data")))
         return x
 
+    if args.score_reference:
+        # score gold targets instead of searching (reference:
+        # fairseq_cli/generate.py:135-141 + sequence_scorer.py)
+        run_score_reference(args, task, model, params, dataset, tgt_dict)
+        return
+
     class GenCfg:
+        diversity_rate = args.diversity_rate
         beam = args.beam
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
@@ -301,7 +364,9 @@ def main(argv=None) -> None:
             )
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
         alignments = None
-        if getattr(args, "print_alignment", False):
+        if getattr(args, "print_alignment", False) or (
+            args.replace_unk and "src_tokens" in batch
+        ):
             # teacher-force the best hypothesis and argmax the last layer's
             # head-averaged cross-attention per target position (reference:
             # SequenceGeneratorWithAlignment, sequence_generator.py:906)
@@ -348,15 +413,58 @@ def main(argv=None) -> None:
             for k in range(min(args.nbest, tokens.shape[1])):
                 L = int(lens[b, k])
                 hyp_ids = tokens[b, k, :L]
-                hyp_str = tgt_dict.string(
-                    hyp_ids, bpe_symbol=args.remove_bpe,
-                    extra_symbols_to_ignore=strip,
-                )
+                if (
+                    args.replace_unk
+                    and alignments is not None
+                    and "src_tokens" in batch
+                    and k == 0
+                ):
+                    # cross-attention-aligned unk replacement (reference:
+                    # utils.post_process_prediction -> replace_unk; alignment
+                    # indices are raw source-token positions, so the copy
+                    # happens pre-BPE-stripping)
+                    from ..data.dictionary import post_process
+                    from ..generation.unk_replace import (
+                        load_align_dict,
+                        replace_unk_tokens,
+                    )
+
+                    src_dict = getattr(task, "source_dictionary", tgt_dict)
+                    src_words = [
+                        src_dict[int(t)]
+                        for t in np.asarray(batch["src_tokens"][b])
+                        if int(t) not in (src_dict.pad(), src_dict.eos())
+                    ]
+                    syms = replace_unk_tokens(
+                        [tgt_dict[int(t)] for t in hyp_ids],
+                        src_words,
+                        alignments[b][:L],
+                        load_align_dict(args.replace_unk),
+                        tgt_dict[tgt_dict.unk()],
+                    )
+                    keep_ids_syms = [
+                        s
+                        for t, s in zip(hyp_ids, syms)
+                        if int(t) not in strip
+                        and int(t) not in (tgt_dict.pad(), tgt_dict.eos())
+                    ]
+                    hyp_str = post_process(
+                        " ".join(keep_ids_syms), args.remove_bpe
+                    )
+                else:
+                    hyp_str = tgt_dict.string(
+                        hyp_ids, bpe_symbol=args.remove_bpe,
+                        extra_symbols_to_ignore=strip,
+                    )
                 if not args.quiet:
                     print(f"H-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"D-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"P-{sid}\t{scores[b, k]:.4f}", file=out)
-                    if alignments is not None and k == 0:
+                    if (
+                        alignments is not None
+                        and k == 0
+                        and getattr(args, "print_alignment", False)
+                    ):
                         pairs = " ".join(
                             f"{int(alignments[b, t])}-{t}" for t in range(L)
                         )

@@ -160,6 +160,15 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling-topk", type=int, default=-1)
     p.add_argument("--sampling-topp", type=float, default=-1.0)
+    p.add_argument("--diversity-rate", type=float, default=-1.0,
+                   help="diverse-siblings rank penalty (reference search.py:745)")
+    p.add_argument("--score-reference", action="store_true",
+                   help="score gold targets instead of searching "
+                        "(reference fairseq_cli/generate.py --score-reference)")
+    p.add_argument("--replace-unk", nargs="?", const=True, default=None,
+                   metavar="ALIGN_DICT",
+                   help="replace hypothesis <unk> via cross-attention argmax; "
+                        "optional src->tgt lexicon file (reference utils.replace_unk)")
     p.add_argument("--print-alignment", action="store_true",
                    help="emit A- lines: per-target-token source argmax of the "
                         "last decoder layer's head-averaged cross-attention "

@@ -10,6 +10,15 @@ import jax.numpy as jnp
 
 
 class SequenceScorer:
+    """Scores gold targets under a model (no search): eos-rotated teacher
+    forcing, per-token log-probs, mean + total log-prob per sentence.
+
+    Works on any model exposing the ``encode_audio``/``encode_text`` +
+    ``decode(prev_tokens, encoder_out, encoder_padding_mask)`` surface the
+    beam generator uses (reference: SequenceScorer.generate
+    sequence_scorer.py:29-100, driven by fairseq_cli/generate.py
+    --score-reference)."""
+
     def __init__(self, model, pad: int = 1, eos: int = 2):
         self.model = model
         self.pad = pad
@@ -17,8 +26,6 @@ class SequenceScorer:
         self._jit_score = jax.jit(self._score)
 
     def _score(self, params, encoder_out, encoder_padding_mask, target):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         prev = jnp.concatenate(
             [jnp.full((target.shape[0], 1), self.eos, target.dtype), target[:, :-1]],
             axis=1,
@@ -26,7 +33,7 @@ class SequenceScorer:
         prev = jnp.where(target == self.pad, self.pad, prev)
         logits = self.model.apply(
             params, prev, encoder_out, encoder_padding_mask,
-            method=ChimeraInterlinguaModel.decode,
+            method=type(self.model).decode,
         )
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tok_lp = jnp.take_along_axis(lp, target[..., None], axis=-1)[..., 0]
@@ -42,10 +49,13 @@ class SequenceScorer:
         }
 
     def score_audio(self, params, audio, padding_mask, target):
-        from ..models.interlingua import ChimeraInterlinguaModel
-
         enc, enc_mask = self.model.apply(
-            params, audio, padding_mask,
-            method=ChimeraInterlinguaModel.encode_audio,
+            params, audio, padding_mask, method=type(self.model).encode_audio
+        )
+        return self._jit_score(params, enc, enc_mask, target)
+
+    def score_text(self, params, src_tokens, target):
+        enc, enc_mask = self.model.apply(
+            params, src_tokens, method=type(self.model).encode_text
         )
         return self._jit_score(params, enc, enc_mask, target)

@@ -106,6 +106,7 @@ class ChimeraTask:
             sampling=getattr(g, "sampling", False),
             sampling_topk=getattr(g, "sampling_topk", -1),
             sampling_topp=getattr(g, "sampling_topp", -1.0),
+            diversity_rate=getattr(g, "diversity_rate", -1.0),
         )
         d = self.target_dictionary
         return SequenceGenerator(

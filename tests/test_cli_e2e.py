@@ -322,3 +322,63 @@ def test_train_audio_pretraining_kmeans(tmp_path):
     # the kmeans codebook is a trained parameter in the checkpoint
     emb = payload["params"]["params"]["quantizer"]["embedding"]
     assert jnp.asarray(emb).shape == (16, 2, 6)
+
+
+def test_generate_score_reference_and_replace_unk(tmp_path):
+    """--score-reference emits H- lines scoring the gold target (reference
+    fairseq_cli/generate.py:135-141 + sequence_scorer.py); --replace-unk
+    rewrites hypothesis <unk> tokens via the cross-attention argmax with an
+    optional src->tgt lexicon (utils.replace_unk)."""
+    from chimera_st_tpu.cli import generate, preprocess, train
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+    bin_dir = str(tmp_path / "bin")
+    preprocess.main([
+        "-s", "de", "-t", "en",
+        "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
+        "--destdir", bin_dir, "--joined-dictionary",
+    ])
+    save_dir = str(tmp_path / "mt_ckpt")
+    train.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--arch", "s2t_transformer_w2v2_interlingua_base",
+        *TINY_ARCH_FLAGS,
+        "--criterion", "label_smoothed_cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "fixed",
+        "--batch-size", "8", "--save-dir", save_dir, "--max-update", "2",
+        "--dtype", "float32", "--num-length-buckets", "2",
+    ])
+
+    out_dir = tmp_path / "scoreref"
+    out_dir.mkdir()
+    generate.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--gen-subset", "valid", "--batch-size", "8", "--dtype", "float32",
+        "--results-path", str(out_dir), "--num-length-buckets", "2",
+        "--score-reference",
+    ])
+    text = (out_dir / "generate-valid.txt").read_text()
+    h = [l for l in text.splitlines() if l.startswith("H-")]
+    t = [l for l in text.splitlines() if l.startswith("T-")]
+    p = [l for l in text.splitlines() if l.startswith("P-")]
+    assert h and len(h) == len(t) == len(p)
+    # H carries the reference words themselves plus a finite score
+    sid, score, hyp = h[0].split("\t")
+    assert float(score) <= 0.0
+    assert hyp == t[0].split("\t")[1]
+
+    out_dir2 = tmp_path / "repunk"
+    out_dir2.mkdir()
+    generate.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--gen-subset", "valid", "--batch-size", "8", "--dtype", "float32",
+        "--beam", "2", "--max-decode-len", "8",
+        "--results-path", str(out_dir2), "--num-length-buckets", "2",
+        "--replace-unk",
+    ])
+    text2 = (out_dir2 / "generate-valid.txt").read_text()
+    h2 = [l for l in text2.splitlines() if l.startswith("H-")]
+    assert h2  # path exercised end to end (unks, if any, were replaced)
+    assert all("<unk>" not in l for l in h2)

@@ -91,3 +91,43 @@ def test_sequence_scorer_matches_teacher_forcing():
     lp = jax.nn.log_softmax(np.asarray(logits, np.float32), -1)
     expect = sum(lp[0, i, int(t)] for i, t in enumerate(np.asarray(target)[0]))
     np.testing.assert_allclose(float(out["total_logprob"][0]), expect, rtol=1e-5)
+
+
+def test_sequence_scorer_text_path():
+    """score_text: same scorer over the text encoder (the generic
+    type(model).encode_text dispatch)."""
+    from chimera_st_tpu.generation.scorer import SequenceScorer
+    from chimera_st_tpu.models.interlingua import ChimeraInterlinguaModel
+    from tests.test_interlingua_model import TINY
+
+    model = ChimeraInterlinguaModel(TINY)
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(1, 400)), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), wav, jnp.zeros((1, 400), bool),
+        jnp.zeros((1, 3), jnp.int32), jnp.zeros((1, 4), jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    src = jnp.asarray([[4, 6, 8, EOS]], jnp.int32)
+    target = jnp.asarray([[5, 7, EOS, PAD]], jnp.int32)
+    out = SequenceScorer(model).score_text(params, src, target)
+    assert float(out["length"][0]) == 3  # pad excluded
+    assert np.isfinite(float(out["score"][0]))
+    # padded position contributes nothing
+    assert float(out["positional_scores"][0, 3]) == 0.0
+
+
+def test_replace_unk_tokens():
+    """unk copy + lexicon mapping + clamped out-of-range alignment
+    (reference utils.replace_unk)."""
+    from chimera_st_tpu.generation.unk_replace import (
+        load_align_dict,
+        replace_unk_tokens,
+    )
+
+    src = ["Haus", "und", "Garten"]
+    hyp = ["the", "<unk>", "and", "<unk>"]
+    align = [0, 0, 1, 9]  # last alignment past the source edge -> clamp
+    out = replace_unk_tokens(hyp, src, align, {"Haus": "house"}, "<unk>")
+    assert out == ["the", "house", "and", "Garten"]
+    assert load_align_dict(None) == {}
+    assert load_align_dict(True) == {}
