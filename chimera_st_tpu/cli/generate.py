@@ -275,6 +275,8 @@ def main(argv=None) -> None:
     class GenCfg:
         diversity_rate = args.diversity_rate
         beam = args.beam
+        if args.iter_decode_max_iter is not None:  # NAT refinement loops
+            iter_decode_max_iter = args.iter_decode_max_iter
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
         min_len = args.min_len

@@ -160,6 +160,9 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--sampling", action="store_true")
     p.add_argument("--sampling-topk", type=int, default=-1)
     p.add_argument("--sampling-topp", type=float, default=-1.0)
+    p.add_argument("--iter-decode-max-iter", type=int, default=None,
+                   help="refinement iterations for NAT models "
+                        "(reference iterative_refinement_generator max_iter)")
     p.add_argument("--diversity-rate", type=float, default=-1.0,
                    help="diverse-siblings rank penalty (reference search.py:745)")
     p.add_argument("--score-reference", action="store_true",

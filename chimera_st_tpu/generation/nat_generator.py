@@ -1,0 +1,79 @@
+"""Unified generate-CLI adapter for the non-autoregressive model families
+(reference: fairseq/iterative_refinement_generator.py, which dispatches on
+the model's initialize_output_tokens/forward_decoder surface).
+
+Each NAT family here exposes a jit-friendly whole-decode method instead of
+the reference's per-step generator protocol:
+
+- ``refine``        Levenshtein / Insertion (models/nat_levenshtein.py:152,
+                    models/nat_insertion.py:110)
+- ``mask_predict``  CMLM (models/nat_cmlm.py:88)
+- ``translate``     vanilla / iterative NAT / NAT-CRF (models/nat_vanilla.py:202)
+
+``build_nat_generator`` returns a ``generate_text`` adapter matching the
+beam generator's (tokens [B, K, L], scores [B, K], lens [B, K]) contract,
+or None if the model isn't a NAT family."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
+                        unk: Optional[int] = None):
+    import jax
+    import jax.numpy as jnp
+
+    cls = type(model)
+    max_len = min(getattr(gen_cfg, "max_decode_len", 64) or 64, 256)
+    pad, eos = tgt_dict.pad(), tgt_dict.eos()
+    bos = tgt_dict.bos() if bos is None else bos
+    unk = tgt_dict.unk() if unk is None else unk
+    req_iters = getattr(gen_cfg, "iter_decode_max_iter", None)
+
+    if hasattr(cls, "refine"):
+        iterations = req_iters if req_iters is not None else (
+            8 if "Insertion" in cls.__name__ else 6
+        )
+
+        @jax.jit
+        def _run(params, src_tokens):
+            tokens, lengths = model.apply(
+                params, src_tokens, iterations=iterations, max_len=max_len,
+                pad=pad, bos=bos, eos=eos, unk=unk, method=cls.refine,
+            )
+            return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
+
+    elif hasattr(cls, "mask_predict"):
+        iterations = req_iters if req_iters is not None else 10
+
+        @jax.jit
+        def _run(params, src_tokens):
+            return model.apply(
+                params, src_tokens, iterations=iterations, max_len=max_len,
+                pad=pad, eos=eos, method=cls.mask_predict,
+            )
+
+    elif hasattr(cls, "translate"):
+        iterations = req_iters if req_iters is not None else 1
+
+        @jax.jit
+        def _run(params, src_tokens):
+            tokens, lengths = model.apply(
+                params, src_tokens, max_len=max_len, iterations=iterations,
+                method=cls.translate,
+            )
+            return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
+
+    else:
+        return None
+
+    class NATGenerator:
+        """K=1 'beam' adapter over a whole-sequence refinement decode."""
+
+        def generate_text(self, params, src_tokens, src_lengths=None):
+            tokens, lens = _run(params, src_tokens)
+            scores = jnp.zeros(tokens.shape[:1] + (1,), jnp.float32)
+            return tokens[:, None, :], scores, lens[:, None]
+
+    return NATGenerator()

@@ -87,6 +87,14 @@ class ChimeraTask:
 
     def build_generator(self, model, gen_cfg):
         from ..generation.generator import GeneratorSettings, SequenceGenerator
+        from ..generation.nat_generator import build_nat_generator
+
+        # non-autoregressive families decode via whole-sequence refinement,
+        # not beam search (reference: fairseq_task.build_generator routing
+        # to IterativeRefinementGenerator for NAT models)
+        nat = build_nat_generator(model, gen_cfg, self.target_dictionary)
+        if nat is not None:
+            return nat
 
         g = gen_cfg
         settings = GeneratorSettings(

@@ -104,34 +104,11 @@ class TranslationLevenshteinTask(TranslationTask):
 
 
     def build_generator(self, model, gen_cfg):
-        iterations = getattr(gen_cfg, "iter_decode_max_iter", 6)
-        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
-        pad = self.tgt_dict.pad()
-        eos = self.tgt_dict.eos()
+        from ..generation.nat_generator import build_nat_generator
 
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _refine(params, src_tokens):
-            return model.apply(
-                params, src_tokens,
-                iterations=iterations, max_len=max_len,
-                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
-                method=type(model).refine,
-            )
-
-        class RefinementGenerator:
-            """generate_text API adapter (K=1 'beam')."""
-
-            def generate_text(self, params, src_tokens, src_lengths=None):
-                tokens, lengths = _refine(params, src_tokens)
-                # strip the bos anchor; report generated length (incl. eos)
-                out = tokens[:, 1:]
-                lens = jnp.maximum(lengths - 1, 1)
-                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
-
-        return RefinementGenerator()
+        return build_nat_generator(
+            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK
+        )
 
 @register_task("translation_ins")
 class TranslationInsertionTask(TranslationLevenshteinTask):
@@ -165,29 +142,9 @@ class TranslationInsertionTask(TranslationLevenshteinTask):
         return batch
 
     def build_generator(self, model, gen_cfg):
-        iterations = getattr(gen_cfg, "iter_decode_max_iter", 8)
-        max_len = min(getattr(gen_cfg, "max_decode_len", 64), 256)
-        pad = self.tgt_dict.pad()
-        eos = self.tgt_dict.eos()
+        from ..generation.nat_generator import build_nat_generator
 
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _refine(params, src_tokens):
-            return model.apply(
-                params, src_tokens,
-                iterations=iterations, max_len=max_len,
-                pad=pad, bos=self.BOS, eos=eos, unk=self.UNK,
-                method=type(model).refine,
-            )
-
-        class InsertionGenerator:
-            def generate_text(self, params, src_tokens, src_lengths=None):
-                tokens, lengths = _refine(params, src_tokens)
-                out = tokens[:, 1:]
-                lens = jnp.maximum(lengths - 1, 1)
-                return out[:, None, :], jnp.zeros(out.shape[:1] + (1,)), lens[:, None]
-
-        return InsertionGenerator()
+        return build_nat_generator(
+            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK
+        )
 

@@ -215,3 +215,62 @@ def test_nat_registered_and_cli_init():
         assert v is not None
         if arch == "nacrf_transformer":
             assert "crf" in v["params"], "CRF params must materialize at init"
+
+
+def test_build_nat_generator_dispatch():
+    """The generate-CLI adapter routes every NAT family through its own
+    whole-sequence decode (reference: fairseq_task.build_generator ->
+    IterativeRefinementGenerator dispatch) and honors --iter-decode-max-iter."""
+    import jax
+    import numpy as np
+
+    from chimera_st_tpu.data.dictionary import Dictionary
+    from chimera_st_tpu.generation.nat_generator import build_nat_generator
+    from chimera_st_tpu.models.nat_cmlm import CMLMConfig, CMLMTransformer
+    from chimera_st_tpu.models.transformer_mt import (
+        TransformerMTConfig,
+        TransformerModel,
+    )
+
+    d = Dictionary()
+    for w in list("abcdefghij"):
+        d.add_symbol(w)
+
+    class Cfg:
+        max_decode_len = 12
+        iter_decode_max_iter = 2
+
+    src = jnp.asarray(np.array([[5, 6, 7, 2], [8, 9, 2, 1]], np.int32))
+
+    nat = NATransformer(NATConfig(**TINY))
+    p = nat.init(jax.random.PRNGKey(0), src, src)
+    gen = build_nat_generator(nat, Cfg, d)
+    assert gen is not None
+    toks, scores, lens = gen.generate_text(p, src)
+    assert toks.shape[1] == 1 and lens.shape == (2, 1)
+    assert int(np.asarray(lens).min()) >= 1
+
+    cmlm = CMLMTransformer(
+        CMLMConfig(
+            src_vocab_size=20, tgt_vocab_size=20,
+            encoder_embed_dim=16, encoder_ffn_dim=32, encoder_layers=1,
+            encoder_heads=2, decoder_embed_dim=16, decoder_ffn_dim=32,
+            decoder_layers=1, decoder_heads=2, max_predicted_length=16,
+        )
+    )
+    pc = cmlm.init(jax.random.PRNGKey(0), src, src)
+    gen2 = build_nat_generator(cmlm, Cfg, d)
+    assert gen2 is not None
+    toks2, _, lens2 = gen2.generate_text(pc, src)
+    assert np.asarray(toks2).ndim == 3 and int(np.asarray(lens2).min()) >= 1
+
+    # an autoregressive model is NOT claimed by the NAT adapter
+    ar = TransformerModel(
+        TransformerMTConfig(
+            src_vocab_size=20, tgt_vocab_size=20,
+            encoder_embed_dim=16, encoder_ffn_dim=32, encoder_layers=1,
+            encoder_heads=2, decoder_embed_dim=16, decoder_ffn_dim=32,
+            decoder_layers=1, decoder_heads=2,
+        )
+    )
+    assert build_nat_generator(ar, Cfg, d) is None
