@@ -65,3 +65,32 @@ def make_parallel_text(root: str, n: int = 32, seed: int = 0):
                 fs.write(" ".join(rng.choice(SRC_WORDS, size=rng.integers(2, 6))) + "\n")
                 ft.write(" ".join(rng.choice(TGT_WORDS, size=rng.integers(2, 6))) + "\n")
     return str(root)
+
+
+def make_labeled_audio_dir(root: str, n: int = 4, seed: int = 7) -> str:
+    """TSV+letter-label fixture for the audio_pretraining --labels fine-tune
+    path (reference: examples/wav2vec manifest + .ltr files)."""
+    import numpy as np
+    from pathlib import Path
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with open(root / "dict.ltr.txt", "w") as f:
+        for ch in list("abcdef") + ["|"]:
+            f.write(f"{ch} 1\n")
+    texts = ["a b c", "d e", "a f a", "c c d"][:n]
+    for split in ("train", "valid", "test"):
+        rows, lines = [], []
+        for i, t in enumerate(texts):
+            nsamp = int(rng.integers(600, 900))
+            write_wav(str(root / f"{split}_u{i}.wav"),
+                      rng.normal(size=nsamp).astype(np.float32) * 0.1)
+            rows.append(f"{split}_u{i}.wav\t{nsamp}")
+            # letter labels: spell words, '|' word boundary
+            lines.append(" ".join("|".join(t.split())))
+        with open(root / f"{split}.tsv", "w") as f:
+            f.write("audio\tn_frames\n" + "\n".join(rows) + "\n")
+        with open(root / f"{split}.ltr", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return str(root)

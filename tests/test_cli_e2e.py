@@ -382,3 +382,42 @@ def test_generate_score_reference_and_replace_unk(tmp_path):
     h2 = [l for l in text2.splitlines() if l.startswith("H-")]
     assert h2  # path exercised end to end (unks, if any, were replaced)
     assert all("<unk>" not in l for l in h2)
+
+
+def test_ctc_finetune_wer_and_generate(tmp_path):
+    """audio_pretraining --labels: CTC fine-tune with WER checkpoint
+    selection, then the CTC recognition loop in chimera-generate (greedy and
+    prefix-beam) — reference wav2vec2_asr.py + examples/speech_recognition."""
+    from chimera_st_tpu.cli import generate, train
+    from tests.synthetic_data import make_labeled_audio_dir
+
+    data = make_labeled_audio_dir(str(tmp_path / "audio"))
+    save_dir = str(tmp_path / "ckpt")
+    train.main([
+        data, "--task", "audio_pretraining", "--labels", "ltr",
+        "--arch", "wav2vec_ctc", "--apply-mask", "--criterion", "ctc",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "fixed",
+        "--max-update", "2", "--batch-size", "2", "--save-dir", save_dir,
+        "--best-checkpoint-metric", "wer",
+        "--min-sample-size", "100", "--max-sample-size", "2000",
+        "--w2v2-conv-spec", "((16,3,2),(16,3,2))",
+        "--w2v2-embed-dim", "32", "--w2v2-ffn-dim", "64",
+        "--w2v2-layers", "1", "--w2v2-heads", "2",
+        "--w2v2-conv-pos", "8", "--w2v2-conv-pos-groups", "4",
+        "--dtype", "float32",
+    ])
+    assert (Path(save_dir) / "checkpoint_best.ckpt").is_file()
+
+    out_dir = tmp_path / "gen"
+    out_dir.mkdir()
+    for beam in ("1", "3"):
+        generate.main([
+            data, "--task", "audio_pretraining", "--labels", "ltr",
+            "--path", str(Path(save_dir) / "checkpoint_best.ckpt"),
+            "--gen-subset", "test", "--beam", beam, "--batch-size", "2",
+            "--min-sample-size", "100", "--max-sample-size", "2000",
+            "--results-path", str(out_dir), "--dtype", "float32",
+        ])
+        text = (out_dir / "generate-test.txt").read_text()
+        assert [l for l in text.splitlines() if l.startswith("H-")]
+        assert "WER" in text
