@@ -1,6 +1,6 @@
 from ..config.registry import ARCHITECTURES, MODELS
 from .interlingua import ChimeraInterlinguaModel, InterlinguaConfig
-from . import bart, berard, fconv, fconv_self_att, hf_gpt2, lightconv_mt, lm_extra, lstm, masked_lm, multilingual_transformer, nat_cmlm, nat_insertion, nat_levenshtein, nat_vanilla, pipeline_lm, roberta_hub, s2t_transformer, transformer_mt, wav2vec2_asr, wav2vec_v1  # noqa: F401 — registration
+from . import bart, berard, wav2vec2_pretraining, fconv, fconv_self_att, hf_gpt2, lightconv_mt, lm_extra, lstm, masked_lm, multilingual_transformer, nat_cmlm, nat_insertion, nat_levenshtein, nat_vanilla, pipeline_lm, roberta_hub, s2t_transformer, transformer_mt, wav2vec2_asr, wav2vec_v1  # noqa: F401 — registration
 
 
 def build_model_from_arch(arch: str, cfg_dict=None, **kw):

@@ -410,3 +410,53 @@ def interlingua_base(cfg: Dict) -> Dict:
     d.setdefault("interlingua_length", 16)
     d.setdefault("interlingua_layers", 3)
     return d
+
+
+# plain w2v2+transformer ST model (no memory bank) under its reference
+# names: w2v2_transformer.py:42 register_model("s2t_transformer_w2v2") and
+# the :480-507 small presets. no_interlingua=True routes encode_audio
+# around the memory layers (this file :268).
+@register_model("s2t_transformer_w2v2")
+def build_s2t_w2v2_model(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    return build_interlingua_model(
+        {**cfg_dict, "no_interlingua": True}, dtype, param_dtype
+    )
+
+
+@register_model_architecture("s2t_transformer_w2v2", "s2t_transformer_w2v2")
+def s2t_w2v2_base(cfg: Dict) -> Dict:
+    return _arch_base(cfg)
+
+
+def _s2t_w2v2_s(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 256)
+    d.setdefault("encoder_ffn_dim", 256 * 8)
+    d.setdefault("encoder_heads", 4)
+    d.setdefault("decoder_heads", 4)
+    return _arch_base(d)
+
+
+@register_model_architecture("s2t_transformer_w2v2", "s2t_transformer_w2v2_s")
+def s2t_w2v2_s(cfg: Dict) -> Dict:
+    return _s2t_w2v2_s(cfg)
+
+
+@register_model_architecture("s2t_transformer_w2v2", "s2t_transformer_w2v2yr_s")
+def s2t_w2v2yr_s(cfg: Dict) -> Dict:
+    return _s2t_w2v2_s(cfg)
+
+
+@register_model_architecture("s2t_transformer_w2v2", "s2t_transformer_w2v2_sp")
+def s2t_w2v2_sp(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_layers", 16)
+    return _s2t_w2v2_s(d)
+
+
+@register_model_architecture("s2t_transformer_w2v2", "s2t_transformer_w2v2asr_s")
+def s2t_w2v2asr_s(cfg: Dict) -> Dict:
+    # the reference flips use_asr_finetune_w2v (loads an ASR-fine-tuned
+    # wav2vec checkpoint); trunk shape is identical — checkpoint choice is
+    # a --w2v2-model-path concern here
+    return _s2t_w2v2_s(cfg)

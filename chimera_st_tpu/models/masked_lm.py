@@ -140,3 +140,25 @@ def roberta_large(cfg: Dict) -> Dict:
     d.setdefault("layers", 24)
     d.setdefault("heads", 16)
     return d
+
+
+# reference name aliases: roberta is the masked-LM encoder under a hub
+# surface (reference models/roberta/model.py:31 register_model("roberta");
+# camembert/xlmr differ only in their pretrained tokenizers —
+# model_camembert.py:15, model_xlmr.py:15)
+register_model("roberta")(build_masked_lm)
+
+
+@register_model_architecture("roberta", "roberta")
+def roberta_arch(cfg: Dict) -> Dict:
+    return roberta_base(cfg)
+
+
+@register_model_architecture("roberta", "camembert")
+def camembert_arch(cfg: Dict) -> Dict:
+    return roberta_base(cfg)
+
+
+@register_model_architecture("roberta", "xlmr")
+def xlmr_arch(cfg: Dict) -> Dict:
+    return roberta_large(cfg)

@@ -418,3 +418,49 @@ class Wav2Vec2PretrainModel(nn.Module):
             # nonzero only on the kmeans-VQ path (latent+commitment MSE)
             "kmeans_loss": q.get("kmeans_loss", jnp.float32(0.0)),
         }
+
+
+# ----------------------------------------------------------- registrations
+
+
+def build_w2v2_pretrain(
+    cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32
+):
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(W2V2PretrainConfig)}
+    cfg = W2V2PretrainConfig(
+        **{k: v for k, v in cfg_dict.items() if k in known}
+    )
+    return Wav2Vec2PretrainModel(cfg, dtype=dtype, param_dtype=param_dtype)
+
+
+# reference --arch names (wav2vec2.py:31 register_model("wav2vec2"),
+# wav2vec2_quasiwave.py:38 — the bimodal objective lives in the task +
+# criterion here, the trunk is shared)
+from ..config.registry import register_model, register_model_architecture  # noqa: E402
+
+register_model("wav2vec2")(build_w2v2_pretrain)
+register_model("wav2vec2_quasiwave")(build_w2v2_pretrain)
+
+
+@register_model_architecture("wav2vec2", "wav2vec2")
+def wav2vec2_arch(cfg: Dict) -> Dict:
+    return dict(cfg)
+
+
+@register_model_architecture("wav2vec2", "wav2vec2_large")
+def wav2vec2_large(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 1024)
+    d.setdefault("encoder_ffn_dim", 4096)
+    d.setdefault("encoder_layers", 24)
+    d.setdefault("encoder_heads", 16)
+    d.setdefault("final_dim", 768)
+    d.setdefault("extractor_mode", "layer_norm")
+    return d
+
+
+@register_model_architecture("wav2vec2_quasiwave", "wav2vec2_quasiwave")
+def wav2vec2_quasiwave_arch(cfg: Dict) -> Dict:
+    return dict(cfg)

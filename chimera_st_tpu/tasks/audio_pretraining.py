@@ -90,16 +90,9 @@ class AudioPretrainingTask(ChimeraTask):
             # the generic registry with the label vocab injected
             return super().build_model(model_cfg, dtype, param_dtype)
 
-        from ..models.wav2vec2_pretraining import (
-            W2V2PretrainConfig,
-            Wav2Vec2PretrainModel,
-        )
+        from ..models.wav2vec2_pretraining import build_w2v2_pretrain
 
-        known = {f.name for f in dataclasses.fields(W2V2PretrainConfig)}
-        cfg = W2V2PretrainConfig(
-            **{k: v for k, v in model_cfg.items() if k in known}
-        )
-        return Wav2Vec2PretrainModel(cfg, dtype=dtype, param_dtype=param_dtype)
+        return build_w2v2_pretrain(model_cfg, dtype, param_dtype)
 
     def collate_indices(self, dataset, idx, audio_target_len):
         return dataset.collater([dataset[int(i)] for i in idx], audio_target_len)

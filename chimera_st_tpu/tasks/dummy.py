@@ -114,3 +114,40 @@ class DummyLMTask(ChimeraTask):
     @property
     def target_dictionary(self):
         return self.dict
+
+
+@register_task("dummy_masked_lm")
+class DummyMaskedLMTask(ChimeraTask):
+    """Synthetic masked-LM batches for harness benchmarking (reference:
+    fairseq/benchmark/dummy_masked_lm.py:17-63 — every 15th position is
+    masked, targets are pad elsewhere)."""
+
+    def __init__(self, cfg: Dict, dictionary: Dictionary):
+        super().__init__(cfg)
+        self.dict = dictionary
+        self.mask_idx = dictionary.add_symbol("<mask>")
+        self.tokens_per_sample = int(cfg.get("tokens_per_sample", 512))
+
+    @classmethod
+    def setup_task(cls, cfg: Dict, **kwargs):
+        return cls(cfg, _synthetic_dictionary(int(cfg.get("dict_size", 49995))))
+
+    def load_dataset(self, split: str, **kwargs):
+        lo = self.dict.nspecial
+        T = self.tokens_per_sample
+        seq = (np.arange(T, dtype=np.int32) % (len(self.dict) - lo)) + lo
+        mask = np.arange(T) % 15 == 0  # ~1/15 masked, deterministic
+        net = np.where(mask, self.mask_idx, seq).astype(np.int32)
+        tgt = np.where(mask, seq, self.dict.pad()).astype(np.int32)
+        ex = {"net_tokens": net, "target": tgt}
+        self.datasets[split] = _FixedBatchDataset(
+            ex, int(self.cfg.get("dataset_size", 10000)), {}
+        )
+
+    @property
+    def source_dictionary(self):
+        return self.dict
+
+    @property
+    def target_dictionary(self):
+        return self.dict
