@@ -28,6 +28,24 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 
+
+def _lazy_select_mode() -> str:
+    """Lazy-beam-reorder attention variant. "crosscol" (default): cross-column
+    logits + post-softmax one-hot select. "gather": one-hot K/V column select
+    BEFORE the logits (CHIMERA_LAZY_SELECT=gather). Same math — exact-equal
+    on CPU (tests/test_generate_golden.py), bf16 tie-flips on TPU.
+
+    Measured dead end (benchmarks/ab_lazy_select.py, B=128 beam 10 on the
+    real chip): gather = 779.8 ms/batch vs crosscol = 628.1 ms. On paper the
+    gather bounds traffic at the bf16 cache size while crosscol names two
+    [B,H,K,L,K] fp32 intermediates — but XLA fuses the select into the
+    surrounding einsums (they never materialize), whereas the explicit
+    k_sel/v_sel copies DO materialize, with transposed layouts. Read at
+    trace time so benchmarks can flip it per-process."""
+    import os
+
+    return os.environ.get("CHIMERA_LAZY_SELECT", "crosscol")
+
 Dtype = Any
 
 
@@ -276,27 +294,60 @@ class MultiheadAttention(nn.Module):
             qg = q.reshape(B, K, 1, H, D)[:, :, 0]  # [B, K, H, D]
             kc_g = kc.reshape(L, H, D, B, K)
             vc_g = vc.reshape(L, H, D, B, K)
-            # cross-column logits: every beam row vs every cache column of its
-            # sentence group ([B,K,H] x [L,..,K] -> [B,H,K,L,K])
-            logits_all = jnp.einsum(
-                "bkhd,lhdbc->bhklc", qg, kc_g, preferred_element_type=jnp.float32
-            ) * jnp.float32(scale)
             anc = cache_ancestry.reshape(L, B, K)  # within-group columns
-            sel = jax.nn.one_hot(anc, K, dtype=jnp.float32)  # [L, B, K, K]
-            sel_b = jnp.transpose(sel, (1, 2, 0, 3))  # [B, K, L, K]
-            logits = jnp.sum(logits_all * sel_b[:, None], axis=-1)  # [B,H,K,L]
             future = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3) > cache_index
             )
-            logits = jnp.where(future, -1e8, logits)
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs_sel = probs[..., None] * sel_b[:, None]  # [B, H, K, L, K]
-            out = jnp.einsum(
-                "bhklc,lhdbc->bkhd",
-                probs_sel.astype(query.dtype),
-                vc_g,
-                preferred_element_type=jnp.float32,
-            ).astype(query.dtype)
+            if _lazy_select_mode() == "crosscol":
+                # cross-column logits: every beam row vs every cache column of
+                # its sentence group ([B,K,H] x [L,..,K] -> [B,H,K,L,K]).
+                # Kept for A/B: materializes two [B,H,K,L,K] fp32 intermediates
+                # (~262 MB/layer/step at B=128 K=10 L=64) — the gather mode
+                # below bounds traffic at the bf16 cache size instead.
+                sel = jax.nn.one_hot(anc, K, dtype=jnp.float32)  # [L, B, K, K]
+                logits_all = jnp.einsum(
+                    "bkhd,lhdbc->bhklc", qg, kc_g,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                sel_b = jnp.transpose(sel, (1, 2, 0, 3))  # [B, K, L, K]
+                logits = jnp.sum(logits_all * sel_b[:, None], axis=-1)
+                logits = jnp.where(future, -1e8, logits)
+                probs = jax.nn.softmax(logits, axis=-1)
+                probs_sel = probs[..., None] * sel_b[:, None]  # [B,H,K,L,K]
+                out = jnp.einsum(
+                    "bhklc,lhdbc->bkhd",
+                    probs_sel.astype(query.dtype),
+                    vc_g,
+                    preferred_element_type=jnp.float32,
+                ).astype(query.dtype)
+            else:
+                # ancestry-gather mode (default): select each hypothesis's K/V
+                # columns FIRST via a tiny one-hot contraction over the K
+                # column group (0.9 GF at B=128 — rides the MXU; identical
+                # math: 1.0 * x is exact in bf16), then standard single-column
+                # attention. Intermediates are two bf16 cache-sized tensors,
+                # not the K x fp32 logits blowup of the crosscol path.
+                sel = jax.nn.one_hot(anc, K, dtype=query.dtype)  # [L,B,K,Kc]
+                k_sel = jnp.einsum(
+                    "lhdbc,lbkc->lhdbk", kc_g, sel,
+                    preferred_element_type=query.dtype,
+                )
+                v_sel = jnp.einsum(
+                    "lhdbc,lbkc->lhdbk", vc_g, sel,
+                    preferred_element_type=query.dtype,
+                )
+                logits = jnp.einsum(
+                    "bkhd,lhdbk->bhkl", qg, k_sel,
+                    preferred_element_type=jnp.float32,
+                ) * jnp.float32(scale)
+                logits = jnp.where(future, -1e8, logits)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum(
+                    "bhkl,lhdbk->bkhd",
+                    probs.astype(query.dtype),
+                    v_sel,
+                    preferred_element_type=jnp.float32,
+                ).astype(query.dtype)
             out = out.reshape(BK, 1, self.embed_dim)
             out = self.out_proj(out)
             return out, new_cache

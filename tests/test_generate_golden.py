@@ -221,3 +221,38 @@ def test_text_generator_matches_oracle(golden):
             np.testing.assert_array_equal(tokens[b, k, :L], exp_toks,
                                           err_msg=f"utt {b} hypo {k}")
             np.testing.assert_allclose(scores[b, k], exp_score, atol=2e-2)
+
+
+def test_lazy_select_modes_identical(golden, monkeypatch):
+    """The ancestry-gather and cross-column formulations of lazy beam
+    reorder are the same math — tokens, scores and lengths must match
+    bit-for-bit (layers.py _lazy_select_mode)."""
+    tref, wavs, _ = golden
+    params = {"params": import_interlingua_state_dict(tref.state_dict())}
+    model = ChimeraInterlinguaModel(TINY)
+    T = max(len(w) for w in wavs)
+    audio = np.zeros((len(wavs), T), np.float32)
+    mask = np.ones((len(wavs), T), bool)
+    for i, w in enumerate(wavs):
+        audio[i, : len(w)] = w
+        mask[i, : len(w)] = False
+
+    outs = {}
+    for mode in ("gather", "crosscol"):
+        monkeypatch.setenv("CHIMERA_LAZY_SELECT", mode)
+        gen = SequenceGenerator(
+            model,
+            GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_LEN,
+                              len_penalty=LENPEN, min_len=1),
+        )
+        outs[mode] = tuple(
+            np.asarray(x)
+            for x in gen.generate_audio(
+                params, jnp.asarray(audio), jnp.asarray(mask)
+            )
+        )
+    np.testing.assert_array_equal(outs["gather"][0], outs["crosscol"][0])
+    np.testing.assert_array_equal(outs["gather"][2], outs["crosscol"][2])
+    np.testing.assert_allclose(
+        outs["gather"][1], outs["crosscol"][1], rtol=2e-3, atol=2e-3
+    )
