@@ -45,6 +45,18 @@ from .train_step import (
 logger = logging.getLogger(__name__)
 
 
+def nonfinite_grad_paths(grads) -> List[str]:
+    """Names of gradient leaves containing nan/inf ("a/b/c" paths) — the
+    skip-path diagnosis replacing the reference's NanDetector forward/backward
+    hook re-run (fairseq/nan_detector.py:14, trainer.py:629-641)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    bad = []
+    for path, leaf in flat:
+        if not bool(jnp.isfinite(leaf).all()):
+            bad.append(jax.tree_util.keystr(path, simple=True, separator="/"))
+    return bad
+
+
 class Trainer:
     def __init__(
         self,
@@ -183,9 +195,15 @@ class Trainer:
         out = {k: np.asarray(v) for k, v in logging_sum.items()}
         out["gnorm"] = float(gnorm)
         if not bool(finite):
+            # locate the offending subtrees (reference: NanDetector's
+            # module-naming re-run, trainer.py:629-641 — here the grads are
+            # already materialized, so the diagnosis is a host reduction on
+            # the skip path only)
+            bad = nonfinite_grad_paths(grads)
             logger.warning(
                 f"non-finite gradient norm at update {self.num_updates}; "
-                "update skipped"
+                f"update skipped; non-finite leaves: {bad[:8]}"
+                + (f" (+{len(bad) - 8} more)" if len(bad) > 8 else "")
             )
             out["nonfinite_grad"] = 1.0
         if self.lr_schedule is not None:

@@ -239,3 +239,19 @@ def test_train_step_tp_plus_zero1(setup):
         and any(ax == "data" for ax in leaf.sharding.spec if ax)
     )
     assert n_sharded > 0
+
+
+def test_nonfinite_grad_paths_naming():
+    """Skip-path diagnosis names the offending grad subtrees (replaces the
+    reference's NanDetector hook re-run, fairseq/nan_detector.py:14)."""
+    import jax.numpy as jnp
+
+    from chimera_st_tpu.train.trainer import nonfinite_grad_paths
+
+    grads = {
+        "encoder": {"kernel": jnp.ones((2, 2)),
+                    "bias": jnp.array([jnp.nan, 0.0])},
+        "decoder": {"kernel": jnp.array([[jnp.inf]])},
+    }
+    assert nonfinite_grad_paths(grads) == ["decoder/kernel", "encoder/bias"]
+    assert nonfinite_grad_paths({"a": jnp.zeros(3)}) == []
