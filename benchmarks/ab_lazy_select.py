@@ -41,7 +41,9 @@ def main():
         InterlinguaConfig,
     )
 
-    mode = os.environ.get("CHIMERA_LAZY_SELECT", "gather")
+    mode = os.environ.get("CHIMERA_LAZY_SELECT", "crosscol")
+    if os.environ.get("CHIMERA_PALLAS_DECODE", "0") == "1":
+        mode = "pallas"
     cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
     model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
     T = 6 * 16000
@@ -60,7 +62,8 @@ def main():
     )
     toks = np.asarray(gen.generate_audio(params, audio, mask)[0])
     np.save(f"/tmp/ab_lazy_tokens_{mode}.npy", toks)
-    other = "crosscol" if mode == "gather" else "gather"
+    other = {"gather": "crosscol", "crosscol": "gather",
+             "pallas": "crosscol"}[mode]
     other_f = f"/tmp/ab_lazy_tokens_{other}.npy"
     if os.path.exists(other_f):
         ref = np.load(other_f)

@@ -450,13 +450,17 @@ def beam_search(
             state = jax.lax.while_loop(seg_cond, body, state)
             if si + 1 < len(seg_ends):
                 grow = seg_ends[si + 1] - seg_end
+                def _grow_time(x, grow=grow):
+                    # time axis: 0 for the time-major [L, H, D, B*K] caches
+                    # and the [L, B*K] ancestry map; 3 for the Pallas decode
+                    # kernel's per-sentence [B, H, C, L, D] caches
+                    t_axis = 3 if x.ndim == 5 else 0
+                    pads = [(0, 0)] * x.ndim
+                    pads[t_axis] = (0, grow)
+                    return jnp.pad(x, pads)
+
                 state = state._replace(
-                    caches=jax.tree_util.tree_map(
-                        lambda x: jnp.pad(
-                            x, [(0, grow)] + [(0, 0)] * (x.ndim - 1)
-                        ),
-                        state.caches,
-                    )
+                    caches=jax.tree_util.tree_map(_grow_time, state.caches)
                 )
         final = state
     else:

@@ -143,7 +143,18 @@ class SequenceGenerator:
         # first segment's length and grows between while_loops
         seg = self.s.cache_segment
         init_len = seg if (seg and seg < max_len and not self.s.sampling) else max_len + 1
-        kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
+        import os as _os
+
+        pallas_decode = (
+            lazy_mode and _os.environ.get("CHIMERA_PALLAS_DECODE", "0") == "1"
+        )
+        if pallas_decode:
+            # fused decode-step attention kernel: per-sentence column-major
+            # cache [B, H, K, L, D] (ops/pallas_decode_attention.py); time
+            # axis is 3 (segment growth pads it)
+            kv_shape = (B, c.decoder_heads, K, init_len, head_dim)
+        else:
+            kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
         layer_caches = [
             {
                 "k": jnp.zeros(kv_shape, self.model.dtype),
@@ -181,7 +192,9 @@ class SequenceGenerator:
         def step_fn(tokens_t, index, caches):
             if lazy:
                 kv = caches["kv"]
-                anc_view = caches["anc"][: kv[0]["k"].shape[0]]
+                k0 = kv[0]["k"]
+                t_len = k0.shape[3] if k0.ndim == 5 else k0.shape[0]
+                anc_view = caches["anc"][:t_len]
             else:
                 kv, anc_view = caches, None
             logits, new_kv = self.model.apply(

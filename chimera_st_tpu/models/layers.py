@@ -275,6 +275,45 @@ class MultiheadAttention(nn.Module):
             return self.out_proj(out), None
         if precomputed_kv is not None:
             k, v = precomputed_kv
+        elif (
+            cache is not None
+            and cache_ancestry is not None
+            and cache["k"].ndim == 5
+        ):
+            # fused Pallas decode-step attention over a per-sentence
+            # column-major cache [B, H, C, L, D] (CHIMERA_PALLAS_DECODE=1;
+            # ops/pallas_decode_attention.py — the ancestry select collapses
+            # into pre-softmax masking inside the kernel)
+            from ..ops.pallas_decode_attention import decode_step_attention
+
+            assert query.shape[1] == 1, "cached decode is single-step"
+            BK = q.shape[0]
+            B5, H, C, L, D = cache["k"].shape
+            k_new = self._split(self.k_proj(query))  # [BK, 1, H, D]
+            v_new = self._split(self.v_proj(query))
+
+            def _to5(x):  # [BK, 1, H, D] -> [B, H, C, 1, D]
+                return jnp.transpose(
+                    x[:, 0].reshape(B5, C, H, D), (0, 2, 1, 3)
+                )[:, :, :, None, :]
+
+            kc = jax.lax.dynamic_update_slice(
+                cache["k"], _to5(k_new), (0, 0, 0, cache_index, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                cache["v"], _to5(v_new), (0, 0, 0, cache_index, 0)
+            )
+            new_cache = {"k": kc, "v": vc}
+            out = decode_step_attention(
+                q[:, 0].reshape(B5, C, H, D),
+                kc.reshape(B5, H, C * L, D),
+                vc.reshape(B5, H, C * L, D),
+                cache_ancestry,
+                cache_index,
+                interpret=jax.default_backend() != "tpu",
+            )
+            out = out.reshape(BK, 1, self.embed_dim)
+            return self.out_proj(out), new_cache
         elif cache is not None and cache_ancestry is not None:
             assert query.shape[1] == 1, "cached decode is single-step"
             k_new = self._split(self.k_proj(query))  # [B, 1, H, D]

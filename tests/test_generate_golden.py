@@ -256,3 +256,67 @@ def test_lazy_select_modes_identical(golden, monkeypatch):
     np.testing.assert_allclose(
         outs["gather"][1], outs["crosscol"][1], rtol=2e-3, atol=2e-3
     )
+
+
+def test_pallas_decode_matches_default(golden, monkeypatch):
+    """CHIMERA_PALLAS_DECODE=1 (fused decode-step attention over the 5D
+    column-major cache, interpret mode on CPU) produces the same hypotheses
+    as the XLA crosscol path."""
+    tref, wavs, _ = golden
+    params = {"params": import_interlingua_state_dict(tref.state_dict())}
+    model = ChimeraInterlinguaModel(TINY)
+    T = max(len(w) for w in wavs)
+    audio = np.zeros((len(wavs), T), np.float32)
+    mask = np.ones((len(wavs), T), bool)
+    for i, w in enumerate(wavs):
+        audio[i, : len(w)] = w
+        mask[i, : len(w)] = False
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("CHIMERA_PALLAS_DECODE", flag)
+        gen = SequenceGenerator(
+            model,
+            GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_LEN,
+                              len_penalty=LENPEN, min_len=1),
+        )
+        outs[flag] = tuple(
+            np.asarray(x)
+            for x in gen.generate_audio(
+                params, jnp.asarray(audio), jnp.asarray(mask)
+            )
+        )
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][2], outs["1"][2])
+    np.testing.assert_allclose(outs["0"][1], outs["1"][1], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_decode_segmented(golden, monkeypatch):
+    """Pallas decode with cache segmentation: 5D caches grow on the time
+    axis between segment while_loops (beam_search.py _grow_time)."""
+    tref, wavs, _ = golden
+    params = {"params": import_interlingua_state_dict(tref.state_dict())}
+    model = ChimeraInterlinguaModel(TINY)
+    T = max(len(w) for w in wavs)
+    audio = np.zeros((len(wavs), T), np.float32)
+    mask = np.ones((len(wavs), T), bool)
+    for i, w in enumerate(wavs):
+        audio[i, : len(w)] = w
+        mask[i, : len(w)] = False
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("CHIMERA_PALLAS_DECODE", flag)
+        gen = SequenceGenerator(
+            model,
+            GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_LEN,
+                              len_penalty=LENPEN, min_len=1,
+                              cache_segment=4),
+        )
+        outs[flag] = tuple(
+            np.asarray(x)
+            for x in gen.generate_audio(
+                params, jnp.asarray(audio), jnp.asarray(mask)
+            )
+        )
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
