@@ -65,18 +65,42 @@ class TransformerDecoder(nn.Module):
     pipeline_stages: int = 0
     pipeline_chunks: int = 0
     pipeline_remat: bool = False
+    # character-aware input embeddings (reference: --character-embeddings +
+    # modules/character_token_embedder.py): dict with word_to_char /
+    # char_embed_dim / filters / highway_layers; forces a separate output
+    # projection (no input-output sharing)
+    char_embedder_cfg: Any = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.embed_tokens = Embed(
-            self.vocab_size,
-            self.embed_dim,
-            padding_idx=self.padding_idx,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="embed_tokens",
-        )
+        if self.char_embedder_cfg is not None:
+            from .character_embedder import (
+                DEFAULT_FILTERS,
+                CharacterTokenEmbedder,
+            )
+
+            cc = dict(self.char_embedder_cfg)
+            self.embed_tokens = CharacterTokenEmbedder(
+                word_to_char=cc["word_to_char"],
+                word_embed_dim=self.embed_dim,
+                char_embed_dim=int(cc.get("char_embed_dim", 4)),
+                filters=tuple(cc.get("filters") or DEFAULT_FILTERS),
+                highway_layers=int(cc.get("highway_layers", 2)),
+                pad_idx=self.padding_idx,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="embed_tokens",
+            )
+        else:
+            self.embed_tokens = Embed(
+                self.vocab_size,
+                self.embed_dim,
+                padding_idx=self.padding_idx,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="embed_tokens",
+            )
         if self.learned_pos:
             self.embed_positions = Embed(
                 self.max_target_positions + self.padding_idx + 1,
@@ -111,7 +135,7 @@ class TransformerDecoder(nn.Module):
             self.layer_norm = LayerNorm(self.embed_dim, dtype=self.dtype)
         else:
             self.layer_norm = None
-        if not self.share_input_output_embed:
+        if not self.share_input_output_embed or self.char_embedder_cfg is not None:
             self.output_projection = nn.Dense(
                 self.vocab_size,
                 use_bias=False,
@@ -123,7 +147,7 @@ class TransformerDecoder(nn.Module):
         self.dropout_layer = nn.Dropout(self.dropout)
 
     def _output_layer(self, x: jax.Array) -> jax.Array:
-        if self.share_input_output_embed:
+        if self.share_input_output_embed and self.char_embedder_cfg is None:
             return self.embed_tokens.attend(x)
         return self.output_projection(x)
 

@@ -233,6 +233,16 @@ class TransformerLMConfig:
     activation: str = "relu"
     # reference: --adaptive-softmax-cutoff (fairseq/modules/adaptive_softmax.py)
     adaptive_softmax_cutoffs: Optional[Tuple[int, ...]] = None
+    # character-aware input embeddings (reference transformer_lm.py:86-101
+    # --character-embeddings/--character-filters/--character-embedding-dim/
+    # --char-embedder-highway-layers + modules/character_token_embedder.py);
+    # the word->char spelling table itself is injected by the task at build
+    # time (tasks/base.py model_config_overrides), never persisted
+    character_embeddings: bool = False
+    character_filters: Optional[Tuple[Tuple[int, int], ...]] = None
+    character_embedding_dim: int = 4
+    char_embedder_highway_layers: int = 2
+    max_char_len: int = 50
     # pipeline parallelism (reference: --pipeline-balance/-chunks via
     # fairscale Pipe; here the GPipe schedule in parallel/pipeline.py)
     pipeline_stages: int = 0
@@ -250,11 +260,23 @@ class TransformerLM(nn.Module):
     # mesh with a `pipe` axis, required when cfg.pipeline_stages > 1 (set by
     # the train CLI; not part of the persisted config)
     pipeline_mesh: Any = None
+    # task-injected [V, max_char_len] spelling table when
+    # cfg.character_embeddings (not persisted; rebuilt from the dictionary)
+    word_to_char: Any = None
 
     def setup(self):
         c = self.cfg
+        char_cfg = None
+        if c.character_embeddings:
+            char_cfg = {
+                "word_to_char": self.word_to_char,
+                "char_embed_dim": c.character_embedding_dim,
+                "filters": c.character_filters,
+                "highway_layers": c.char_embedder_highway_layers,
+            }
         self.decoder = TransformerDecoder(
             vocab_size=c.vocab_size,
+            char_embedder_cfg=char_cfg,
             embed_dim=c.embed_dim,
             ffn_dim=c.ffn_dim,
             num_layers=c.layers,
@@ -339,7 +361,13 @@ def build_transformer_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.floa
     d = dict(cfg_dict)
     d.setdefault("vocab_size", d.pop("tgt_vocab_size", 8))
     mesh = d.pop("pipeline_mesh", None)
+    word_to_char = d.pop("word_to_char", None)  # task-injected, not persisted
     cfg = TransformerLMConfig(**{k: v for k, v in d.items() if k in known})
+    if cfg.character_embeddings:
+        assert word_to_char is not None, (
+            "--character-embeddings needs a task with a target dictionary "
+            "(the word->char table is built from it)"
+        )
     if cfg.pipeline_stages > 1:
         assert mesh is not None and mesh.shape.get("pipe", 1) == cfg.pipeline_stages, (
             "pipeline_stages > 1 needs a mesh whose `pipe` axis equals the "
@@ -358,7 +386,7 @@ def build_transformer_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.floa
             "layers must divide into pipeline_stages (uniform balance)"
         )
     return TransformerLM(cfg, dtype=dtype, param_dtype=param_dtype,
-                         pipeline_mesh=mesh)
+                         pipeline_mesh=mesh, word_to_char=word_to_char)
 
 
 @register_model_architecture("transformer", "transformer")

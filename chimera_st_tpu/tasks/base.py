@@ -75,6 +75,19 @@ class ChimeraTask:
             "src_vocab_size",
             len(self.source_dictionary) if self.source_dictionary else None,
         )
+        if cfg.get("character_embeddings") and self.target_dictionary is not None:
+            # host-built word->byte spelling table for the character-aware
+            # embedder (reference transformer_lm.py --character-embeddings);
+            # injected here (not persisted — rebuilt from the dictionary on
+            # every restore)
+            from ..models.character_embedder import build_word_to_char
+
+            cfg.setdefault(
+                "word_to_char",
+                build_word_to_char(
+                    self.target_dictionary, int(cfg.get("max_char_len", 50))
+                ),
+            )
         return cfg
 
     def build_criterion(self, crit_cfg: Dict):
