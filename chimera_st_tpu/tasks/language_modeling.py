@@ -54,6 +54,35 @@ class MonolingualDataset:
         }
 
 
+class ShortenedDataset:
+    """Per-document shortening to ``max_len`` tokens before LM block
+    building (reference: fairseq/data/shorten_dataset.py
+    TruncateDataset/RandomCropDataset): "truncate" keeps the prefix,
+    "random_crop" takes a deterministic per-(seed, index) window."""
+
+    def __init__(self, base, max_len: int, method: str, seed: int = 1):
+        assert method in ("truncate", "random_crop"), method
+        self.base = base
+        self.max_len = int(max_len)
+        self.method = method
+        self.seed = seed
+        self.sizes = np.minimum(np.asarray(base.sizes), self.max_len)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i: int):
+        item = self.base[int(i)]
+        n = len(item)
+        if n <= self.max_len:
+            return item
+        if self.method == "truncate":
+            return item[: self.max_len]
+        rng = np.random.default_rng((self.seed, int(i)))
+        start = int(rng.integers(0, n - self.max_len + 1))
+        return item[start : start + self.max_len]
+
+
 @register_task("language_modeling")
 class LanguageModelingTask(ChimeraTask):
     def __init__(self, cfg: Dict, dictionary: Dictionary):
@@ -69,6 +98,18 @@ class LanguageModelingTask(ChimeraTask):
     def load_dataset(self, split: str, **kwargs):
         root = Path(self.cfg["data"])
         data = MMapIndexedDataset(str(root / split))
+        method = self.cfg.get("shorten_method", "none")
+        splits = str(self.cfg.get("shorten_data_split_list", "") or "")
+        if method != "none" and (not splits or split in splits.split(",")):
+            # document shortening before block building (reference:
+            # fairseq/data/shorten_dataset.py via --shorten-method
+            # truncate|random_crop + --shorten-data-split-list)
+            data = ShortenedDataset(
+                data,
+                int(self.cfg.get("tokens_per_sample", 512)),
+                method,
+                seed=int(self.cfg.get("seed", 1)),
+            )
         blocks = TokenBlockDataset(
             data,
             data.sizes,
