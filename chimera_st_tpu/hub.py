@@ -104,9 +104,36 @@ class GeneratorHubInterface:
             sentences, sampling=True, sampling_topk=sampling_topk,
             sampling_topp=sampling_topp, **kw)]
 
-    def generate(self, sentences: List[str], beam: int = 5, nbest: int = 1,
-                 **gen_kwargs) -> List[List[Dict]]:
+    def fill_mask(self, masked_input: str, topk: int = 5,
+                  mask_token: str = "<mask>", **gen_kwargs):
+        """Denoising-infill a ``<mask>`` span (reference:
+        models/bart/hub_interface.py:166-201 BARTHubInterface.fill_mask):
+        bpe-encode the spans around the mask, beam-decode with beam >= topk,
+        return [(text, score)] best-first."""
+        assert mask_token in masked_input, f"input needs one {mask_token}"
+        import numpy as np
+
+        spans = masked_input.split(mask_token)
+        if self.bpe is not None:
+            spans = [self.bpe.encode(s.strip()) for s in spans]
+        else:
+            spans = [s.strip() for s in spans]
+        joined = f" {mask_token} ".join(spans).strip()
+        ids = np.asarray(
+            self.src_dict.encode_line(joined, append_eos=True), np.int32
+        )
+        gen_kwargs["beam"] = max(topk, gen_kwargs.get("beam", 1))
+        hyps = self.generate_tokens([ids], nbest=topk, **gen_kwargs)[0]
+        return [(h["text"], h["score"]) for h in hyps]
+
+    def generate(self, sentences: List[str], **gen_kwargs) -> List[List[Dict]]:
         """-> per-sentence n-best [{'text', 'tokens', 'score'}] lists."""
+        return self.generate_tokens(
+            [self.encode(s) for s in sentences], **gen_kwargs
+        )
+
+    def generate_tokens(self, encoded, beam: int = 5, nbest: int = 1,
+                        **gen_kwargs) -> List[List[Dict]]:
         import jax.numpy as jnp
         import numpy as np
 
@@ -118,7 +145,6 @@ class GeneratorHubInterface:
             self._generators[key] = self.task.build_generator(self.model, cfg)
         gen = self._generators[key]
 
-        encoded = [self.encode(s) for s in sentences]
         src = collate_tokens(
             encoded, self.src_dict.pad(), dtype=np.int32
         )

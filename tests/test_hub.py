@@ -49,3 +49,38 @@ def test_hub_from_pretrained_translate(tmp_path):
 
     samp = m.sample(["haus katze"], sampling_topk=5, max_decode_len=8)
     assert len(samp) == 1 and isinstance(samp[0], str)
+
+
+@pytest.mark.slow
+def test_hub_bart_fill_mask(tmp_path):
+    """fill_mask over a denoising-pretrained BART (reference:
+    models/bart/hub_interface.py:166-201)."""
+    import chimera_st_tpu.hub as hub
+    from chimera_st_tpu.cli import train
+    from tests.test_denoising import _make_denoise_corpus
+
+    root = _make_denoise_corpus(tmp_path)
+    save = tmp_path / "ckpt"
+    train.main([
+        str(root), "--task", "denoising", "--arch", "bart_base",
+        "--encoder-embed-dim", "16", "--encoder-ffn-dim", "32",
+        "--encoder-layers", "1", "--decoder-layers", "1",
+        "--encoder-heads", "2", "--decoder-heads", "2",
+        "--tokens-per-sample", "32",
+        "--criterion", "label_smoothed_cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "fixed",
+        "--batch-size", "4", "--max-update", "2",
+        "--save-dir", str(save), "--dtype", "float32",
+        "--num-length-buckets", "2", "--disable-validation",
+    ])
+
+    m = hub.from_pretrained(
+        f"{save}/checkpoint_last.ckpt", data_dir=str(root), task="denoising",
+    )
+    mask_sym = next(
+        s for s in ("<mask>",) if m.src_dict.index(s) != m.src_dict.unk()
+    )
+    out = m.fill_mask(f"w1 w2 {mask_sym} w4", topk=3, max_decode_len=12)
+    assert len(out) == 3
+    assert all(isinstance(t, str) and isinstance(s, float) for t, s in out)
+    assert out[0][1] >= out[-1][1]  # best-first
