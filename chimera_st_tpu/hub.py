@@ -105,12 +105,19 @@ class GeneratorHubInterface:
             sampling_topp=sampling_topp, **kw)]
 
     def fill_mask(self, masked_input: str, topk: int = 5,
-                  mask_token: str = "<mask>", **gen_kwargs):
+                  mask_token: str = "<mask>", match_source_len: bool = True,
+                  **gen_kwargs):
         """Denoising-infill a ``<mask>`` span (reference:
         models/bart/hub_interface.py:166-201 BARTHubInterface.fill_mask):
         bpe-encode the spans around the mask, beam-decode with beam >= topk,
-        return [(text, score)] best-first."""
+        return [(text, score)] best-first. ``match_source_len`` pins the
+        hypothesis length to the source length (the reference default)."""
         assert mask_token in masked_input, f"input needs one {mask_token}"
+        if match_source_len:
+            gen_kwargs.setdefault("max_len_a", 1.0)
+            gen_kwargs.setdefault("max_len_b", 0)
+            gen_kwargs.setdefault("min_len_a", 1.0)
+            gen_kwargs.setdefault("min_len_b", -1)
         import numpy as np
 
         spans = masked_input.split(mask_token)
