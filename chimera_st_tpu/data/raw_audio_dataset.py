@@ -91,6 +91,70 @@ class RawAudioDataset:
         }
 
 
+class BimodalRawAudioDataset(RawAudioDataset):
+    """Two ALIGNED waveform streams per row (reference:
+    tasks/bimodal_pretraining.py:22-163 + wav2vec2_quasiwave bimodal_forward):
+    manifest rows carry ``audio`` and ``audio2`` columns; both streams are
+    cropped over the SAME window so frame t of each modality describes the
+    same content, and one set of mask/negative indices is shared."""
+
+    def __getitem__(self, i: int):
+        row = self.rows[i]
+        wav = get_features_or_waveform(
+            row["audio"], use_audio_input=True, audio_root=self.audio_root
+        ).astype(np.float32)
+        wav2 = get_features_or_waveform(
+            row["audio2"], use_audio_input=True, audio_root=self.audio_root
+        ).astype(np.float32)
+        n = min(len(wav), len(wav2))
+        if n > self.max_sample_size:
+            start = self.rng.integers(0, n - self.max_sample_size)
+            n = self.max_sample_size
+        else:
+            start = 0
+        return wav[start : start + n], wav2[start : start + n]
+
+    def num_tokens(self, i: int) -> int:
+        r = self.rows[i]
+        n = min(int(r["n_frames"]), int(r.get("n_frames2", r["n_frames"])))
+        return min(n, self.max_sample_size)
+
+    def collater(self, pairs, target_len: Optional[int] = None):
+        from ..models.wav2vec2_pretraining import (
+            compute_mask_indices,
+            sample_negative_indices,
+        )
+
+        T = min(
+            min(len(w) for w, _ in pairs), target_len or self.max_sample_size
+        )
+        B = len(pairs)
+        audio = np.zeros((B, T), np.float32)
+        audio2 = np.zeros((B, T), np.float32)
+        for i, (w, w2) in enumerate(pairs):
+            if len(w) >= T:
+                start = self.rng.integers(0, len(w) - T + 1)
+            else:
+                start = 0
+            audio[i, : min(T, len(w))] = w[start : start + T]
+            audio2[i, : min(T, len(w2))] = w2[start : start + T]
+        frames = self.frames_fn(T)
+        mask = compute_mask_indices(
+            (B, frames), None, self.mask_prob, self.mask_length, rng=self.rng
+        )
+        negs = sample_negative_indices(B, frames, self.num_negatives, rng=self.rng)
+        return {
+            "audio": audio,
+            "audio2": audio2,
+            "audio_padding_mask": None,
+            "audio2_padding_mask": None,
+            "mask_indices": mask,          # shared across modalities
+            "negative_indices": negs,
+            "ntokens": float(mask.sum()),
+            "nsentences": B,
+        }
+
+
 class AddTargetDataset:
     """Raw-audio dataset + per-utterance label token arrays for ASR
     fine-tuning (reference: fairseq/data/add_target_dataset.py — wraps the

@@ -10,7 +10,7 @@ from typing import Dict
 import jax.numpy as jnp
 
 from ..config.registry import register_task
-from ..data.raw_audio_dataset import RawAudioDataset
+from ..data.raw_audio_dataset import BimodalRawAudioDataset, RawAudioDataset
 from .base import ChimeraTask
 
 logger = logging.getLogger(__name__)
@@ -23,6 +23,8 @@ class AudioPretrainingTask(ChimeraTask):
     fine-tuning — targets come from ``{split}.{labels}`` lines encoded with
     ``dict.{labels}.txt`` and the models are the registry's wav2vec_ctc /
     wav2vec_seq2seq fine-tune heads."""
+
+    DATASET_CLS = RawAudioDataset
 
     def __init__(self, cfg: Dict):
         super().__init__(cfg)
@@ -49,7 +51,7 @@ class AudioPretrainingTask(ChimeraTask):
         )
         frames_fn = lambda n: extractor_output_length(n, tuple(map(tuple, conv_spec)))
         root = Path(self.cfg["data"])
-        base = RawAudioDataset.from_tsv(
+        base = self.DATASET_CLS.from_tsv(
             str(root / f"{split}.tsv"),
             audio_root=self.cfg.get("audio_root", str(root)),
             max_sample_size=int(self.cfg.get("max_sample_size", 250000)),
@@ -101,5 +103,8 @@ class AudioPretrainingTask(ChimeraTask):
 @register_task("bimodal_pretraining")
 class BimodalPretrainingTask(AudioPretrainingTask):
     """Two aligned waveform streams with shared mask indices
-    (reference: bimodal_pretraining.py:22-163). Dataset rows carry audio +
-    audio2 columns; the collater mirrors the unimodal one."""
+    (reference: bimodal_pretraining.py:22-163). Manifest rows carry audio +
+    audio2 columns (same-window crops keep the streams aligned); drives the
+    ``wav2vec_bimodal`` / ``aligning_loss_bimodal`` criteria."""
+
+    DATASET_CLS = BimodalRawAudioDataset

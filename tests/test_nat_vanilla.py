@@ -274,3 +274,32 @@ def test_build_nat_generator_dispatch():
         )
     )
     assert build_nat_generator(ar, Cfg, d) is None
+
+
+def test_nacrf_loss_criterion_registry():
+    """nacrf_loss through the registry (reference: the CRF word_ins loss of
+    nat_crf_transformer): finite, and the CRF term matches the model's
+    crf_loglikelihood."""
+    from chimera_st_tpu.config.registry import CRITERIONS
+
+    rng = np.random.default_rng(9)
+    model = NATransformer(NATConfig(**TINY, crf_lowrank=4, crf_beam=8))
+    src, tgt, prev = _nat_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), src, prev,
+                        method=NATransformer.init_everything)
+    lengths = (np.asarray(tgt) != 1).sum(1)
+    batch = {
+        "src_tokens": src,
+        "masked_target": prev,
+        "target": tgt,
+        "target_lengths": jnp.asarray(lengths, jnp.int32),
+        "ntokens": float(lengths.sum()),
+    }
+    crit = CRITERIONS.get("nacrf_loss")({"length_loss_factor": 0.1})
+    loss, ss, logging = crit(model, params, batch, train=False)
+    assert np.isfinite(float(loss))
+    llh, _ = model.apply(params, src, prev, tgt,
+                         method=NATransformer.crf_loglikelihood)
+    np.testing.assert_allclose(
+        float(logging["crf_loss"]), -float(jnp.sum(llh)), rtol=1e-5
+    )

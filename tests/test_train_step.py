@@ -255,3 +255,23 @@ def test_nonfinite_grad_paths_naming():
     }
     assert nonfinite_grad_paths(grads) == ["decoder/kernel", "encoder/bias"]
     assert nonfinite_grad_paths({"a": jnp.zeros(3)}) == []
+
+
+def test_triplet_samplecontrastive_criterion(setup):
+    """The sample-contrastive variant through its registry name (reference:
+    criterions/triplet_st_mt_samplecontrastive.py): contrasts across
+    samples, so identical memory banks minimize it."""
+    model, params, batch = setup
+    crit = CRITERIONS.get("triplet_st_mt_samplecontrastive")(
+        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)}
+    )
+    loss, ss, logging = crit(model, params, batch, train=False)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.isfinite(float(logging["contrastive_loss"]))
+    # differs from the per-memory-slot variant on the same inputs
+    base = CRITERIONS.get("triplet_st_mt_contrastive")(
+        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)}
+    )
+    loss_b, _, logging_b = base(model, params, batch, train=False)
+    assert abs(float(logging["contrastive_loss"])
+               - float(logging_b["contrastive_loss"])) > 1e-6

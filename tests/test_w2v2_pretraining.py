@@ -268,3 +268,58 @@ def test_aligning_loss_bimodal(pretrain_setup):
         )
     )
     assert np.isfinite(gn) and gn > 0
+
+
+def test_bimodal_task_and_criterion_e2e(tmp_path):
+    """bimodal_pretraining end to end: aligned audio+audio2 manifest rows ->
+    shared mask/negative indices -> wav2vec_bimodal criterion (reference:
+    tasks/bimodal_pretraining.py:22-163 + wav2vec2_quasiwave
+    bimodal_forward)."""
+    from chimera_st_tpu.data.audio import write_wav
+    from chimera_st_tpu.tasks import setup_task
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(3):
+        n = int(rng.integers(500, 800))
+        write_wav(str(tmp_path / f"a{i}.wav"),
+                  rng.normal(size=n).astype(np.float32) * 0.1)
+        write_wav(str(tmp_path / f"b{i}.wav"),
+                  rng.normal(size=n).astype(np.float32) * 0.1)
+        rows.append(f"a{i}.wav\t{n}\tb{i}.wav\t{n}")
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write("audio\tn_frames\taudio2\tn_frames2\n" + "\n".join(rows) + "\n")
+
+    task = setup_task({
+        "_name": "bimodal_pretraining", "data": str(tmp_path),
+        "min_sample_size": 100, "max_sample_size": 1000,
+        "conv_spec": TINY.conv_spec, "num_negatives": TINY.num_negatives,
+    })
+    task.load_dataset("train")
+    ds = task.dataset("train")
+    assert len(ds) == 3
+    batch = ds.collater([ds[i] for i in range(3)])
+    assert batch["audio"].shape == batch["audio2"].shape
+    assert batch["mask_indices"].shape[0] == 3  # one shared mask set
+
+    model = task.build_model(
+        {k: getattr(TINY, k) for k in (
+            "encoder_embed_dim", "encoder_ffn_dim", "encoder_layers",
+            "encoder_heads", "conv_spec", "final_dim", "latent_vars",
+            "latent_groups", "num_negatives", "conv_pos", "conv_pos_groups",
+        )}
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["audio"]), None,
+        jnp.asarray(batch["mask_indices"]),
+        jnp.asarray(batch["negative_indices"]),
+    )
+    crit = CRITERIONS.get("wav2vec_bimodal")({})
+    jb = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+          for k, v in batch.items()}
+    loss, ss, logging = crit(model, params, jb, train=False)
+    assert np.isfinite(float(loss))
+    assert "d0_contrastive" in logging or any(
+        k.startswith("d0_") for k in logging
+    )
