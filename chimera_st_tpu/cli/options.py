@@ -112,6 +112,12 @@ def add_train_args(p: argparse.ArgumentParser):
     # fine-tune freeze controls (reference: chimera
     # w2v2_transformer_interlingua.py:106-124; implemented as optimizer
     # subtree masking, optim/freeze.py)
+    p.add_argument("--task-configs", nargs="+", default=None,
+                   help="joint training: per-sub-task YAML/JSON config files "
+                        "(reference tasks/joint_task.py --task-configs)")
+    p.add_argument("--main-task", default=None,
+                   help="joint training: sub-task owning the shared "
+                        "model/dictionaries")
     p.add_argument("--fix-wav2vec", action="store_true",
                    help="freeze the wav2vec2 trunk")
     p.add_argument("--fix-interlingua", action="store_true",

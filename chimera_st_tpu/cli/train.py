@@ -51,6 +51,11 @@ def main(argv=None) -> None:
     task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
                 "source_lang": args.source_lang, "target_lang": args.target_lang,
                 **model_overrides}  # unknown flags reach both task and model cfgs
+    if args.task_configs:
+        # joint training: per-sub-task config files (reference §3.4)
+        task_cfg["task_configs"] = list(args.task_configs)
+        if args.main_task:
+            task_cfg["main_task"] = args.main_task
     task = setup_task(task_cfg)
     task.load_dataset(args.valid_subset) if not args.disable_validation else None
     task.load_dataset(args.train_subset)
@@ -167,17 +172,43 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- batch iters
     update_freq = parse_update_freq(args.update_freq)
-    train_itr = task.make_batch_iterator(
-        task.dataset(args.train_subset),
-        max_tokens=int(args.max_tokens) if args.max_tokens else None,
-        max_sentences=args.batch_size,
-        required_batch_size_multiple=args.required_batch_size_multiple,
-        seed=args.seed,
-        num_shards=args.num_shards,
-        shard_id=args.shard_id,
-        num_length_buckets=args.num_length_buckets,
-        buffer_size=args.data_buffer_size,
-    )
+    if hasattr(task, "make_joint_iterator"):
+        # joint multi-task training: ratio-interleaved task-tagged batches;
+        # the Trainer compiles one step per (task, shape) signature
+        # (reference call stack §3.4: JointDataset + any_step dispatch)
+        from ..data.iterators import StreamingEpochBatchIterator
+
+        class _JointEpochSource:
+            epoch = 1
+
+            def set_epoch(self, e):
+                self.epoch = e
+
+            def __iter__(self):
+                return task.make_joint_iterator(
+                    args.train_subset,
+                    max_tokens=int(args.max_tokens) if args.max_tokens else None,
+                    max_sentences=args.batch_size,
+                    seed=args.seed,
+                    num_length_buckets=args.num_length_buckets,
+                    epoch=self.epoch,
+                )
+
+        train_itr = StreamingEpochBatchIterator(
+            _JointEpochSource(), buffer_size=args.data_buffer_size
+        )
+    else:
+        train_itr = task.make_batch_iterator(
+            task.dataset(args.train_subset),
+            max_tokens=int(args.max_tokens) if args.max_tokens else None,
+            max_sentences=args.batch_size,
+            required_batch_size_multiple=args.required_batch_size_multiple,
+            seed=args.seed,
+            num_shards=args.num_shards,
+            shard_id=args.shard_id,
+            num_length_buckets=args.num_length_buckets,
+            buffer_size=args.data_buffer_size,
+        )
 
     # ----------------------------------------------------------- restore
     epoch = 1
@@ -385,6 +416,12 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
 
     from ..logging import metrics as metrics_mod
 
+    main_task_name = None
+    if hasattr(task, "sub_tasks"):
+        # joint training validates over the MAIN sub-task (reference:
+        # joint_task any_step dispatch; per-task valid namespaces)
+        main_task_name = task.main_task_name
+        task = task.main_task
     itr = task.make_batch_iterator(
         task.dataset(args.valid_subset),
         max_tokens=int(args.max_tokens) if args.max_tokens else None,
@@ -394,6 +431,8 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
     ).next_epoch_itr(shuffle=False)
     totals: Dict[str, float] = {}
     for batch in itr:
+        if main_task_name is not None:
+            batch = {**batch, "task_name": main_task_name}
         logging = trainer.valid_step(batch)
         for k, v in logging.items():
             totals[k] = totals.get(k, 0.0) + float(v)

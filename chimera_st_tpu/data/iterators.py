@@ -315,6 +315,11 @@ class StreamingEpochBatchIterator:
     def end_of_epoch(self) -> bool:
         return self._cur is None or not self._cur.has_next()
 
+    def next_epoch(self):
+        """Advance the epoch counter after an exhausted epoch (parity with
+        EpochBatchIterator.next_epoch for the train-loop contract)."""
+        self.epoch = self.next_epoch_idx
+
     @property
     def iterations_in_epoch(self) -> int:
         return self._cur.n if self._cur is not None else 0

@@ -32,6 +32,24 @@ from .base import ChimeraTask
 logger = logging.getLogger(__name__)
 
 
+def _load_task_config(entry):
+    """Per-task config entries are dicts (programmatic use) or YAML/JSON
+    file paths (the CLI's ``--task-configs st.yaml mt.yaml`` — reference:
+    tasks/joint_task.py:34 --task-configs file list, with the dumps produced
+    by fairseq_cli/train.py:388-397 --save-task-config)."""
+    if isinstance(entry, dict):
+        return entry
+    path = str(entry)
+    with open(path) as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            return yaml.safe_load(f)
+        import json
+
+        return json.load(f)
+
+
 @register_task("joint_task")
 class JointTrainingTask(ChimeraTask):
     """Generic N-sub-task scheduler over one shared parameter tree."""
@@ -48,6 +66,10 @@ class JointTrainingTask(ChimeraTask):
     def setup_task(cls, cfg: Dict, **kwargs):
         from . import setup_task as setup_sub
 
+        cfg = dict(cfg)
+        cfg["task_configs"] = [
+            _load_task_config(tc) for tc in cfg["task_configs"]
+        ]
         sub_tasks, weights, ratios = {}, {}, {}
         for task_cfg in cfg["task_configs"]:
             name = task_cfg["task_name"]

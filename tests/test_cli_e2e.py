@@ -421,3 +421,47 @@ def test_ctc_finetune_wer_and_generate(tmp_path):
         text = (out_dir / "generate-test.txt").read_text()
         assert [l for l in text.splitlines() if l.startswith("H-")]
         assert "WER" in text
+
+
+def test_joint_training_cli_with_config_files(triplet_dir, tmp_path):
+    """chimera-train --task joint_task_mtst --task-configs st.yaml mt.yaml:
+    the reference §3.4 call stack through the real CLI — file-based per-task
+    configs, ratio-interleaved task-tagged batches, per-task compiled steps,
+    main-task validation."""
+    from chimera_st_tpu.cli import preprocess, train
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+    bin_dir = str(tmp_path / "bin")
+    preprocess.main([
+        "-s", "de", "-t", "en",
+        "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
+        "--destdir", bin_dir, "--srcdict", f"{triplet_dir}/dict.txt",
+    ])
+    st_yaml = tmp_path / "task_st.yaml"
+    st_yaml.write_text(
+        "task_name: st\nsample_ratio: 1.0\nweight: 1.0\n"
+        f"task: {{_name: triplet, data: {triplet_dir}}}\n"
+        "criterion: {_name: triplet_st_mt_contrastive, label_smoothing: 0.1}\n"
+    )
+    mt_json = tmp_path / "task_mt.json"
+    mt_json.write_text(
+        '{"task_name": "mt", "sample_ratio": 0.5, "weight": 0.5, '
+        f'"task": {{"_name": "translation", "data": "{bin_dir}", '
+        '"source_lang": "de", "target_lang": "en"}, '
+        '"criterion": {"_name": "label_smoothed_cross_entropy", '
+        '"label_smoothing": 0.1}}'
+    )
+
+    save_dir = str(tmp_path / "joint_ckpt")
+    train.main([
+        triplet_dir, "--task", "joint_task_mtst",
+        "--task-configs", str(st_yaml), str(mt_json), "--main-task", "st",
+        "--arch", "s2t_transformer_w2v2_interlingua_base", *TINY_ARCH_FLAGS,
+        "--criterion", "label_smoothed_cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "fixed",
+        "--batch-size", "4", "--max-update", "4",
+        "--save-dir", save_dir, "--dtype", "float32",
+        "--num-length-buckets", "2",
+    ])
+    assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
+    assert (Path(save_dir) / "checkpoint_best.ckpt").is_file()  # validated
