@@ -302,34 +302,44 @@ def main(argv=None) -> None:
             m2, p2 = load_model_and_params(extra_path, task, dtype, model_overrides)
             models.append(m2)
             params_list.append(p2)
-        lm = None
-        if args.lm_path:
-            lm_model, lm_params = load_model_and_params(
-                args.lm_path, task, dtype, {"arch": "transformer_lm"}
+        from ..generation.nat_ensemble import build_nat_ensemble_generator
+
+        nat_ens = build_nat_ensemble_generator(models, params_list, GenCfg, tgt_dict)
+        if nat_ens is not None:
+            # Levenshtein ensemble refinement (reference:
+            # models/nat/nonautoregressive_ensembles.py EnsembleLevT)
+            if args.lm_path:
+                raise NotImplementedError("--lm-path is not supported for NAT decoding")
+            generator = nat_ens
+        else:
+            lm = None
+            if args.lm_path:
+                lm_model, lm_params = load_model_and_params(
+                    args.lm_path, task, dtype, {"arch": "transformer_lm"}
+                )
+                lm = (lm_model, lm_params, args.lm_weight)
+            settings = GeneratorSettings(
+                beam_size=args.beam, max_len_a=args.max_len_a, max_len_b=args.max_len_b,
+                min_len=args.min_len, len_penalty=args.lenpen, unk_penalty=args.unkpen,
+                max_decode_len=args.max_decode_len, temperature=args.temperature,
+                no_repeat_ngram_size=args.no_repeat_ngram_size,
             )
-            lm = (lm_model, lm_params, args.lm_weight)
-        settings = GeneratorSettings(
-            beam_size=args.beam, max_len_a=args.max_len_a, max_len_b=args.max_len_b,
-            min_len=args.min_len, len_penalty=args.lenpen, unk_penalty=args.unkpen,
-            max_decode_len=args.max_decode_len, temperature=args.temperature,
-            no_repeat_ngram_size=args.no_repeat_ngram_size,
-        )
-        d = tgt_dict
-        ens = EnsembleSequenceGenerator(
-            models, params_list, settings, pad=d.pad(), eos=d.eos(), unk=d.unk(),
-            lm=lm,
-        )
+            d = tgt_dict
+            ens = EnsembleSequenceGenerator(
+                models, params_list, settings, pad=d.pad(), eos=d.eos(), unk=d.unk(),
+                lm=lm,
+            )
 
-        class _EnsembleAdapter:
-            s = settings
+            class _EnsembleAdapter:
+                s = settings
 
-            def generate_audio(self, _params, audio, mask, src_lengths=None):
-                return ens.generate_audio(audio, mask, src_lengths)
+                def generate_audio(self, _params, audio, mask, src_lengths=None):
+                    return ens.generate_audio(audio, mask, src_lengths)
 
-            def generate_text(self, _params, tokens, src_lengths=None):
-                return ens.generate_text(tokens, src_lengths)
+                def generate_text(self, _params, tokens, src_lengths=None):
+                    return ens.generate_text(tokens, src_lengths)
 
-        generator = _EnsembleAdapter()
+            generator = _EnsembleAdapter()
     else:
         generator = task.build_generator(model, GenCfg)
     scorer = build_scorer({"_name": args.scoring}, tgt_dict)
