@@ -354,3 +354,81 @@ class MultiCorpusSampledDataset:
         for ds in self.datasets.values():
             if hasattr(ds, "set_epoch"):
                 ds.set_epoch(epoch)
+
+
+class MultiCorpusDataset:
+    """Per-ITEM corpus mixing under an explicit probability distribution
+    (reference: fairseq/data/multi_corpus_dataset.py — unlike
+    MultiCorpusSampledDataset, the corpus is drawn per sample, so one batch
+    can mix corpora; all members must be the same dataset type because the
+    first member's collater serves the mixed batch).
+
+    The reference draws the corpus lazily inside ``ordered_indices`` with
+    ``numpy_seed(seed, epoch)``; our batching framework has no
+    ordered_indices hook, so each ``set_epoch`` materializes the equivalent
+    virtual index map up front: slot i -> (corpus, internal index), corpora
+    drawn i.i.d. from the distribution and internal indices consumed from
+    per-corpus reshuffled permutations that rewind when exhausted — the same
+    sampling process, batched. The reference's ``sort_indices`` option is
+    inherent here: the task's ``filtered_indices`` always length-sorts."""
+
+    def __init__(self, datasets, distribution, seed: int = 0):
+        assert len(datasets) > 0
+        self.datasets = dict(datasets)
+        self.keys = list(self.datasets.keys())
+        assert len(distribution) == len(self.keys)
+        first = type(next(iter(self.datasets.values())))
+        for ds in self.datasets.values():
+            if type(ds) is not first:
+                raise ValueError(
+                    "MultiCorpusDataset members must share one dataset type "
+                    "(one collater serves the mixed batch)"
+                )
+        total_p = float(sum(distribution))
+        self.distribution = [float(p) / total_p for p in distribution]
+        self.seed = int(seed)
+        self.total = sum(len(d) for d in self.datasets.values())
+        self._resample(1)
+
+    def _resample(self, epoch: int):
+        rng = np.random.default_rng((self.seed, int(epoch)))
+        corpus = rng.choice(len(self.keys), size=self.total, p=self.distribution)
+        self._corpus = corpus
+        self._inner = np.zeros(self.total, dtype=np.int64)
+        for k, key in enumerate(self.keys):
+            slots = np.flatnonzero(corpus == k)
+            n, L = len(slots), len(self.datasets[key])
+            if n == 0:
+                continue
+            perms = [rng.permutation(L) for _ in range((n + L - 1) // L)]
+            self._inner[slots] = np.concatenate(perms)[:n]
+
+    def __len__(self):
+        return self.total
+
+    def _map_index(self, idx: int):
+        i = int(idx)
+        return self.keys[self._corpus[i]], int(self._inner[i])
+
+    def __getitem__(self, idx: int):
+        key, i = self._map_index(idx)
+        return self.datasets[key][i]
+
+    def num_tokens(self, idx: int) -> int:
+        key, i = self._map_index(idx)
+        return self.datasets[key].num_tokens(i)
+
+    def size(self, idx: int):
+        key, i = self._map_index(idx)
+        return self.datasets[key].size(i)
+
+    def collater(self, samples, **kwargs):
+        if not samples:
+            return None
+        return next(iter(self.datasets.values())).collater(samples, **kwargs)
+
+    def set_epoch(self, epoch: int):
+        self._resample(epoch)
+        for ds in self.datasets.values():
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)

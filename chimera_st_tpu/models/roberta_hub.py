@@ -101,6 +101,115 @@ class RobertaHubInterface:
         logits = logits - logits.max(-1, keepdims=True)
         return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
 
+    # ------------------------------------------------------ word alignment
+
+    def _token_strings(self, bpe_tokens: np.ndarray) -> List[str]:
+        """Per-position surface strings; special symbols map to ''. Mirrors
+        the reference's dictionary.string([x]) + bpe.decode per token
+        (alignment_utils.py:32-35; Dictionary.string drops eos/pad)."""
+        special = {self.dictionary.bos(), self.dictionary.eos(),
+                   self.dictionary.pad()}
+        out = []
+        for t in np.asarray(bpe_tokens).reshape(-1).tolist():
+            t = int(t)
+            if t in special:
+                out.append("")
+                continue
+            s = self.dictionary[t]
+            if self.bpe is not None:
+                s = self.bpe.decode(s)
+            out.append(s.strip())
+        return out
+
+    def align_bpe_to_words(self, bpe_tokens: np.ndarray,
+                           other_tokens: List[str]) -> List[List[int]]:
+        """Greedy alignment from word tokens to BPE positions (reference:
+        roberta/alignment_utils.py align_bpe_to_words — same invariants: the
+        character streams must match; a word maps to >=1 BPE positions; a BPE
+        token may span multiple words)."""
+        bpe_tokens = np.asarray(bpe_tokens).reshape(-1)
+        assert int(bpe_tokens[0]) == self.dictionary.bos()
+        bpe_strs = self._token_strings(bpe_tokens)[1:]  # strip leading <s>
+        other = [str(o).strip() for o in other_tokens]
+        if "".join(bpe_strs) != "".join(other):
+            raise ValueError(
+                f"cannot align {other!r} to BPE stream {bpe_strs!r}"
+            )
+        alignment: List[List[int]] = []
+        nonempty = iter(
+            [(j, s) for j, s in enumerate(bpe_strs, start=1) if s != ""]
+        )
+        j, bpe_tok = next(nonempty)
+        for other_tok in other:
+            bpe_indices: List[int] = []
+            while True:
+                if other_tok.startswith(bpe_tok):
+                    bpe_indices.append(j)
+                    other_tok = other_tok[len(bpe_tok):]
+                    try:
+                        j, bpe_tok = next(nonempty)
+                    except StopIteration:
+                        j, bpe_tok = None, ""
+                elif bpe_tok.startswith(other_tok):
+                    # word ends inside this BPE token
+                    bpe_indices.append(j)
+                    bpe_tok = bpe_tok[len(other_tok):]
+                    other_tok = ""
+                else:
+                    raise ValueError(
+                        f'cannot align "{other_tok}" and "{bpe_tok}"'
+                    )
+                if other_tok == "":
+                    break
+            assert len(bpe_indices) > 0
+            alignment.append(bpe_indices)
+        assert len(alignment) == len(other)
+        return alignment
+
+    @staticmethod
+    def align_features_to_words(features: np.ndarray,
+                                alignment: List[List[int]]) -> np.ndarray:
+        """Pool BPE features onto words, conserving total mass (reference:
+        alignment_utils.py align_features_to_words — features shared by K
+        words are split K ways; rows are [<s>, words..., unaligned tail])."""
+        features = np.asarray(features)
+        assert features.ndim == 2
+        counts = np.ones(len(features), np.float32)
+        flat = [j for idxs in alignment for j in idxs]
+        assert 0 not in flat  # <s> is never aligned
+        for j in set(flat):
+            counts[j] = flat.count(j)
+        weighted = features / counts[:, None]
+        rows = [weighted[0]]
+        largest = -1
+        for idxs in alignment:
+            rows.append(weighted[idxs].sum(axis=0))
+            largest = max(largest, *idxs)
+        for j in range(largest + 1, len(features)):
+            rows.append(weighted[j])
+        out = np.stack(rows)
+        assert np.abs(out.sum(0) - features.sum(0)).max() < 1e-3
+        return out
+
+    def extract_features_aligned_to_words(
+        self, sentence: str, words: Optional[List[str]] = None
+    ) -> Tuple[List[str], np.ndarray]:
+        """Word-aligned features for a sentence. The reference tokenizes with
+        spaCy and returns a Doc with per-token vectors
+        (roberta/hub_interface.py extract_features_aligned_to_words); spaCy
+        isn't in this environment, so callers pass ``words`` (default:
+        whitespace split) and get ``(['<s>'] + words + ['</s>'], features)``
+        back — same pooling, plain containers."""
+        if words is None:
+            words = sentence.split()
+        toks = self.encode(sentence)
+        alignment = self.align_bpe_to_words(toks, words)
+        feats = self.extract_features(toks)[0].astype(np.float32)
+        aligned = self.align_features_to_words(feats, alignment)
+        labels = ["<s>"] + list(words) + ["</s>"]
+        assert len(labels) == len(aligned)
+        return labels, aligned
+
 
 # ------------------------------------------------- pretrained-XLM transformer
 

@@ -335,3 +335,50 @@ def test_streaming_epoch_batch_iterator():
     assert len(list(pf.next_epoch_itr())) == 5
     assert pf.end_of_epoch()
     assert [b[-2:] for b in pf.next_epoch_itr()][:2] == ["b0", "b1"]
+
+
+def test_multi_corpus_dataset_per_item():
+    """reference: data/multi_corpus_dataset.py — corpus drawn PER SAMPLE from
+    an explicit distribution; internal indices come from reshuffled
+    permutations that rewind; one collater serves mixed batches; set_epoch
+    redraws (can_reuse_epoch_itr_across_epochs=False)."""
+    from chimera_st_tpu.data.wrappers import MultiCorpusDataset
+
+    a, b = FakeDataset(40, "a"), FakeDataset(60, "b")
+    ds = MultiCorpusDataset({"a": a, "b": b}, [0.9, 0.1], seed=0)
+    assert len(ds) == 100
+
+    tags = [ds[i][0] for i in range(100)]
+    # 0.9/0.1 split, i.i.d. draws over 100 slots: expect a heavy 'a' majority
+    assert 75 <= tags.count("a") <= 99
+
+    # within one epoch, a corpus's indices don't repeat before the corpus is
+    # exhausted (permutation-without-replacement semantics)
+    a_indices = [ds[i][1] for i in range(100) if ds[i][0] == "a"]
+    first_pass = a_indices[: min(len(a_indices), 40)]
+    assert len(set(first_pass)) == len(first_pass)
+
+    # mixed batch collates through the shared collater
+    batch = ds.collater([ds[0], ds[1], ds[2]])
+    assert len(batch["items"]) == 3
+
+    # deterministic per (seed, epoch); redraw on set_epoch
+    ds2 = MultiCorpusDataset({"a": a, "b": b}, [0.9, 0.1], seed=0)
+    assert [ds2[i] for i in range(100)] == [ds[i] for i in range(100)]
+    before = [ds[i] for i in range(100)]
+    ds.set_epoch(2)
+    after = [ds[i] for i in range(100)]
+    assert before != after
+    ds2.set_epoch(2)
+    assert after == [ds2[i] for i in range(100)]
+
+    # num_tokens/size follow the mapped member
+    key, inner = ds._map_index(0)
+    assert ds.num_tokens(0) == (a if key == "a" else b).num_tokens(inner)
+
+    # heterogeneous member types are rejected (reference asserts same type)
+    class Other(FakeDataset):
+        pass
+
+    with pytest.raises(ValueError):
+        MultiCorpusDataset({"a": a, "o": Other(3, "o")}, [0.5, 0.5])

@@ -100,3 +100,53 @@ def test_transformer_from_pretrained_xlm_init():
     # model still runs
     logits = mt.apply(merged, t, t)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hub_aligned_features_identity():
+    """1:1 word<->token alignment (reference: roberta/alignment_utils.py via
+    hub extract_features_aligned_to_words)."""
+    d, model, params = _dict_and_model()
+    hub = RobertaHubInterface(model, params, d)
+    labels, feats = hub.extract_features_aligned_to_words("the cat sat")
+    assert labels == ["<s>", "the", "cat", "sat", "</s>"]
+    raw = hub.extract_features(hub.encode("the cat sat"))[0]
+    assert feats.shape == raw.shape
+    # 1:1 alignment with count-1 weights is the identity
+    np.testing.assert_allclose(feats, raw, atol=1e-6)
+
+
+def test_hub_aligned_features_multi_bpe_word():
+    """A word built from several BPE pieces sums their features; a BPE piece
+    spanning several words is split across them (mass conservation is
+    asserted inside align_features_to_words, reference :96)."""
+    d = Dictionary()
+    for w in ["ca", "t", "thecat"]:
+        d.add_symbol(w)
+    model = build_model_from_arch("roberta_base", {
+        "vocab_size": len(d), "embed_dim": 16, "ffn_dim": 32,
+        "layers": 1, "heads": 2, "dropout": 0.0,
+    })
+    t = jnp.full((1, 4), 2, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), t)
+    hub = RobertaHubInterface(model, params, d)
+
+    # word "cat" <- pieces ["ca", "t"]
+    labels, feats = hub.extract_features_aligned_to_words("ca t", words=["cat"])
+    assert labels == ["<s>", "cat", "</s>"]
+    raw = hub.extract_features(hub.encode("ca t"))[0]
+    np.testing.assert_allclose(feats[1], raw[1] + raw[2], atol=1e-5)
+
+    # piece "thecat" -> words ["the", "cat"]: each word gets half
+    labels, feats = hub.extract_features_aligned_to_words(
+        "thecat", words=["the", "cat"]
+    )
+    assert labels == ["<s>", "the", "cat", "</s>"]
+    raw = hub.extract_features(hub.encode("thecat"))[0]
+    np.testing.assert_allclose(feats[1], raw[1] / 2, atol=1e-5)
+    np.testing.assert_allclose(feats[2], raw[1] / 2, atol=1e-5)
+
+    # character streams that cannot match raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        hub.align_bpe_to_words(hub.encode("ca t"), ["dog"])
