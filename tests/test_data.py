@@ -187,3 +187,44 @@ def test_epoch_iterator_mid_epoch_resume():
     rest = list(it2.next_epoch_itr(shuffle=True))
     full = list(_epoch_iter().next_epoch_itr(shuffle=True))
     assert consumed + rest == full
+
+
+def test_fasta_dataset(tmp_path):
+    """reference: data/fasta_dataset.py — byte-offset index over FASTA
+    records, .fasta.idx.npy cache, per-character dictionary encoding."""
+    import pickle
+
+    import numpy as np
+
+    from chimera_st_tpu.data.dictionary import Dictionary
+    from chimera_st_tpu.data.fasta import EncodedFastaDataset, FastaDataset
+
+    prefix = str(tmp_path / "prot")
+    (tmp_path / "prot.fasta").write_text(
+        ">seq1 first\nMKV\nLA\n>seq2\nGG\n>seq3 tail\nACDEF\n"
+    )
+    assert FastaDataset.exists(prefix)
+    ds = FastaDataset(prefix)
+    assert len(ds) == 3
+    assert ds[0] == (">seq1 first", "MKVLA")   # multi-line record joined
+    assert ds[1] == (">seq2", "GG")
+    assert ds[2] == (">seq3 tail", "ACDEF")
+    assert [ds.num_tokens(i) for i in range(3)] == [5, 2, 5]
+
+    # picklable (threadlocal file handle dropped), like the reference
+    ds2 = pickle.loads(pickle.dumps(ds))
+    assert ds2[2] == (">seq3 tail", "ACDEF")
+
+    d = Dictionary()
+    for ch in "MKVLAGCDEF":
+        d.add_symbol(ch)
+    eds = EncodedFastaDataset(prefix, d)
+    ids = eds[0]
+    assert ids[-1] == d.eos()
+    assert [d[int(i)] for i in ids[:-1]] == list("MKVLA")
+    # index cache written and reused
+    assert (tmp_path / "prot.fasta.idx.npy").exists()
+    offsets, sizes = np.load(tmp_path / "prot.fasta.idx.npy")
+    np.testing.assert_array_equal(sizes, [5, 2, 5])
+    eds2 = EncodedFastaDataset(prefix, d)  # loads from cache
+    np.testing.assert_array_equal(eds2.sizes, eds.sizes)
