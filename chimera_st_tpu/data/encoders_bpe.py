@@ -247,6 +247,7 @@ class ByteBPE:
         return smart_byte_decode(joined)
 
 
+@register_bpe("bert")  # reference registry name (data/encoders/hf_bert_bpe.py)
 @register_bpe("hf_bert_bpe")
 class HuggingFaceBertBPE:
     """WordPiece via transformers' BertTokenizer

@@ -141,3 +141,28 @@ def bart_large(cfg: Dict) -> Dict:
     d.setdefault("decoder_layers", 12)
     d.setdefault("decoder_heads", 16)
     return d
+
+
+# ---------------------------------------------------------------------------
+# reference arch-name parity (fairseq/models/bart/model.py:356-370)
+
+
+@register_model_architecture("bart", "mbart_base")
+def mbart_base(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("no_scale_embedding", False)
+    return bart_base(d)
+
+
+@register_model_architecture("bart", "mbart_large")
+def mbart_large(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("no_scale_embedding", False)
+    return bart_large(d)
+
+
+@register_model_architecture("bart", "mbart_base_wmt20")
+def mbart_base_wmt20(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("layernorm_embedding", False)
+    return mbart_base(d)

@@ -274,3 +274,42 @@ def fconv_lm_wikitext(cfg: Dict) -> Dict:
 @register_model_architecture("fconv_lm", "fconv_lm")
 def fconv_lm_base(cfg: Dict) -> Dict:
     return dict(cfg)
+
+
+# reference arch-name parity (fairseq/models/fconv.py:720-756,
+# fconv_lm.py:122-135)
+
+
+@register_model_architecture("fconv", "fconv_wmt_en_ro")
+def fconv_wmt_en_ro(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("decoder_out_embed_dim", 512)
+    return d
+
+
+@register_model_architecture("fconv", "fconv_wmt_en_fr")
+def fconv_wmt_en_fr(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    convs = ((512, 3),) * 6 + ((768, 3),) * 4 + ((1024, 3),) * 3 \
+        + ((2048, 1),) + ((4096, 1),)
+    d.setdefault("embed_dim", 768)
+    d.setdefault("encoder_layers", convs)
+    d.setdefault("decoder_layers", convs)
+    d.setdefault("decoder_out_embed_dim", 512)
+    return d
+
+
+@register_model_architecture("fconv_lm", "fconv_lm_dauphin_gbw")
+def fconv_lm_dauphin_gbw(cfg: Dict) -> Dict:
+    """Dauphin GBW GCNN-13 (reference fconv_lm.py:122-135; its 3-tuples carry
+    a residual-skip distance — this build's conv blocks use distance-1
+    residuals throughout, so layers reduce to (channels, kernel) pairs)."""
+    d = dict(cfg)
+    layers = ((512, 5),) \
+        + ((128, 1), (128, 5), (512, 1)) * 3 \
+        + ((512, 1), (512, 5), (1024, 1)) * 3 \
+        + ((1024, 1), (1024, 5), (2048, 1)) * 6 \
+        + ((1024, 1), (1024, 5), (4096, 1))
+    d.setdefault("embed_dim", 128)
+    d.setdefault("layers", layers)
+    return d

@@ -226,3 +226,36 @@ def dynamicconv_iwslt(cfg: Dict) -> Dict:
     d = lightconv_iwslt(cfg)
     d["conv_type"] = "dynamic"
     return d
+
+
+# reference arch-name parity (fairseq/models/lightconv.py:984-1018)
+
+
+@register_model_architecture("lightconv", "lightconv")
+@register_model_architecture("lightconv", "lightconv_wmt_en_de")
+def lightconv_wmt_en_de(cfg: Dict) -> Dict:
+    return dict(cfg)
+
+
+@register_model_architecture("lightconv", "lightconv_wmt_en_de_big")
+def lightconv_wmt_en_de_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("heads", 16)
+    d.setdefault("dropout", 0.3)
+    return d
+
+
+@register_model_architecture("lightconv", "lightconv_wmt_en_fr_big")
+def lightconv_wmt_en_fr_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("dropout", 0.1)
+    return lightconv_wmt_en_de_big(d)
+
+
+@register_model_architecture("lightconv", "lightconv_wmt_zh_en_big")
+def lightconv_wmt_zh_en_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("dropout", 0.2)
+    return lightconv_wmt_en_de_big(d)

@@ -307,3 +307,26 @@ def build_rnn_classifier(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.floa
 @register_model_architecture("rnn_classifier", "rnn_classifier")
 def rnn_classifier_arch(cfg: Dict) -> Dict:
     return dict(cfg)
+
+
+@register_model_architecture("lightconv_lm", "lightconv_lm_gbw")
+def lightconv_lm_gbw(cfg: Dict) -> Dict:
+    """reference: lightconv_lm.py:299-306."""
+    d = dict(cfg)
+    d.setdefault("embed_dim", 512)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("heads", 16)
+    d.setdefault("dropout", 0.1)
+    return lightconv_lm_base(d)
+
+
+@register_model_architecture("rnn_classifier", "pytorch_tutorial_rnn")
+def pytorch_tutorial_rnn(cfg: Dict) -> Dict:
+    """reference arch name (models/rnn_classifier.py:133)."""
+    return dict(cfg)
+
+
+@register_model_architecture("simple_lstm", "tutorial_simple_lstm")
+def tutorial_simple_lstm(cfg: Dict) -> Dict:
+    """reference arch name (models/simple_lstm.py)."""
+    return dict(cfg)

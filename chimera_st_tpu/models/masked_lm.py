@@ -162,3 +162,41 @@ def camembert_arch(cfg: Dict) -> Dict:
 @register_model_architecture("roberta", "xlmr")
 def xlmr_arch(cfg: Dict) -> Dict:
     return roberta_large(cfg)
+
+
+# ---------------------------------------------------------------------------
+# reference arch-name parity (fairseq/models/masked_lm.py:344-403)
+
+
+@register_model_architecture("masked_lm", "bert_base")
+def bert_base(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 768)
+    d.setdefault("ffn_dim", 3072)
+    d.setdefault("layers", 12)
+    d.setdefault("heads", 12)
+    d.setdefault("activation", "gelu")
+    d.setdefault("sentence_class_num", 2)  # NSP head (ref --sent-loss)
+    return d
+
+
+@register_model_architecture("masked_lm", "bert_large")
+def bert_large(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("layers", 24)
+    d.setdefault("heads", 16)
+    return bert_base(d)
+
+
+@register_model_architecture("masked_lm", "xlm_base")
+def xlm_base(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("layers", 6)
+    d.setdefault("heads", 8)
+    d.setdefault("activation", "gelu")
+    d.setdefault("sentence_class_num", 0)  # no NSP (ref sent_loss=False)
+    return d

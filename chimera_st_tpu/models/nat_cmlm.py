@@ -157,3 +157,9 @@ def cmlm_base(cfg: Dict) -> Dict:
     d.setdefault("decoder_layers", 6)
     d.setdefault("decoder_heads", 8)
     return d
+
+
+@register_model_architecture("cmlm_transformer", "cmlm_transformer_wmt_en_de")
+def cmlm_wmt_en_de(cfg: Dict) -> Dict:
+    """reference: nat/cmlm_transformer.py:160-162 (= base arch)."""
+    return cmlm_base(cfg)

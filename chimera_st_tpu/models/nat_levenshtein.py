@@ -222,3 +222,34 @@ def levenshtein_base(cfg: Dict) -> Dict:
     d.setdefault("decoder_layers", 6)
     d.setdefault("decoder_heads", 8)
     return d
+
+
+# reference arch-name parity (nat/levenshtein_transformer.py:471-502)
+
+
+@register_model_architecture("levenshtein_transformer",
+                             "levenshtein_transformer_wmt_en_de")
+def levenshtein_wmt_en_de(cfg: Dict) -> Dict:
+    return levenshtein_base(cfg)
+
+
+@register_model_architecture("levenshtein_transformer",
+                             "levenshtein_transformer_vaswani_wmt_en_de_big")
+def levenshtein_vaswani_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 1024)
+    d.setdefault("encoder_ffn_dim", 4096)
+    d.setdefault("encoder_heads", 16)
+    d.setdefault("dropout", 0.3)
+    return levenshtein_base(d)
+
+
+@register_model_architecture("levenshtein_transformer",
+                             "levenshtein_transformer_wmt_en_de_big")
+def levenshtein_big_t2t(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_normalize_before", True)
+    d.setdefault("decoder_normalize_before", True)
+    d.setdefault("attention_dropout", 0.1)
+    d.setdefault("activation_dropout", 0.1)
+    return levenshtein_vaswani_big(d)

@@ -275,3 +275,20 @@ def inat_base(cfg):
 @register_model_architecture("nacrf_transformer", "nacrf_transformer")
 def nacrf_base(cfg):
     return cfg
+
+
+@register_model_architecture(
+    "nonautoregressive_transformer", "nonautoregressive_transformer_wmt_en_de"
+)
+def nat_wmt_en_de(cfg):
+    """reference: nat/nonautoregressive_transformer.py:437-440 (= base)."""
+    return nat_base(cfg)
+
+
+@register_model_architecture(
+    "iterative_nonautoregressive_transformer",
+    "iterative_nonautoregressive_transformer_wmt_en_de",
+)
+def inat_wmt_en_de(cfg):
+    """reference: nat/iterative_nonautoregressive_transformer.py:223-228."""
+    return inat_base(cfg)

@@ -206,3 +206,28 @@ def s2t_l(cfg: Dict) -> Dict:
     d.setdefault("decoder_heads", 16)
     d.setdefault("dropout", 0.2)
     return d
+
+
+# reference arch-name parity (s2t_transformer.py:440-478): *p = deep
+# 16-encoder-layer variants
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_sp")
+def s2t_sp(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_layers", 16)
+    return s2t_s(d)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_mp")
+def s2t_mp(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_layers", 16)
+    return s2t_m(d)
+
+
+@register_model_architecture("s2t_transformer", "s2t_transformer_lp")
+def s2t_lp(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_layers", 16)
+    return s2t_l(d)

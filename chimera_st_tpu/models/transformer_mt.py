@@ -438,3 +438,137 @@ def transformer_align(cfg):
 @register_model_architecture("transformer_lm", "transformer_lm")
 def transformer_lm_base(cfg: Dict) -> Dict:
     return dict(cfg)
+
+
+# ---------------------------------------------------------------------------
+# reference arch-name parity (fairseq/models/transformer.py:988-1025,
+# transformer_align.py:89-93, transformer_lm.py:310-393)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de")
+def transformer_wmt_en_de(cfg: Dict) -> Dict:
+    return transformer_base(dict(cfg))
+
+
+@register_model_architecture("transformer", "transformer_vaswani_wmt_en_de_big")
+def transformer_vaswani_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 1024)
+    d.setdefault("encoder_ffn_dim", 4096)
+    d.setdefault("encoder_heads", 16)
+    d.setdefault("dropout", 0.3)
+    return transformer_base(d)
+
+
+@register_model_architecture("transformer", "transformer_vaswani_wmt_en_fr_big")
+def transformer_vaswani_fr_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("dropout", 0.1)
+    return transformer_vaswani_big(d)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big_t2t")
+def transformer_big_t2t(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("encoder_normalize_before", True)
+    d.setdefault("decoder_normalize_before", True)
+    d.setdefault("attention_dropout", 0.1)
+    d.setdefault("activation_dropout", 0.1)
+    return transformer_vaswani_big(d)
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big_align")
+def transformer_big_align(cfg: Dict) -> Dict:
+    """Big MT arch for alignment-supervised training (pairs with
+    label_smoothed_cross_entropy_with_alignment). The reference pins
+    alignment_layer=4/alignment_heads=1 (transformer_align.py:89-93); here
+    A-line extraction always head-averages the last decoder layer's
+    cross-attention (documented delta, cli/generate.py --print-alignment)."""
+    d = dict(cfg)
+    d.setdefault("attention_dropout", 0.1)
+    return transformer_vaswani_big(d)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_big")
+def transformer_lm_big(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("layers", 12)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("heads", 16)
+    return transformer_lm_base(d)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_wiki103")
+@register_model_architecture("transformer_lm", "transformer_lm_baevski_wiki103")
+def transformer_lm_wiki103(cfg: Dict) -> Dict:
+    """Baevski & Auli wikitext-103 LM (reference transformer_lm.py:318-335).
+    The adaptive SOFTMAX cutoffs are honored; the reference additionally ties
+    an adaptive INPUT embedding — not a transformer_lm option here (the
+    adaptive-input module exists in models/modules_extra.py; documented
+    delta)."""
+    d = dict(cfg)
+    d.setdefault("layers", 16)
+    d.setdefault("heads", 8)
+    d.setdefault("dropout", 0.3)
+    d.setdefault("attention_dropout", 0.1)
+    d.setdefault("activation_dropout", 0.1)
+    d.setdefault("adaptive_softmax_cutoffs", (20000, 60000))
+    return transformer_lm_big(d)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gbw")
+@register_model_architecture("transformer_lm", "transformer_lm_baevski_gbw")
+def transformer_lm_gbw(cfg: Dict) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", 512)
+    d.setdefault("dropout", 0.1)
+    d.setdefault("attention_dropout", 0.1)
+    return transformer_lm_big(d)
+
+
+def _gpt_preset(cfg: Dict, embed, ffn, layers, heads) -> Dict:
+    d = dict(cfg)
+    d.setdefault("embed_dim", embed)
+    d.setdefault("ffn_dim", ffn)
+    d.setdefault("layers", layers)
+    d.setdefault("heads", heads)
+    d.setdefault("dropout", 0.1)
+    d.setdefault("attention_dropout", 0.1)
+    d.setdefault("activation", "gelu")
+    return transformer_lm_base(d)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt")
+def transformer_lm_gpt(cfg: Dict) -> Dict:
+    return _gpt_preset(cfg, 768, 3072, 12, 12)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_small")
+def transformer_lm_gpt2_small(cfg: Dict) -> Dict:
+    return _gpt_preset(cfg, 1024, 4096, 24, 16)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_medium")
+def transformer_lm_gpt2_medium(cfg: Dict) -> Dict:
+    return _gpt_preset(cfg, 1280, 5120, 36, 20)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_big")
+def transformer_lm_gpt2_big(cfg: Dict) -> Dict:
+    return _gpt_preset(cfg, 1600, 6400, 48, 25)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_megatron")
+def transformer_lm_megatron(cfg: Dict) -> Dict:
+    """reference: model_parallel/models/transformer_lm.py:152-160 on the
+    Megatron mpu submodule. Here model parallelism is a sharding annotation
+    (--model-parallel-size N -> TP PartitionSpecs over the mesh `model`
+    axis, parallel/partition.py), so the megatron presets register on the
+    plain transformer_lm model."""
+    return _gpt_preset(cfg, 3072, 3072 * 4, 72, 32)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_megatron_11b")
+def transformer_lm_megatron_11b(cfg: Dict) -> Dict:
+    return _gpt_preset(cfg, 3072, 3072 * 6, 72, 32)

@@ -464,3 +464,12 @@ def wav2vec2_large(cfg: Dict) -> Dict:
 @register_model_architecture("wav2vec2_quasiwave", "wav2vec2_quasiwave")
 def wav2vec2_quasiwave_arch(cfg: Dict) -> Dict:
     return dict(cfg)
+
+
+@register_model_architecture("wav2vec2_quasiwave", "wav2vec2_quasiwave_base")
+def wav2vec2_quasiwave_base(cfg):
+    """reference arch name (wav2vec/wav2vec2_quasiwave.py:455)."""
+    from ..config.registry import ARCHITECTURES
+
+    _, preset = ARCHITECTURES.get("wav2vec2_quasiwave")
+    return preset(cfg)

@@ -79,3 +79,15 @@ def build_optimizer(
     if clip_norm and clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+@register_optimizer("lamb")
+def lamb(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
+    """LAMB (reference: optim/fused_lamb.py wrapping apex FusedLAMB; here
+    optax.lamb — same update rule, no fused-kernel dependency)."""
+    b1, b2 = _parse_betas(cfg.get("lamb_betas"), (0.9, 0.999))
+    return optax.lamb(
+        lr_schedule, b1=b1, b2=b2,
+        eps=float(cfg.get("lamb_eps", 1e-8)),
+        weight_decay=float(cfg.get("weight_decay", 0.0)),
+    )

@@ -283,6 +283,7 @@ class LegacyMaskedLMTask(ChimeraTask):
         return dataset.collater(samples, tl)
 
 
+@register_criterion("legacy_masked_lm_loss")  # reference registry name
 @register_criterion("legacy_masked_lm")
 def make_legacy_masked_lm(cfg: Dict):
     """MLM CE over masked positions + next-sentence-prediction CE

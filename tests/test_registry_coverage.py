@@ -24,6 +24,8 @@ ALIASES = {
     # the quasiwave model alias builds the same trunk the bimodal task
     # tests drive end to end (test_w2v2_pretraining bimodal e2e)
     "wav2vec2_quasiwave": "bimodal_pretraining",
+    # reference registry-name alias for the same criterion factory
+    "legacy_masked_lm_loss": "legacy_masked_lm",
 }
 
 
