@@ -157,7 +157,10 @@ def run_score_reference(args, task, model, params, dataset, tgt_dict) -> None:
 
     from ..generation.scorer import SequenceScorer
 
-    scorer = SequenceScorer(model, pad=tgt_dict.pad(), eos=tgt_dict.eos())
+    scorer = SequenceScorer(
+        model, pad=tgt_dict.pad(), eos=tgt_dict.eos(),
+        retain_dropout=getattr(args, "retain_dropout", False), seed=args.seed,
+    )
     itr = task.make_batch_iterator(
         dataset,
         max_tokens=int(args.max_tokens) if args.max_tokens else None,
@@ -277,6 +280,9 @@ def main(argv=None) -> None:
         beam = args.beam
         if args.iter_decode_max_iter is not None:  # NAT refinement loops
             iter_decode_max_iter = args.iter_decode_max_iter
+        iter_decode_force_max_iter = args.iter_decode_force_max_iter
+        iter_decode_eos_penalty = args.iter_decode_eos_penalty
+        iter_decode_with_beam = args.iter_decode_with_beam
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
         min_len = args.min_len

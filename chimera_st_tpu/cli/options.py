@@ -169,8 +169,24 @@ def add_generation_args(p: argparse.ArgumentParser):
     p.add_argument("--iter-decode-max-iter", type=int, default=None,
                    help="refinement iterations for NAT models "
                         "(reference iterative_refinement_generator max_iter)")
+    p.add_argument("--iter-decode-force-max-iter", action="store_true",
+                   help="disable the NAT early exit; always run max_iter "
+                        "rounds (reference iterative_refinement_generator)")
+    p.add_argument("--iter-decode-eos-penalty", type=float, default=0.0,
+                   help="Levenshtein: penalty on predicting ZERO insertions "
+                        "per slot — discourages short outputs (reference "
+                        "levenshtein_transformer.py forward_decoder "
+                        "mask_ins_score[...,0] -= eos_penalty)")
+    p.add_argument("--iter-decode-with-beam", type=int, default=1,
+                   help="NAT length-beam: decode the top-B predicted lengths "
+                        "in parallel and keep the best-scoring candidate "
+                        "(reference iterative_refinement_generator beam_size)")
     p.add_argument("--diversity-rate", type=float, default=-1.0,
                    help="diverse-siblings rank penalty (reference search.py:745)")
+    p.add_argument("--retain-dropout", action="store_true",
+                   help="keep dropout active while scoring gold targets "
+                        "(MC-sampling eval; reference sequence_generator.py "
+                        "retain_dropout — supported on --score-reference)")
     p.add_argument("--score-reference", action="store_true",
                    help="score gold targets instead of searching "
                         "(reference fairseq_cli/generate.py --score-reference)")

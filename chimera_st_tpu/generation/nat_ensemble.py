@@ -38,6 +38,8 @@ def ensemble_refine(
     bos: int = 0,
     eos: int = 2,
     unk: int = 3,
+    eos_penalty: float = 0.0,
+    force_iterations: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative refinement with per-stage probability averaging.
 
@@ -74,6 +76,10 @@ def ensemble_refine(
         del_pred = jnp.argmax(del_lp, axis=-1) == 1
         tokens = apply_del_words(tokens, del_pred, pad, bos, eos)
         ins_lp = avg_logprobs(cls.forward_mask_ins, tokens)
+        if eos_penalty > 0.0:
+            # reference EnsembleLevT applies the penalty to the AVERAGED
+            # scores (nonautoregressive_ensembles.py forward_decoder)
+            ins_lp = ins_lp.at[..., 0].add(-eos_penalty)
         n_ins = jnp.argmax(ins_lp, axis=-1)
         tokens = apply_ins_placeholders(tokens, n_ins, pad, unk, eos)
         word_lp = avg_logprobs(cls.forward_word_ins, tokens)
@@ -82,6 +88,8 @@ def ensemble_refine(
 
     def cond(state):
         i, _, changed = state
+        if force_iterations:
+            return i < iterations
         return (i < iterations) & changed
 
     def body(state):
@@ -121,6 +129,8 @@ def build_nat_ensemble_generator(models, params_list, gen_cfg, tgt_dict):
     max_len = min(getattr(gen_cfg, "max_decode_len", 64) or 64, 256)
     req_iters = getattr(gen_cfg, "iter_decode_max_iter", None)
     iterations = req_iters if req_iters is not None else 6
+    eos_penalty = float(getattr(gen_cfg, "iter_decode_eos_penalty", 0.0) or 0.0)
+    force = bool(getattr(gen_cfg, "iter_decode_force_max_iter", False))
     pad, eos = tgt_dict.pad(), tgt_dict.eos()
     bos, unk = tgt_dict.bos(), tgt_dict.unk()
 
@@ -129,6 +139,7 @@ def build_nat_ensemble_generator(models, params_list, gen_cfg, tgt_dict):
         tokens, lengths = ensemble_refine(
             model, ps, src_tokens, iterations=iterations, max_len=max_len,
             pad=pad, bos=bos, eos=eos, unk=unk,
+            eos_penalty=eos_penalty, force_iterations=force,
         )
         return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
 

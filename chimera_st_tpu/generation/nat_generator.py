@@ -30,40 +30,69 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
     bos = tgt_dict.bos() if bos is None else bos
     unk = tgt_dict.unk() if unk is None else unk
     req_iters = getattr(gen_cfg, "iter_decode_max_iter", None)
+    eos_penalty = float(getattr(gen_cfg, "iter_decode_eos_penalty", 0.0) or 0.0)
+    force = bool(getattr(gen_cfg, "iter_decode_force_max_iter", False))
+    length_beam = int(getattr(gen_cfg, "iter_decode_with_beam", 1) or 1)
 
     if hasattr(cls, "refine"):
         iterations = req_iters if req_iters is not None else (
             8 if "Insertion" in cls.__name__ else 6
         )
+        extra = {}
+        if "Levenshtein" in cls.__name__:
+            # only the LevT refine has the placeholder stage the penalty and
+            # the force-max-iter flag act on (reference forward_decoder)
+            extra = dict(eos_penalty=eos_penalty, force_iterations=force)
 
         @jax.jit
         def _run(params, src_tokens):
             tokens, lengths = model.apply(
                 params, src_tokens, iterations=iterations, max_len=max_len,
-                pad=pad, bos=bos, eos=eos, unk=unk, method=cls.refine,
+                pad=pad, bos=bos, eos=eos, unk=unk, method=cls.refine, **extra,
             )
             return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
 
     elif hasattr(cls, "mask_predict"):
         iterations = req_iters if req_iters is not None else 10
 
-        @jax.jit
-        def _run(params, src_tokens):
-            return model.apply(
-                params, src_tokens, iterations=iterations, max_len=max_len,
-                pad=pad, eos=eos, method=cls.mask_predict,
-            )
+        if length_beam > 1 and hasattr(cls, "mask_predict_with_length_beam"):
+            @jax.jit
+            def _run(params, src_tokens):
+                return model.apply(
+                    params, src_tokens, beam=length_beam,
+                    iterations=iterations, max_len=max_len, pad=pad, eos=eos,
+                    method=cls.mask_predict_with_length_beam,
+                )
+        else:
+            @jax.jit
+            def _run(params, src_tokens):
+                return model.apply(
+                    params, src_tokens, iterations=iterations, max_len=max_len,
+                    pad=pad, eos=eos, method=cls.mask_predict,
+                )
 
     elif hasattr(cls, "translate"):
         iterations = req_iters if req_iters is not None else 1
 
-        @jax.jit
-        def _run(params, src_tokens):
-            tokens, lengths = model.apply(
-                params, src_tokens, max_len=max_len, iterations=iterations,
-                method=cls.translate,
-            )
-            return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
+        if length_beam > 1 and hasattr(cls, "translate_with_length_beam"):
+            # --iter-decode-with-beam B: decode top-B lengths, keep the best
+            # (reference iterative_refinement_generator.py:138-158)
+            @jax.jit
+            def _run(params, src_tokens):
+                tokens, lengths = model.apply(
+                    params, src_tokens, beam=length_beam, max_len=max_len,
+                    iterations=iterations,
+                    method=cls.translate_with_length_beam,
+                )
+                return tokens[:, 1:], jnp.maximum(lengths - 1, 1)
+        else:
+            @jax.jit
+            def _run(params, src_tokens):
+                tokens, lengths = model.apply(
+                    params, src_tokens, max_len=max_len, iterations=iterations,
+                    method=cls.translate,
+                )
+                return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
 
     else:
         return None

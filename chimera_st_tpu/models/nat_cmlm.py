@@ -103,7 +103,13 @@ class CMLMTransformer(nn.Module):
         enc, enc_mask = self.encode(src_tokens)
         len_logits = self.predict_length_logits(enc, enc_mask)
         lengths = jnp.clip(jnp.argmax(len_logits, axis=-1), 1, L)  # [B]
-        B = src_tokens.shape[0]
+        tokens, _ = self._mask_predict_from(lengths, enc, enc_mask,
+                                            iterations, L, pad)
+        return tokens, lengths
+
+    def _mask_predict_from(self, lengths, enc, enc_mask, iterations, L, pad=1):
+        """Mask-predict loop from given target lengths -> (tokens, scores)."""
+        B = lengths.shape[0]
         pos = jnp.arange(L)[None, :]
         tgt_pad_mask = pos >= lengths[:, None]
         mask_tok = self.mask_idx
@@ -131,11 +137,46 @@ class CMLMTransformer(nn.Module):
             return (tokens, scores), None
 
         scores0 = jnp.zeros((B, L), jnp.float32)
-        (tokens, _), _ = jax.lax.scan(
+        (tokens, scores), _ = jax.lax.scan(
             iteration, (tokens, scores0), jnp.arange(iterations)
         )
         tokens = jnp.where(tgt_pad_mask, pad, tokens)
-        return tokens, lengths
+        return tokens, scores
+
+    def mask_predict_with_length_beam(
+        self,
+        src_tokens: jax.Array,
+        beam: int = 5,
+        iterations: int = 10,
+        max_len: Optional[int] = None,
+        pad: int = 1,
+        eos: int = 2,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Length-beam mask-predict (reference:
+        iterative_refinement_generator.py:138-158 on allow_length_beam
+        models): run the refinement for the top-``beam`` predicted lengths in
+        one batched pass and keep the candidate whose FINAL per-token
+        confidences average highest — the reference reranks candidates by
+        output_scores mean. -> (tokens [B, L], lengths [B])."""
+        c = self.cfg
+        L = max_len or c.max_predicted_length
+        B = src_tokens.shape[0]
+        enc, enc_mask = self.encode(src_tokens)
+        len_logits = self.predict_length_logits(enc, enc_mask)
+        _, top_lens = jax.lax.top_k(len_logits, beam)  # [B, beam]
+        lengths = jnp.clip(top_lens.reshape(-1), 1, L)  # [B*beam]
+        enc_t = jnp.repeat(enc, beam, axis=0)
+        enc_mask_t = jnp.repeat(enc_mask, beam, axis=0)
+        tokens, scores = self._mask_predict_from(
+            lengths, enc_t, enc_mask_t, iterations, L, pad
+        )
+        pos = jnp.arange(L)[None, :]
+        valid = pos < lengths[:, None]
+        denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
+        mean_conf = jnp.sum(jnp.where(valid, scores, 0.0), axis=1) / denom
+        best = jnp.argmax(mean_conf.reshape(B, beam), axis=1)
+        flat = jnp.arange(B) * beam + best
+        return tokens[flat], lengths[flat]
 
 
 @register_model("cmlm_transformer")

@@ -158,6 +158,8 @@ class LevenshteinTransformer(nn.Module):
         bos: int = 0,
         eos: int = 2,
         unk: int = 3,
+        eos_penalty: float = 0.0,
+        force_iterations: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Iterative refinement decode -> (tokens [B, L], lengths [B]).
 
@@ -165,7 +167,11 @@ class LevenshteinTransformer(nn.Module):
         forward_decoder (del -> placeholder-ins -> word-fill per round).
         ADAPTIVE iteration: a `lax.while_loop` exits early once no sentence
         changed in a round (the reference's terminated-check), bounded by
-        `iterations` — one traced program regardless of the bound."""
+        `iterations` — one traced program regardless of the bound.
+        ``eos_penalty`` discourages zero-insertion predictions (reference
+        levenshtein_transformer.py forward_decoder: mask_ins_score[...,0] -=
+        eos_penalty — the --iter-decode-eos-penalty flag); ``force_iterations``
+        is --iter-decode-force-max-iter (early exit disabled)."""
         B = src_tokens.shape[0]
         L = max_len
         enc, enc_mask = self.encode(src_tokens)
@@ -180,6 +186,8 @@ class LevenshteinTransformer(nn.Module):
             tokens = apply_del_words(tokens, del_pred, pad, bos, eos)
             # 2) insert placeholders
             ins_logits = self.forward_mask_ins(tokens, enc, enc_mask)
+            if eos_penalty > 0.0:
+                ins_logits = ins_logits.at[..., 0].add(-eos_penalty)
             n_ins = jnp.argmax(ins_logits, axis=-1)
             tokens = apply_ins_placeholders(tokens, n_ins, pad, unk, eos)
             # 3) fill words
@@ -189,6 +197,8 @@ class LevenshteinTransformer(nn.Module):
 
         def cond(state):
             i, _, changed = state
+            if force_iterations:
+                return i < iterations
             return (i < iterations) & changed
 
         def body(state):

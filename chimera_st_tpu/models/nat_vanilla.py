@@ -229,6 +229,56 @@ class NATransformer(nn.Module):
             toks = jnp.where(interior, pred, toks)
         return toks, lengths
 
+    def translate_with_length_beam(
+        self,
+        src_tokens: jax.Array,
+        beam: int = 5,
+        max_len: Optional[int] = None,
+        iterations: int = 1,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Length-beam NAT decode (reference:
+        iterative_refinement_generator.py:138-158 `--iter-decode-with-beam` on
+        models with allow_length_beam): decode the top-``beam`` predicted
+        lengths per sentence in ONE batched pass and keep the candidate with
+        the best average token log-prob over its interior.
+        -> (tokens [B, L], lengths [B])."""
+        c = self.cfg
+        L = max_len or c.max_predicted_length
+        B = src_tokens.shape[0]
+        enc, enc_mask = self.encode(src_tokens, deterministic)
+        len_logits = self.predict_length_logits(enc, enc_mask)  # [B, L_head]
+        # top-beam candidate lengths, clipped to the static canvas
+        _, top_lens = jax.lax.top_k(len_logits, beam)  # [B, beam]
+        lengths = jnp.clip(top_lens.reshape(-1), 2, L)  # [B*beam]
+        # tile encoder state per candidate (beam-minor: sentence b's
+        # candidates are rows b*beam..b*beam+beam-1)
+        enc_t = jnp.repeat(enc, beam, axis=0)
+        enc_mask_t = jnp.repeat(enc_mask, beam, axis=0)
+
+        toks = self.initial_output_tokens(lengths, L)
+        pos = jnp.arange(L)[None, :]
+        interior = (pos > 0) & (pos < (lengths - 1)[:, None])
+        emissions = None
+        for it in range(max(1, iterations)):
+            emissions = self.decode_tokens(toks, enc_t, enc_mask_t,
+                                           deterministic)
+            if self.crf is not None and it == max(1, iterations) - 1:
+                pred = self.crf.decode(emissions, pos < lengths[:, None])
+            else:
+                pred = jnp.argmax(emissions, axis=-1).astype(jnp.int32)
+            toks = jnp.where(interior, pred, toks)
+
+        # rerank: mean log-prob of the chosen interior tokens (the
+        # reference averages the word scores of each candidate)
+        lp = jax.nn.log_softmax(emissions.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(lp, toks[..., None], axis=-1)[..., 0]
+        denom = jnp.maximum(jnp.sum(interior, axis=1), 1)
+        score = jnp.sum(jnp.where(interior, tok_lp, 0.0), axis=1) / denom
+        best = jnp.argmax(score.reshape(B, beam), axis=1)  # [B]
+        flat = jnp.arange(B) * beam + best
+        return toks[flat], lengths[flat]
+
 
 def _build(cfg_dict, dtype, param_dtype, **over):
     known = {f.name for f in dataclasses.fields(NATConfig)}

@@ -142,6 +142,8 @@ def test_levenshtein_ensemble_cli(tmp_path):
         "--path", ":".join(ckpts),
         "--gen-subset", "valid", "--beam", "1", "--max-decode-len", "32",
         "--batch-size", "8", "--dtype", "float32",
+        "--iter-decode-eos-penalty", "0.1", "--iter-decode-force-max-iter",
+        "--iter-decode-max-iter", "4",
         "--results-path", str(out_dir), "--num-length-buckets", "2",
     ])
     text = (out_dir / "generate-valid.txt").read_text()

@@ -131,3 +131,35 @@ def test_replace_unk_tokens():
     assert out == ["the", "house", "and", "Garten"]
     assert load_align_dict(None) == {}
     assert load_align_dict(True) == {}
+
+
+def test_sequence_scorer_retain_dropout():
+    """--retain-dropout (reference sequence_generator.py retain_dropout):
+    scoring with dropout active is stochastic across calls; the default
+    scorer stays deterministic."""
+    from chimera_st_tpu.generation.scorer import SequenceScorer
+    from chimera_st_tpu.models.interlingua import ChimeraInterlinguaModel
+    from tests.test_interlingua_model import TINY
+
+    model = ChimeraInterlinguaModel(TINY)  # dropout 0.1 (default)
+    wav = jnp.asarray(np.random.default_rng(0).normal(size=(1, 400)), jnp.float32)
+    mask = jnp.zeros((1, 400), bool)
+    params = model.init(
+        jax.random.PRNGKey(0), wav, mask, jnp.zeros((1, 3), jnp.int32),
+        jnp.zeros((1, 4), jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    target = jnp.asarray([[5, 7, 9, EOS]], jnp.int32)
+
+    det = SequenceScorer(model)
+    s1 = float(det.score_audio(params, wav, mask, target)["score"][0])
+    s2 = float(det.score_audio(params, wav, mask, target)["score"][0])
+    assert s1 == s2  # deterministic by default
+
+    mc = SequenceScorer(model, retain_dropout=True, seed=7)
+    m1 = float(mc.score_audio(params, wav, mask, target)["score"][0])
+    m2 = float(mc.score_audio(params, wav, mask, target)["score"][0])
+    assert m1 != m2  # fresh dropout rng per call
+    # same seed -> same MC sequence (reproducible eval)
+    mc2 = SequenceScorer(model, retain_dropout=True, seed=7)
+    assert float(mc2.score_audio(params, wav, mask, target)["score"][0]) == m1
