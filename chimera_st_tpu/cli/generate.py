@@ -286,7 +286,20 @@ def main(argv=None) -> None:
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
         min_len = args.min_len
+        # fix: --min-len-a/b were parsed but never forwarded, so the CLI
+        # LengthConstrained path silently no-oped (search.py:526 parity)
+        min_len_a = getattr(args, "min_len_a", 0.0)
+        min_len_b = getattr(args, "min_len_b", 0)
+        if getattr(args, "match_source_len", False):
+            # pin hypothesis length to source length (reference
+            # sequence_generator.py match_source_len)
+            max_len_a, max_len_b = 1.0, 0
+            min_len_a, min_len_b = 1.0, -1
         lenpen = args.lenpen
+        if getattr(args, "unnormalized", False):
+            # raw log-prob ranking == length divisor len^0 (reference:
+            # normalize_scores=False)
+            lenpen = 0.0
         unkpen = args.unkpen
         temperature = args.temperature
         max_decode_len = args.max_decode_len
@@ -325,8 +338,11 @@ def main(argv=None) -> None:
                 )
                 lm = (lm_model, lm_params, args.lm_weight)
             settings = GeneratorSettings(
-                beam_size=args.beam, max_len_a=args.max_len_a, max_len_b=args.max_len_b,
-                min_len=args.min_len, len_penalty=args.lenpen, unk_penalty=args.unkpen,
+                beam_size=args.beam,
+                max_len_a=GenCfg.max_len_a, max_len_b=GenCfg.max_len_b,
+                min_len=args.min_len,
+                min_len_a=GenCfg.min_len_a, min_len_b=GenCfg.min_len_b,
+                len_penalty=GenCfg.lenpen, unk_penalty=args.unkpen,
                 max_decode_len=args.max_decode_len, temperature=args.temperature,
                 no_repeat_ngram_size=args.no_repeat_ngram_size,
             )

@@ -183,6 +183,14 @@ def add_generation_args(p: argparse.ArgumentParser):
                         "(reference iterative_refinement_generator beam_size)")
     p.add_argument("--diversity-rate", type=float, default=-1.0,
                    help="diverse-siblings rank penalty (reference search.py:745)")
+    p.add_argument("--match-source-len", action="store_true",
+                   help="pin hypothesis length to the source length "
+                        "(reference sequence_generator.py match_source_len; "
+                        "maps to per-sentence min/max = 1*src_len)")
+    p.add_argument("--unnormalized", action="store_true",
+                   help="rank hypotheses by raw log-prob sum instead of "
+                        "length-normalized score (reference --unnormalized; "
+                        "equivalent to lenpen 0)")
     p.add_argument("--retain-dropout", action="store_true",
                    help="keep dropout active while scoring gold targets "
                         "(MC-sampling eval; reference sequence_generator.py "

@@ -465,3 +465,50 @@ def test_joint_training_cli_with_config_files(triplet_dir, tmp_path):
     ])
     assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
     assert (Path(save_dir) / "checkpoint_best.ckpt").is_file()  # validated
+
+
+def test_generate_match_source_len_and_unnormalized(tmp_path):
+    """--match-source-len pins each hypothesis to its source length
+    (reference sequence_generator.py match_source_len); --unnormalized ranks
+    by raw log-prob sum (== lenpen 0). Also regression-covers the
+    --min-len-a/b forwarding fix (the flags previously parsed but never
+    reached the generator)."""
+    from chimera_st_tpu.cli import generate, preprocess, train
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+    bin_dir = str(tmp_path / "bin")
+    preprocess.main([
+        "-s", "de", "-t", "en",
+        "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
+        "--destdir", bin_dir, "--joined-dictionary",
+    ])
+    save_dir = str(tmp_path / "mt_ckpt")
+    train.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--arch", "s2t_transformer_w2v2_interlingua_base",
+        *TINY_ARCH_FLAGS,
+        "--criterion", "label_smoothed_cross_entropy",
+        "--optimizer", "adam", "--lr", "1e-3", "--lr-scheduler", "fixed",
+        "--batch-size", "8", "--save-dir", save_dir, "--max-update", "2",
+        "--dtype", "float32", "--num-length-buckets", "2",
+    ])
+
+    out_dir = tmp_path / "msl"
+    out_dir.mkdir()
+    generate.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--gen-subset", "valid", "--batch-size", "8", "--dtype", "float32",
+        "--beam", "2", "--max-decode-len", "24",
+        "--results-path", str(out_dir), "--num-length-buckets", "2",
+        "--match-source-len", "--unnormalized",
+    ])
+    text = (out_dir / "generate-valid.txt").read_text()
+    lines = text.splitlines()
+    src = {l.split("\t")[0][2:]: l.split("\t", 1)[1] for l in lines
+           if l.startswith("S-")}
+    hyp = {l.split("\t")[0][2:]: l.split("\t") for l in lines
+           if l.startswith("H-")}
+    assert hyp and len(hyp) == len(src)
+    for sid, (_, _score, words) in hyp.items():
+        assert len(words.split()) == len(src[sid].split()), (sid, words, src[sid])
