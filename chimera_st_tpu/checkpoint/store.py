@@ -32,11 +32,15 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_state(path: str, state, extra: Dict[str, Any]) -> None:
+def save_state(path: str, state, extra: Dict[str, Any],
+               save_optimizer: bool = True) -> None:
     payload = {
         "step": int(state.step),
         "params": _to_host(serialization.to_state_dict(state.params)),
-        "opt_state": _to_host(serialization.to_state_dict(state.opt_state)),
+        # --no-save-optimizer-state: moments excluded; restore falls back to
+        # a fresh optimizer (reference checkpoint_cfg.no_save_optimizer_state)
+        "opt_state": _to_host(serialization.to_state_dict(state.opt_state))
+        if save_optimizer else None,
         "extra": extra,
         "format_version": 1,
     }
@@ -54,6 +58,8 @@ def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
 
     params = serialization.from_state_dict(state_template.params, payload["params"])
     try:
+        if payload.get("opt_state") is None:
+            raise KeyError("checkpoint saved with --no-save-optimizer-state")
         opt_state = serialization.from_state_dict(
             state_template.opt_state, payload["opt_state"]
         )
@@ -95,6 +101,7 @@ class CheckpointManager:
         keep_interval_updates: int = -1,
         keep_best_checkpoints: int = -1,
         no_last: bool = False,
+        save_optimizer_state: bool = True,
         no_epoch: bool = False,
         no_save: bool = False,
     ):
@@ -108,6 +115,7 @@ class CheckpointManager:
         self.no_last = no_last
         self.no_epoch = no_epoch
         self.no_save = no_save
+        self.save_optimizer_state = save_optimizer_state
         self.best: Optional[float] = None
         self.verify_writable()
 
@@ -143,7 +151,8 @@ class CheckpointManager:
         t0 = time.time()
 
         def _save(name):
-            save_state(str(self.save_dir / name), state, extra)
+            save_state(str(self.save_dir / name), state, extra,
+                       save_optimizer=self.save_optimizer_state)
             wrote.append(name)
 
         is_best = val_metric is not None and self.is_better(val_metric)

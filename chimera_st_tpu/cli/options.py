@@ -60,6 +60,14 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR "
                         "(replaces the reference's nvtx/cuda profiler hooks)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on CPU even when an accelerator is visible "
+                        "(reference --cpu; forces jax_platforms=cpu before "
+                        "any computation)")
+    p.add_argument("--user-dir", default=None, metavar="DIR",
+                   help="path to a python module/package whose import "
+                        "registers custom tasks/models/criterions "
+                        "(reference: fairseq/utils.py import_user_module)")
     return p
 
 
@@ -106,6 +114,36 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--maximize-best-checkpoint-metric", action="store_true")
     p.add_argument("--patience", type=int, default=-1)
     p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--max-tokens-valid", type=float, default=None,
+                   help="validation token budget (default: --max-tokens)")
+    p.add_argument("--batch-size-valid", type=int, default=None,
+                   help="validation batch size (default: --batch-size)")
+    p.add_argument("--validate-after-updates", type=int, default=0,
+                   help="skip validation until N updates (reference "
+                        "dataset_cfg.validate_after_updates)")
+    p.add_argument("--fixed-validation-seed", type=int, default=None,
+                   help="seed for any stochastic validation component "
+                        "(BLEU/WER decode batching; reference flag)")
+    p.add_argument("--curriculum", type=int, default=0,
+                   help="serve batches length-ordered (no shuffle) for the "
+                        "first N epochs (reference dataset_cfg.curriculum)")
+    p.add_argument("--keep-best-checkpoints", type=int, default=-1,
+                   help="keep only the N best checkpoint.best_* files "
+                        "(reference checkpoint_utils pruning)")
+    p.add_argument("--no-last-checkpoints", action="store_true")
+    p.add_argument("--no-save-optimizer-state", action="store_true",
+                   help="exclude optimizer moments from checkpoints "
+                        "(restore falls back to fresh optimizer state)")
+    p.add_argument("--finetune-from-model", default=None, metavar="CKPT",
+                   help="warm-start params from CKPT with optimizer/"
+                        "lr-scheduler/meters/dataloader reset (reference "
+                        "checkpoint_cfg.finetune_from_model; mutually "
+                        "exclusive with --restore-file/--reset-* flags)")
+    p.add_argument("--optimizer-overrides", default="{}",
+                   help="accepted for recipe compat: optimizer hyperparams "
+                        "always come from the current args here (the "
+                        "reference patches the pickled optimizer config "
+                        "on load; moments restore unchanged either way)")
     p.add_argument("--data-buffer-size", type=int, default=4)
     p.add_argument("--ddp-backend", default=None,
                    help="accepted for recipe compat; SPMD mesh is always used")
@@ -219,6 +257,14 @@ def parse_with_model_overrides(
 ) -> Tuple[argparse.Namespace, Dict[str, Any]]:
     """Parse known args; fold leftover --flag[=]value pairs into a dict."""
     args, leftover = p.parse_known_args(argv)
+    if getattr(args, "cpu", False):
+        import jax
+
+        # must precede any computation (the axon plugin ignores the plain
+        # JAX_PLATFORMS env var)
+        jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "user_dir", None):
+        import_user_module(args.user_dir)
     extra: Dict[str, Any] = {}
     i = 0
     while i < len(leftover):
@@ -240,6 +286,35 @@ def parse_with_model_overrides(
         extra[key.replace("-", "_")] = val
         i += 1
     return args, extra
+
+
+def import_user_module(path: str) -> None:
+    """Import a user plugin module/package so its @register_* decorators run
+    (reference: fairseq/utils.py import_user_module — sys.path injection +
+    importlib by directory name)."""
+    import importlib
+    import os
+    import sys
+
+    # user modules extend the registries, so the core plugin packages must
+    # be populated first (the reference's user modules likewise import a
+    # fully-initialized fairseq package)
+    import chimera_st_tpu.criterions  # noqa: F401
+    import chimera_st_tpu.models  # noqa: F401
+    import chimera_st_tpu.tasks  # noqa: F401
+
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"--user-dir {path} does not exist")
+    parent, name = os.path.split(path.rstrip(os.sep))
+    if name.endswith(".py"):
+        name = name[:-3]
+    if name not in sys.modules:
+        sys.path.insert(0, parent)
+        try:
+            importlib.import_module(name)
+        finally:
+            sys.path.remove(parent)
 
 
 def parse_lr(lr_str: str) -> float:

@@ -166,8 +166,11 @@ def main(argv=None) -> None:
         maximize_best=args.maximize_best_checkpoint_metric,
         keep_last_epochs=args.keep_last_epochs,
         keep_interval_updates=args.keep_interval_updates,
+        keep_best_checkpoints=args.keep_best_checkpoints,
+        no_last=args.no_last_checkpoints,
         no_epoch=args.no_epoch_checkpoints,
         no_save=args.no_save,
+        save_optimizer_state=not args.no_save_optimizer_state,
     )
 
     # ----------------------------------------------------------- batch iters
@@ -212,8 +215,24 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- restore
     epoch = 1
+    if args.finetune_from_model:
+        # warm-start params only; optimizer/lr/meters/dataloader start fresh
+        # (reference: checkpoint_utils.load_checkpoint finetune_from_model —
+        # mutually exclusive with --restore-file/--reset-* flags)
+        if (args.reset_optimizer or args.reset_dataloader or args.reset_meters
+                or args.reset_lr_scheduler):
+            raise SystemExit(
+                "--finetune-from-model already resets optimizer/dataloader/"
+                "meters; do not combine it with --reset-* flags "
+                "(reference checkpoint_utils.py behavior)")
+        from ..checkpoint.store import load_params_only
+
+        warm = load_params_only(args.finetune_from_model, trainer.state.params)
+        trainer.state = trainer.state._replace(params=warm)
+        logger.info(f"loaded pretrained params from {args.finetune_from_model} "
+                    f"(optimizer/meters/dataloader reset)")
     restore = ckpt_mgr.save_dir / args.restore_file
-    if restore.is_file():
+    if restore.is_file() and not args.finetune_from_model:
         fresh_params = trainer.state.params
         state, extra = load_state(str(restore), trainer.state)
         if args.reset_encoder:
@@ -248,7 +267,9 @@ def main(argv=None) -> None:
         if args.max_epoch and epoch > args.max_epoch:
             break
         train_itr.epoch = epoch
-        itr = train_itr.next_epoch_itr(shuffle=True)
+        # --curriculum N: length-ordered (unshuffled) batches for the first
+        # N epochs (reference dataset_cfg.curriculum)
+        itr = train_itr.next_epoch_itr(shuffle=epoch > args.curriculum)
         grouped = GroupedIterator(itr, update_freq)
         pbar = progress_bar(
             grouped,
@@ -268,7 +289,9 @@ def main(argv=None) -> None:
                     args.save_interval_updates > 0
                     and num_updates % args.save_interval_updates == 0
                 ):
-                    val = validate_and_metric(args, task, trainer, criterion)
+                    val = None
+                    if num_updates >= args.validate_after_updates:
+                        val = validate_and_metric(args, task, trainer, criterion)
                     if hasattr(lr_schedule, "step_val") and lr_schedule.step_val(val):
                         trainer.refresh_apply()
                     ckpt_mgr.save(
@@ -289,7 +312,9 @@ def main(argv=None) -> None:
         train_itr.next_epoch()
 
         val = None
-        if not args.disable_validation and (epoch % args.validate_interval == 0 or stop):
+        if (not args.disable_validation
+                and trainer.num_updates >= args.validate_after_updates
+                and (epoch % args.validate_interval == 0 or stop)):
             val = validate_and_metric(args, task, trainer, criterion)
             if hasattr(lr_schedule, "step_val") and lr_schedule.step_val(val):
                 trainer.refresh_apply()
@@ -422,11 +447,16 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
         # joint_task any_step dispatch; per-task valid namespaces)
         main_task_name = task.main_task_name
         task = task.main_task
+    # valid-specific budgets + seed (reference dataset_cfg.max_tokens_valid/
+    # batch_size_valid/fixed_validation_seed; fall back to the train values)
+    max_tokens_valid = getattr(args, "max_tokens_valid", None) or args.max_tokens
+    batch_size_valid = getattr(args, "batch_size_valid", None) or args.batch_size
+    valid_seed = getattr(args, "fixed_validation_seed", None)
     itr = task.make_batch_iterator(
         task.dataset(args.valid_subset),
-        max_tokens=int(args.max_tokens) if args.max_tokens else None,
-        max_sentences=args.batch_size,
-        seed=args.seed,
+        max_tokens=int(max_tokens_valid) if max_tokens_valid else None,
+        max_sentences=batch_size_valid,
+        seed=args.seed if valid_seed is None else valid_seed,
         num_length_buckets=args.num_length_buckets,
     ).next_epoch_itr(shuffle=False)
     totals: Dict[str, float] = {}
