@@ -441,7 +441,17 @@ def main(argv=None) -> None:
                     extra_symbols_to_ignore=strip,
                 )
             if not args.quiet:
-                print(f"S-{sid}\t", file=out)
+                # S- carries the detokenized source when a text source
+                # exists (reference generate.py:243-253; audio inputs print
+                # an empty source like the reference's has_target-only path)
+                src_str = ""
+                src_dict = getattr(task, "source_dictionary", None)
+                if "src_tokens" in batch and src_dict is not None:
+                    src_str = src_dict.string(
+                        batch["src_tokens"][b], bpe_symbol=args.remove_bpe,
+                        extra_symbols_to_ignore=strip,
+                    )
+                print(f"S-{sid}\t{src_str}", file=out)
                 if ref_str is not None:
                     print(f"T-{sid}\t{ref_str}", file=out)
             for k in range(min(args.nbest, tokens.shape[1])):

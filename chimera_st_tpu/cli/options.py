@@ -82,6 +82,17 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--optimizer", default="adam")
     p.add_argument("--adam-betas", default="(0.9, 0.999)")
     p.add_argument("--adam-eps", type=float, default=1e-8)
+    # per-optimizer knobs (previously only the adam ones were forwarded —
+    # --momentum etc. were silently swallowed into model overrides)
+    p.add_argument("--momentum", type=float, default=0.0,
+                   help="sgd momentum / nag default 0.99 when unset")
+    p.add_argument("--adagrad-eps", type=float, default=1e-10)
+    p.add_argument("--adadelta-rho", type=float, default=0.9)
+    p.add_argument("--adadelta-eps", type=float, default=1e-6)
+    p.add_argument("--adamax-betas", default=None)
+    p.add_argument("--adamax-eps", type=float, default=1e-8)
+    p.add_argument("--lamb-betas", default=None)
+    p.add_argument("--lamb-eps", type=float, default=1e-8)
     p.add_argument("--weight-decay", "--wd", type=float, default=0.0)
     p.add_argument("--clip-norm", type=float, default=0.0)
     p.add_argument("--lr", type=str, default="0.25")
@@ -309,12 +320,24 @@ def import_user_module(path: str) -> None:
     parent, name = os.path.split(path.rstrip(os.sep))
     if name.endswith(".py"):
         name = name[:-3]
-    if name not in sys.modules:
-        sys.path.insert(0, parent)
-        try:
-            importlib.import_module(name)
-        finally:
-            sys.path.remove(parent)
+    if name in sys.modules:
+        existing = getattr(sys.modules[name], "__file__", "") or ""
+        if os.path.dirname(os.path.abspath(existing)) != path and \
+                os.path.abspath(existing) != path + ".py" and \
+                not os.path.abspath(existing).startswith(path + os.sep):
+            # a DIFFERENT module already owns this name — importing would
+            # silently no-op and the user's registrations would be missing
+            # (the reference raises ImportError for ambiguous user dirs)
+            raise ImportError(
+                f"--user-dir module name {name!r} collides with an already-"
+                f"imported module at {existing!r}; rename the plugin directory"
+            )
+        return  # already imported from this very path
+    sys.path.insert(0, parent)
+    try:
+        importlib.import_module(name)
+    finally:
+        sys.path.remove(parent)
 
 
 def parse_lr(lr_str: str) -> float:

@@ -103,12 +103,20 @@ def main(argv=None) -> None:
         "max_update": args.max_update,
     }
     lr_schedule = build_lr_schedule(sched_cfg)
-    tx = build_optimizer(
-        {"_name": args.optimizer, "adam_betas": args.adam_betas,
-         "adam_eps": args.adam_eps, "weight_decay": args.weight_decay},
-        lr_schedule,
-        clip_norm=args.clip_norm,
-    )
+    opt_cfg = {
+        "_name": args.optimizer, "adam_betas": args.adam_betas,
+        "adam_eps": args.adam_eps, "weight_decay": args.weight_decay,
+        "adagrad_eps": args.adagrad_eps, "adadelta_rho": args.adadelta_rho,
+        "adadelta_eps": args.adadelta_eps, "adamax_eps": args.adamax_eps,
+        "lamb_eps": args.lamb_eps,
+    }
+    if args.momentum:
+        opt_cfg["momentum"] = args.momentum
+    if args.adamax_betas is not None:
+        opt_cfg["adamax_betas"] = args.adamax_betas
+    if args.lamb_betas is not None:
+        opt_cfg["lamb_betas"] = args.lamb_betas
+    tx = build_optimizer(opt_cfg, lr_schedule, clip_norm=args.clip_norm)
 
     crit_cfg = {
         "_name": args.criterion,
@@ -215,6 +223,19 @@ def main(argv=None) -> None:
 
     # ----------------------------------------------------------- restore
     epoch = 1
+    resume_file = ckpt_mgr.save_dir / "checkpoint_last.ckpt"
+    if args.finetune_from_model and args.restore_file != "checkpoint_last.ckpt":
+        raise SystemExit(
+            "--finetune-from-model and --restore-file are mutually exclusive "
+            "(reference checkpoint_utils.py behavior)")
+    if args.finetune_from_model and resume_file.is_file():
+        # a preempted finetune run resumes from its own checkpoint_last —
+        # the warm start only applies on first launch (reference:
+        # checkpoint_utils.load_checkpoint finetune_from_model semantics)
+        logger.info(
+            f"{resume_file} exists; resuming it instead of re-applying "
+            f"--finetune-from-model {args.finetune_from_model}")
+        args.finetune_from_model = None
     if args.finetune_from_model:
         # warm-start params only; optimizer/lr/meters/dataloader start fresh
         # (reference: checkpoint_utils.load_checkpoint finetune_from_model —
@@ -232,7 +253,7 @@ def main(argv=None) -> None:
         logger.info(f"loaded pretrained params from {args.finetune_from_model} "
                     f"(optimizer/meters/dataloader reset)")
     restore = ckpt_mgr.save_dir / args.restore_file
-    if restore.is_file() and not args.finetune_from_model:
+    if restore.is_file() and not args.finetune_from_model:  # normal resume
         fresh_params = trainer.state.params
         state, extra = load_state(str(restore), trainer.state)
         if args.reset_encoder:

@@ -384,6 +384,9 @@ class MultiCorpusDataset:
                     "MultiCorpusDataset members must share one dataset type "
                     "(one collater serves the mixed batch)"
                 )
+        for key, ds in self.datasets.items():
+            if len(ds) == 0:
+                raise ValueError(f"MultiCorpusDataset member {key!r} is empty")
         total_p = float(sum(distribution))
         self.distribution = [float(p) / total_p for p in distribution]
         self.seed = int(seed)

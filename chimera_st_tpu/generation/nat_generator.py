@@ -38,11 +38,22 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
         iterations = req_iters if req_iters is not None else (
             8 if "Insertion" in cls.__name__ else 6
         )
-        extra = {}
+        extra = dict(force_iterations=force)
         if "Levenshtein" in cls.__name__:
-            # only the LevT refine has the placeholder stage the penalty and
-            # the force-max-iter flag act on (reference forward_decoder)
-            extra = dict(eos_penalty=eos_penalty, force_iterations=force)
+            # only the LevT refine has the placeholder stage the penalty
+            # acts on (reference forward_decoder)
+            extra["eos_penalty"] = eos_penalty
+        elif eos_penalty:
+            raise NotImplementedError(
+                "--iter-decode-eos-penalty only applies to "
+                "levenshtein_transformer (its placeholder-insertion stage)")
+        if length_beam > 1:
+            # the reference asserts model.allow_length_beam; refine-family
+            # canvases have no length head to beam over
+            raise NotImplementedError(
+                f"--iter-decode-with-beam is not supported for "
+                f"{cls.__name__}; length-beam needs a length-prediction "
+                f"head (vanilla/iterative NAT, NAT-CRF, CMLM)")
 
         @jax.jit
         def _run(params, src_tokens):
@@ -74,7 +85,10 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
     elif hasattr(cls, "translate"):
         iterations = req_iters if req_iters is not None else 1
 
-        if length_beam > 1 and hasattr(cls, "translate_with_length_beam"):
+        if length_beam > 1 and not hasattr(cls, "translate_with_length_beam"):
+            raise NotImplementedError(
+                f"--iter-decode-with-beam is not supported for {cls.__name__}")
+        if length_beam > 1:
             # --iter-decode-with-beam B: decode top-B lengths, keep the best
             # (reference iterative_refinement_generator.py:138-158)
             @jax.jit

@@ -66,16 +66,25 @@ class SequenceScorer:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _encode_kwargs(self):
+        """retain_dropout keeps the WHOLE model stochastic, encoder included
+        (the reference flips the full module tree to train mode)."""
+        if not self.retain_dropout:
+            return {}
+        return {"deterministic": False, "rngs": {"dropout": self._next_rng()}}
+
     def score_audio(self, params, audio, padding_mask, target):
         enc, enc_mask = self.model.apply(
-            params, audio, padding_mask, method=type(self.model).encode_audio
+            params, audio, padding_mask, method=type(self.model).encode_audio,
+            **self._encode_kwargs(),
         )
         return self._jit_score(params, enc, enc_mask, target,
                                rng=self._next_rng())
 
     def score_text(self, params, src_tokens, target):
         enc, enc_mask = self.model.apply(
-            params, src_tokens, method=type(self.model).encode_text
+            params, src_tokens, method=type(self.model).encode_text,
+            **self._encode_kwargs(),
         )
         return self._jit_score(params, enc, enc_mask, target,
                                rng=self._next_rng())

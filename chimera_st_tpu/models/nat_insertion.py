@@ -108,8 +108,11 @@ class InsertionTransformer(nn.Module):
         return self.slot_logits(slot_input, enc, enc_mask, deterministic)
 
     def refine(self, src_tokens, iterations: int = 8, max_len: int = 64,
-               pad: int = 1, bos: int = 0, eos: int = 2, unk: int = 3):
-        """Parallel insertion decode -> (tokens [B, L], lengths [B])."""
+               pad: int = 1, bos: int = 0, eos: int = 2, unk: int = 3,
+               force_iterations: bool = False):
+        """Parallel insertion decode -> (tokens [B, L], lengths [B]).
+        ``force_iterations`` disables the all-slots-said-pad early exit
+        (--iter-decode-force-max-iter)."""
         B = src_tokens.shape[0]
         enc, enc_mask = self.encode(src_tokens)
         init_tokens = jnp.full((B, max_len), pad, jnp.int32)
@@ -136,6 +139,8 @@ class InsertionTransformer(nn.Module):
 
         def cond(state):
             i, _, inserted = state
+            if force_iterations:
+                return i < iterations
             return (i < iterations) & inserted  # stop once all slots said pad
 
         _, tokens, _ = jax.lax.while_loop(

@@ -250,6 +250,7 @@ def levenshtein_vaswani_big(cfg: Dict) -> Dict:
     d.setdefault("encoder_embed_dim", 1024)
     d.setdefault("encoder_ffn_dim", 4096)
     d.setdefault("encoder_heads", 16)
+    d.setdefault("decoder_heads", 16)  # ref pins decoder_attention_heads=16
     d.setdefault("dropout", 0.3)
     return levenshtein_base(d)
 

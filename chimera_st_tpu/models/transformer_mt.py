@@ -417,11 +417,8 @@ def transformer_iwslt(cfg: Dict) -> Dict:
 @register_model_architecture("transformer", "transformer_wmt_en_de_big")
 def transformer_big(cfg: Dict) -> Dict:
     d = dict(cfg)
-    d.setdefault("encoder_embed_dim", 1024)
-    d.setdefault("encoder_ffn_dim", 4096)
-    d.setdefault("encoder_heads", 16)
-    d.setdefault("dropout", 0.3)
-    return transformer_base(d)
+    d.setdefault("attention_dropout", 0.1)
+    return transformer_vaswani_big(d)
 
 
 @register_model_architecture("transformer", "transformer_align")
@@ -456,6 +453,7 @@ def transformer_vaswani_big(cfg: Dict) -> Dict:
     d.setdefault("encoder_embed_dim", 1024)
     d.setdefault("encoder_ffn_dim", 4096)
     d.setdefault("encoder_heads", 16)
+    d.setdefault("decoder_heads", 16)  # ref pins decoder_attention_heads=16
     d.setdefault("dropout", 0.3)
     return transformer_base(d)
 

@@ -206,8 +206,11 @@ def main(argv=None) -> int:
             json.dump({"records": records, "best": best,
                        "metric": args.best_epoch_according_to}, fh, indent=1)
     if args.save_image and not args.no_fig:
-        plot_curves(records, stat_types, args.save_image)
-        print(f"saved {args.save_image}")
+        if not stat_types:
+            print("no plottable stats found in the given logs; skipping figure")
+        else:
+            plot_curves(records, stat_types, args.save_image)
+            print(f"saved {args.save_image}")
     return 0
 
 

@@ -26,6 +26,11 @@ def test_reference_preset_deltas():
     _, big = resolve("transformer_vaswani_wmt_en_de_big")
     assert (big["encoder_embed_dim"], big["encoder_ffn_dim"],
             big["encoder_heads"], big["dropout"]) == (1024, 4096, 16, 0.3)
+    # the reference pins DECODER heads/dims too (transformer.py:999-1001)
+    assert (big["decoder_embed_dim"], big["decoder_ffn_dim"],
+            big["decoder_heads"]) == (1024, 4096, 16)
+    _, wmt_big = resolve("transformer_wmt_en_de_big")
+    assert wmt_big["decoder_heads"] == 16 and wmt_big["attention_dropout"] == 0.1
     _, fr = resolve("transformer_vaswani_wmt_en_fr_big")
     assert fr["dropout"] == 0.1 and fr["encoder_embed_dim"] == 1024
     _, t2t = resolve("transformer_wmt_en_de_big_t2t")
@@ -55,6 +60,7 @@ def test_reference_preset_deltas():
 
     _, lev = resolve("levenshtein_transformer_vaswani_wmt_en_de_big")
     assert lev["encoder_embed_dim"] == 1024 and lev["dropout"] == 0.3
+    assert lev["decoder_heads"] == 16
     _, levb = resolve("levenshtein_transformer_wmt_en_de_big")
     assert levb["encoder_normalize_before"] and levb["attention_dropout"] == 0.1
 

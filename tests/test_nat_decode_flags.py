@@ -143,3 +143,42 @@ def test_cmlm_length_beam_matches_at_beam1_and_reranks():
     for b in range(2):
         assert (toks[b, int(l_b3[b]):] == PAD).all()
         assert (toks[b, : int(l_b3[b])] != PAD).all()
+
+
+@pytest.mark.quick
+def test_insertion_force_max_iter_and_beam_rejection():
+    """Insertion refine honors force_iterations (converged canvases are
+    fixed points); --iter-decode-with-beam on refine-family models raises
+    like the reference's allow_length_beam assert."""
+    from chimera_st_tpu.generation.nat_generator import build_nat_generator
+    from chimera_st_tpu.models import build_model_from_arch
+
+    model = build_model_from_arch("insertion_transformer", dict(
+        src_vocab_size=24, tgt_vocab_size=24,
+        encoder_embed_dim=16, encoder_ffn_dim=32, encoder_layers=1,
+        encoder_heads=2, decoder_embed_dim=16, decoder_ffn_dim=32,
+        decoder_layers=1, decoder_heads=2,
+    ))
+    src = jnp.asarray([[BOS, 10, 11, EOS]], jnp.int32)
+    canvas = jnp.asarray([[BOS, UNK, EOS, PAD]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, canvas)
+    cls = type(model)
+    t1, l1 = model.apply(params, src, iterations=6, max_len=10,
+                         method=cls.refine)
+    t2, l2 = model.apply(params, src, iterations=6, max_len=10,
+                         force_iterations=True, method=cls.refine)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+    class D:
+        def pad(self): return PAD
+        def eos(self): return EOS
+        def bos(self): return BOS
+        def unk(self): return UNK
+
+    class Cfg:
+        max_decode_len = 10
+        iter_decode_with_beam = 3
+
+    with pytest.raises(NotImplementedError):
+        build_nat_generator(model, Cfg, D())

@@ -382,3 +382,11 @@ def test_multi_corpus_dataset_per_item():
 
     with pytest.raises(ValueError):
         MultiCorpusDataset({"a": a, "o": Other(3, "o")}, [0.5, 0.5])
+
+
+def test_multi_corpus_dataset_rejects_empty_member():
+    from chimera_st_tpu.data.wrappers import MultiCorpusDataset
+
+    with pytest.raises(ValueError):
+        MultiCorpusDataset({"a": FakeDataset(4, "a"), "b": FakeDataset(0, "b")},
+                           [0.9, 0.1])

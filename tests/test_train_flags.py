@@ -89,6 +89,16 @@ def test_finetune_from_model_and_no_save_optimizer_state(bin_dir, tmp_path):
     ft_payload = pickle.loads((Path(ft) / "checkpoint_last.ckpt").read_bytes())
     assert ft_payload["step"] == 1  # fresh optimizer: 1 update, not 3
 
+    # relaunching the SAME finetune command resumes its own checkpoint_last
+    # instead of re-applying the warm start (review finding: preempted runs
+    # must not silently restart from the pretrained params)
+    train.main([bin_dir] + BASE + [
+        "--max-update", "2", "--save-dir", ft, "--disable-validation",
+        "--finetune-from-model", str(ckpt), "--seed", "4",
+    ])
+    ft_payload2 = pickle.loads((Path(ft) / "checkpoint_last.ckpt").read_bytes())
+    assert ft_payload2["step"] == 2  # resumed from step 1, not re-warmed to 0
+
     # mutual exclusion with --reset-* (reference checkpoint_utils behavior)
     with pytest.raises(SystemExit):
         train.main([bin_dir] + BASE + [
