@@ -1,4 +1,5 @@
 from .mesh import initialize_distributed, make_mesh
+from .ring_attention import ring_self_attention
 from .pipeline import (
     make_layer_stage_fn,
     microbatch,
