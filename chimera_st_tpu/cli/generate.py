@@ -309,6 +309,7 @@ def main(argv=None) -> None:
         sampling = args.sampling
         sampling_topk = args.sampling_topk
         sampling_topp = args.sampling_topp
+        seed = args.seed
 
     paths = args.path.split(":")
     if len(paths) > 1 or args.lm_path:
@@ -337,6 +338,13 @@ def main(argv=None) -> None:
                     args.lm_path, task, dtype, {"arch": "transformer_lm"}
                 )
                 lm = (lm_model, lm_params, args.lm_weight)
+            if args.sampling or args.diverse_beam_groups > 0 or \
+                    args.diversity_rate >= 0:
+                raise NotImplementedError(
+                    "ensemble decoding supports plain beam search only here; "
+                    "--sampling/--diverse-beam-groups/--diversity-rate are "
+                    "single-model features (review fix: these used to be "
+                    "silently ignored)")
             settings = GeneratorSettings(
                 beam_size=args.beam,
                 max_len_a=GenCfg.max_len_a, max_len_b=GenCfg.max_len_b,

@@ -25,6 +25,9 @@ def buffered_read(input_fh, buffer_size: int):
         yield buf
 
 
+_constraint_gen_cache = {}  # (shape, bytes) -> SequenceGenerator
+
+
 def main(argv=None) -> None:
     from . import options
 
@@ -113,13 +116,27 @@ def main(argv=None) -> None:
                 )
 
                 packed = pack_constraints(constraints, pad=tgt_dict.pad())
-                gen = SequenceGenerator(
-                    model, generator.s,
-                    pad=tgt_dict.pad(), eos=tgt_dict.eos(), unk=tgt_dict.unk(),
-                    strategy=LexicallyConstrainedSearch(
-                        packed, pad=tgt_dict.pad(), eos=tgt_dict.eos()
-                    ),
-                )
+                # the packed constraints are baked into the jitted beam
+                # program as constants, so each DISTINCT constraint set
+                # compiles once; identical sets (repeated lines, re-runs)
+                # reuse the cached generator instead of rebuilding + paying
+                # a fresh trace per batch (review fix). Bounded cache.
+                key = (packed.shape, packed.tobytes())
+                gen = _constraint_gen_cache.get(key)
+                if gen is None:
+                    gen = SequenceGenerator(
+                        model, generator.s,
+                        pad=tgt_dict.pad(), eos=tgt_dict.eos(),
+                        unk=tgt_dict.unk(),
+                        strategy=LexicallyConstrainedSearch(
+                            packed, pad=tgt_dict.pad(), eos=tgt_dict.eos()
+                        ),
+                    )
+                    if len(_constraint_gen_cache) >= 16:
+                        _constraint_gen_cache.pop(
+                            next(iter(_constraint_gen_cache))
+                        )
+                    _constraint_gen_cache[key] = gen
             tokens, scores, lens = gen.generate_text(
                 params, jnp.asarray(src), src_lengths=jnp.asarray(lengths)
             )

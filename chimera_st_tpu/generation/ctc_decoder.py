@@ -118,6 +118,11 @@ def ctc_beam_search(
     for t in range(T):
         frame = log_probs[t]
         cand = np.argpartition(-frame, topk - 1)[:topk]
+        if blank not in cand:
+            # the blank transition must stay available every frame even when
+            # it falls outside the top-k — dropping it kills the
+            # after-blank-new-copy path for repeated symbols (review fix)
+            cand = np.append(cand, blank)
         new: Dict[Tuple[int, ...], List[float]] = defaultdict(lambda: [LOG0, LOG0])
         for prefix, (pb, pnb) in beams.items():
             p_tot = _logadd(pb, pnb)

@@ -63,7 +63,8 @@ class EnsembleSequenceGenerator:
             outs.append((enc, mask))
         return outs
 
-    def _generate_from_encoders(self, encoder_outs, max_lens, beam_size: int):
+    def _generate_from_encoders(self, encoder_outs, max_lens, beam_size: int,
+                                min_lens=None):
         B = encoder_outs[0][0].shape[0]
         K = beam_size
         max_len = self.s.max_decode_len
@@ -115,6 +116,8 @@ class EnsembleSequenceGenerator:
                     params, tokens_t, index, cache, enc_kv, mask,
                     method=lambda m, t, i, c, ekv, em: m.decoder.step(t, i, c, ekv, em),
                 )
+                if self.s.temperature != 1.0:  # was silently ignored here
+                    logits = logits / self.s.temperature
                 lps.append(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
                 new_model_caches.append(new_cache)
             if n == 1:
@@ -148,6 +151,7 @@ class EnsembleSequenceGenerator:
             unk=self.unk,
             unk_penalty=self.s.unk_penalty,
             max_lens=max_lens,
+            min_lens=min_lens,
             no_repeat_ngram_size=self.s.no_repeat_ngram_size,
             beam_minor_caches=True,  # [L, H, D, B*K] time-major caches
         )
@@ -158,14 +162,27 @@ class EnsembleSequenceGenerator:
         ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
         return jnp.minimum(ml, self.s.max_decode_len)
 
+    def _min_lens(self, src_lengths):
+        """Per-sentence minimums (--min-len-a/b, --match-source-len) — the
+        single-model generator honored these but the ensemble path silently
+        dropped them (review fix)."""
+        if src_lengths is None or (
+            self.s.min_len_a == 0.0 and self.s.min_len_b == 0
+        ):
+            return None
+        ml = (self.s.min_len_a * src_lengths + self.s.min_len_b).astype(jnp.int32)
+        return jnp.minimum(ml, self.s.max_decode_len - 1)
+
     def generate_audio(self, source, padding_mask, src_lengths=None):
         encoder_outs = self.encode_audio(source, padding_mask)
         return self._jit_generate(
-            encoder_outs, self._max_lens(src_lengths), beam_size=self.s.beam_size
+            encoder_outs, self._max_lens(src_lengths),
+            beam_size=self.s.beam_size, min_lens=self._min_lens(src_lengths),
         )
 
     def generate_text(self, src_tokens, src_lengths=None):
         encoder_outs = self.encode_text(src_tokens)
         return self._jit_generate(
-            encoder_outs, self._max_lens(src_lengths), beam_size=self.s.beam_size
+            encoder_outs, self._max_lens(src_lengths),
+            beam_size=self.s.beam_size, min_lens=self._min_lens(src_lengths),
         )

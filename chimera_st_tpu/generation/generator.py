@@ -45,8 +45,10 @@ class GeneratorSettings:
     diverse_beam_strength: float = 0.5
     # diverse siblings (reference: search.py:745, --diversity-rate)
     diversity_rate: float = -1.0
-    # sampling mode (reference: --sampling --sampling-topk/--sampling-topp)
+    # sampling mode (reference: --sampling --sampling-topk/--sampling-topp);
+    # `seed` varies the sample stream across runs (reference --seed)
     sampling: bool = False
+    seed: int = 1
     sampling_topk: int = -1
     sampling_topp: float = -1.0
     # KV caches grow in segments of this many positions (0 = preallocate
@@ -229,11 +231,12 @@ class SequenceGenerator:
                 pad=self.pad,
                 rng=rng if rng is not None else jax.random.PRNGKey(0),
                 bos=self.bos,
-                temperature=self.s.temperature,
                 top_k=max(self.s.sampling_topk, 0),
                 top_p=max(self.s.sampling_topp, 0.0),
                 min_len=self.s.min_len,
                 max_lens=max_lens,
+                min_lens=min_lens,
+                len_penalty=self.s.len_penalty,
             )
         return beam_search(
             step_fn,
@@ -290,7 +293,8 @@ class SequenceGenerator:
         )
         self._call_count += 1
         rng = (
-            jax.random.PRNGKey(self._call_count) if self.s.sampling else None
+            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
+            if self.s.sampling else None
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
@@ -312,7 +316,8 @@ class SequenceGenerator:
         )
         self._call_count += 1
         rng = (
-            jax.random.PRNGKey(self._call_count) if self.s.sampling else None
+            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
+            if self.s.sampling else None
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,

@@ -43,13 +43,20 @@ def sample_decode(
     pad: int,
     rng: jax.Array,
     bos: Optional[int] = None,
-    temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 0.0,
     min_len: int = 1,
     max_lens: Optional[jax.Array] = None,
+    min_lens: Optional[jax.Array] = None,  # [B] per-sentence eos floor
+    len_penalty: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (tokens [B, K, L], scores [B, K] (mean lp), lengths [B, K])."""
+    """Returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
+
+    Temperature is NOT applied here — ``step_fn`` already returns tempered
+    log-probs (generator.py step_fn divides logits by settings.temperature;
+    applying it twice squared the effective temperature — review fix).
+    Scores are length-normalized by len^len_penalty like the beam path
+    (lenpen 0 == --unnormalized raw sums)."""
     B, K = batch_size, num_samples
     if bos is None:
         bos = eos
@@ -71,11 +78,18 @@ def sample_decode(
         tokens_t = jax.lax.dynamic_slice_in_dim(seq, i, 1, axis=1)
         logprobs, caches = step_fn(tokens_t, i, caches)
         logprobs = logprobs.astype(jnp.float32)
-        if temperature != 1.0:
-            logprobs = jax.nn.log_softmax(logprobs / temperature, axis=-1)
         gen_len = i + 1
         logprobs = logprobs.at[:, pad].set(NEG_INF)
-        logprobs = jnp.where(gen_len <= min_len, logprobs.at[:, eos].set(NEG_INF), logprobs)
+        # per-sentence minimum wins over the scalar floor (--min-len-a/b,
+        # --match-source-len)
+        if min_lens is not None:
+            eff_min = jnp.maximum(min_len, jnp.repeat(min_lens, K))
+        else:
+            eff_min = jnp.full((B * K,), min_len, jnp.int32)
+        ban_eos = gen_len <= eff_min
+        logprobs = jnp.where(
+            ban_eos[:, None], logprobs.at[:, eos].set(NEG_INF), logprobs
+        )
         at_max = gen_len >= jnp.repeat(max_lens, K)
         eos_only = jnp.full_like(logprobs, NEG_INF).at[:, eos].set(logprobs[:, eos])
         logprobs = jnp.where(at_max[:, None], eos_only, logprobs)
@@ -100,7 +114,10 @@ def sample_decode(
     lens = jnp.where(done, lens, jnp.repeat(max_lens, K))
     tokens = seq[:, 1:].reshape(B, K, max_len)
     lens = lens.reshape(B, K)
-    scores = (scores / jnp.maximum(lens.reshape(B * K), 1)).reshape(B, K)
+    divisor = jnp.power(
+        jnp.maximum(lens.reshape(B * K), 1).astype(jnp.float32), len_penalty
+    )
+    scores = (scores / divisor).reshape(B, K)
     # sort samples by score desc
     order = jnp.argsort(-scores, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)

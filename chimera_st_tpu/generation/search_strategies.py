@@ -148,8 +148,17 @@ class LexicallyConstrainedSearch(SearchStrategy):
         same_bank = new_prog[:, :, None] == new_prog[:, None, :]
         better = pool_s[:, None, :] > pool_s[:, :, None]
         stripe = jnp.sum(same_bank & better, axis=2).astype(jnp.float32)
-        # order by (stripe asc, score desc); NEG_INF keeps dups/dead last
-        order_key = stripe * 1e9 - pool_s + jnp.where(pool_s <= NEG_INF, 1e12, 0.0)
+        # order by (stripe asc, score desc). Mixing stripe*1e9 with raw f32
+        # scores collapsed within-stripe ordering (ULP at 1e9 is ~64 — any
+        # realistic log-prob gap rounded away; review fix). Build an exact
+        # integer key instead: score RANK within the pool (int32) composed
+        # with the stripe, dead/dup candidates forced last.
+        n_pool = pool_s.shape[1]
+        score_order = jnp.argsort(-pool_s, axis=1)
+        score_rank = jnp.argsort(score_order, axis=1)  # 0 = best score
+        dead = pool_s <= NEG_INF
+        stripe_i = jnp.where(dead, n_pool, stripe.astype(jnp.int32))
+        order_key = stripe_i * (n_pool + 1) + score_rank
         pick = jnp.argsort(order_key, axis=1)[:, :k2]
 
         sel_s = jnp.take_along_axis(pool_s, pick, axis=1)

@@ -125,6 +125,7 @@ class ChimeraTask:
             diverse_beam_groups=getattr(g, "diverse_beam_groups", 0),
             diverse_beam_strength=getattr(g, "diverse_beam_strength", 0.5),
             sampling=getattr(g, "sampling", False),
+            seed=getattr(g, "seed", 1),
             sampling_topk=getattr(g, "sampling_topk", -1),
             sampling_topp=getattr(g, "sampling_topp", -1.0),
             diversity_rate=getattr(g, "diversity_rate", -1.0),

@@ -121,3 +121,29 @@ def test_evaluation_tokenizer_and_wer():
     s2 = WerScorer({})
     s2.add_string("a b c d", "a x c")
     assert abs(s2.score() - 50.0) < 1e-6
+
+
+def test_blank_always_candidate_under_pruning():
+    """Review fix: the per-frame top-k candidate pruning must keep the blank
+    transition available even when blank ranks below the cut — otherwise the
+    after-blank new-copy path for repeated symbols is lost."""
+    import numpy as np
+
+    from chimera_st_tpu.generation.ctc_decoder import ctc_beam_search
+
+    V = 12
+    # frames: 'a'(id 5) strong, blank WEAKEST every frame; true path a _ a
+    frame_a = np.full(V, -8.0)
+    frame_a[5] = -0.05
+    frame_a[0] = -9.5  # blank below any top-k cut
+    frame_mid = np.full(V, -8.0)
+    frame_mid[6] = -0.4
+    frame_mid[0] = -0.6  # blank plausible here
+    lp = np.stack([frame_a, frame_mid, frame_a])
+    # beam_size=1 -> topk=4; blank (rank 11) would be pruned from frames 0/2
+    hyps = ctc_beam_search(lp, beam_size=2, blank=0)
+    prefixes = [tuple(h) for h, _ in hyps]
+    # the repeated-'a' hypothesis (a, blank, a) must be reachable
+    assert any(p == (5, 6, 5) or p == (5, 5) for p in prefixes), prefixes
+    # and scores are finite (blank mass was not silently dropped)
+    assert all(np.isfinite(s) for _, s in hyps)
