@@ -75,18 +75,44 @@ def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
             f"tree ({e}); keeping freshly initialized optimizer state"
         )
         opt_state = state_template.opt_state
+    def _redevice(tmpl, restored):
+        # from_state_dict yields host numpy leaves; put them back on the
+        # template's devices WITH its shardings, or a resumed ZeRO-1 /
+        # model-parallel run silently loses its layouts until the first
+        # update re-constrains them (review fix — replicated opt moments can
+        # OOM exactly the runs that needed sharding)
+        return jax.tree_util.tree_map(_place_like, tmpl, restored)
+
     state = state_template._replace(
-        step=jnp.asarray(payload["step"], jnp.int32),
-        params=params,
-        opt_state=opt_state,
+        step=_redevice(state_template.step,
+                       jnp.asarray(payload["step"], jnp.int32)),
+        params=_redevice(state_template.params, params),
+        opt_state=_redevice(state_template.opt_state, opt_state),
     )
     return state, payload.get("extra", {})
+
+
+def _place_like(t, r):
+    """Re-apply the template leaf's MESH sharding to a restored host leaf.
+
+    Only NamedShardings (ZeRO-1 moments, TP/pipe params) are re-committed;
+    plain single-device leaves stay UNCOMMITTED jnp arrays — committing them
+    to device 0 conflicts with mesh-sharded neighbors inside one jit call
+    (uncommitted arrays let XLA place them freely, the pre-fix behavior)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    sharding = getattr(t, "sharding", None)
+    if isinstance(sharding, NamedSharding):
+        return jax.device_put(jnp.asarray(r), sharding)
+    return jnp.asarray(r)
 
 
 def load_params_only(path: str, params_template):
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    return serialization.from_state_dict(params_template, payload["params"])
+    restored = serialization.from_state_dict(params_template, payload["params"])
+    return jax.tree_util.tree_map(_place_like, params_template, restored)
 
 
 class CheckpointManager:

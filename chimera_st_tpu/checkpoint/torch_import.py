@@ -179,6 +179,27 @@ def import_wav2vec2_state_dict(
     return out
 
 
+class _ConsumeTracking(dict):
+    """Dict view that records which checkpoint keys were actually READ by
+    the sub-importers — the completeness check then verifies consumption
+    instead of trusting blanket prefix marks (review fix: prefix marks let
+    an unexpected tensor under a known prefix load as silently
+    fresh-initialized, the drift _finish_import claims to prevent)."""
+
+    def __init__(self, base: Dict[str, Any]):
+        super().__init__(base)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.consumed.add(k)
+        return super().get(k, default)
+
+
 def _finish_import(sd: Dict[str, Any], out: Dict[str, Any], handled: set):
     """Completeness check + device conversion shared by the full-model
     importers: any non-allowlisted unmatched key is an error."""
@@ -208,15 +229,14 @@ def import_wav2vec_ctc_state_dict(
     ``apply_mask=False`` drops the checkpoint's mask_emb for models built
     without fine-tune span masking (the param only exists when masking)."""
     out: Dict[str, Any] = {}
-    handled = set()
-    p = "w2v_encoder.w2v_model."
+    tsd = _ConsumeTracking(sd)
     out["trunk"] = {
-        "w2v_model": import_wav2vec2_state_dict(sd, p, keep_mask_emb=apply_mask)
+        "w2v_model": import_wav2vec2_state_dict(
+            tsd, "w2v_encoder.w2v_model.", keep_mask_emb=apply_mask
+        )
     }
-    handled.update(k for k in sd if k.startswith(p))
-    _linear(sd, "w2v_encoder.proj", out, ["proj"])
-    handled.update(k for k in sd if k.startswith("w2v_encoder.proj."))
-    return _finish_import(sd, out, handled)
+    _linear(tsd, "w2v_encoder.proj", out, ["proj"])
+    return _finish_import(sd, out, tsd.consumed)
 
 
 def import_wav2vec_seq2seq_state_dict(
@@ -227,34 +247,29 @@ def import_wav2vec_seq2seq_state_dict(
     optional ``encoder.proj`` dim bridge, ``decoder.*``) to
     Wav2VecSeq2SeqModel params."""
     out: Dict[str, Any] = {}
-    handled = set()
-    p = "encoder.w2v_model."
+    tsd = _ConsumeTracking(sd)
     out["trunk"] = {
-        "w2v_model": import_wav2vec2_state_dict(sd, p, keep_mask_emb=apply_mask)
+        "w2v_model": import_wav2vec2_state_dict(
+            tsd, "encoder.w2v_model.", keep_mask_emb=apply_mask
+        )
     }
-    handled.update(k for k in sd if k.startswith(p))
     if "encoder.proj.weight" in sd:
-        _linear(sd, "encoder.proj", out, ["proj"])
-        handled.update(k for k in sd if k.startswith("encoder.proj."))
+        _linear(tsd, "encoder.proj", out, ["proj"])
 
-    _embedding(sd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
-    handled.update(k for k in sd if k.startswith("decoder.embed_tokens."))
+    _embedding(tsd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
     n_dec = _count_layers(sd, r"decoder\.layers\.(\d+)\.")
     for i in range(n_dec):
-        _dec_layer(sd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
-    handled.update(k for k in sd if k.startswith("decoder.layers."))
+        _dec_layer(tsd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
     if "decoder.layer_norm.weight" in sd:
-        _norm(sd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
-        handled.update(k for k in sd if k.startswith("decoder.layer_norm."))
+        _norm(tsd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
     if "decoder.embed_out" in sd:
         # untied output matrix (reference :588-590 F.linear(x, embed_out))
         _set(
             out,
             ["decoder", "output_projection", "kernel"],
-            _to_np(sd["decoder.embed_out"]).T,
+            _to_np(tsd["decoder.embed_out"]).T,
         )
-        handled.add("decoder.embed_out")
-    return _finish_import(sd, out, handled)
+    return _finish_import(sd, out, tsd.consumed)
 
 
 def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
@@ -262,75 +277,61 @@ def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     (reference model: s2t_transformer_w2v2_interlingua) to flax params."""
     out: Dict[str, Any] = {}
 
-    handled = set()
-
-    def mark(prefix_key: str):
-        for k in sd:
-            if k.startswith(prefix_key):
-                handled.add(k)
+    # consumption tracking: every key a sub-importer actually READS counts
+    # as handled; anything it skipped under a "known" prefix now surfaces in
+    # the _finish_import completeness check (review fix — blanket prefix
+    # marks could silently fresh-init unexpected tensors)
+    tsd = _ConsumeTracking(sd)
 
     # --- encoder.wav2vec_model
-    out["wav2vec_model"] = import_wav2vec2_state_dict(sd, "encoder.wav2vec_model.")
-    mark("encoder.wav2vec_model.")
+    out["wav2vec_model"] = import_wav2vec2_state_dict(tsd, "encoder.wav2vec_model.")
 
     # --- subsampler
     n_sub = _count_layers(sd, r"encoder\.subsample\.conv_layers\.(\d+)\.weight")
     for i in range(n_sub):
-        _conv1d(sd, f"encoder.subsample.conv_layers.{i}", out, ["subsample", f"conv_layers_{i}"])
-    mark("encoder.subsample.")
+        _conv1d(tsd, f"encoder.subsample.conv_layers.{i}", out, ["subsample", f"conv_layers_{i}"])
 
     # --- text branch
     if "encoder.text_embed_tokens.weight" in sd:
-        _embedding(sd, "encoder.text_embed_tokens", out, ["text_embed_tokens"])
-        mark("encoder.text_embed_tokens.")
+        _embedding(tsd, "encoder.text_embed_tokens", out, ["text_embed_tokens"])
 
     # --- shared encoder stack
     n_enc = _count_layers(sd, r"encoder\.transformer_layers\.(\d+)\.")
     for i in range(n_enc):
-        _enc_layer(sd, f"encoder.transformer_layers.{i}", out, [f"transformer_layers_{i}"])
-    mark("encoder.transformer_layers.")
+        _enc_layer(tsd, f"encoder.transformer_layers.{i}", out, [f"transformer_layers_{i}"])
     n_excl = _count_layers(sd, r"encoder\.audio_exclusive_layers\.(\d+)\.")
     for i in range(n_excl):
         _enc_layer(
             sd, f"encoder.audio_exclusive_layers.{i}", out, [f"audio_exclusive_layers_{i}"]
         )
-    mark("encoder.audio_exclusive_layers.")
     if "encoder.layer_norm.weight" in sd:
-        _norm(sd, "encoder.layer_norm", out, ["encoder_layer_norm"])
-        mark("encoder.layer_norm.")
+        _norm(tsd, "encoder.layer_norm", out, ["encoder_layer_norm"])
 
     # --- interlingua
     if "encoder.interlingua_embedding.weight" in sd:
-        _embedding(sd, "encoder.interlingua_embedding", out, ["interlingua_embedding"])
-        mark("encoder.interlingua_embedding.")
+        _embedding(tsd, "encoder.interlingua_embedding", out, ["interlingua_embedding"])
     n_il = _count_layers(sd, r"encoder\.interlingua_layers\.(\d+)\.")
     for i in range(n_il):
-        _enc_layer(sd, f"encoder.interlingua_layers.{i}", out, [f"interlingua_layers_{i}"])
-    mark("encoder.interlingua_layers.")
+        _enc_layer(tsd, f"encoder.interlingua_layers.{i}", out, [f"interlingua_layers_{i}"])
     if "encoder.modal_embedding.weight" in sd:
-        _embedding(sd, "encoder.modal_embedding", out, ["modal_embedding"])
-        mark("encoder.modal_embedding.")
+        _embedding(tsd, "encoder.modal_embedding", out, ["modal_embedding"])
 
     # --- decoder
-    _embedding(sd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
-    mark("decoder.embed_tokens.")
+    _embedding(tsd, "decoder.embed_tokens", out, ["decoder", "embed_tokens"])
     n_dec = _count_layers(sd, r"decoder\.layers\.(\d+)\.")
     for i in range(n_dec):
-        _dec_layer(sd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
-    mark("decoder.layers.")
+        _dec_layer(tsd, f"decoder.layers.{i}", out, ["decoder", f"layers_{i}"])
     if "decoder.layer_norm.weight" in sd:
-        _norm(sd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
-        mark("decoder.layer_norm.")
+        _norm(tsd, "decoder.layer_norm", out, ["decoder", "layer_norm"])
     if "decoder.output_projection.weight" in sd:
-        w_proj = _to_np(sd["decoder.output_projection.weight"])
-        w_emb = _to_np(sd["decoder.embed_tokens.weight"])
+        w_proj = _to_np(tsd["decoder.output_projection.weight"])
+        w_emb = _to_np(tsd["decoder.embed_tokens.weight"])
         if w_proj.shape == w_emb.shape and np.allclose(w_proj, w_emb):
             pass  # tied — already imported via the embedding
         else:
             _set(out, ["decoder", "output_projection", "kernel"], w_proj.T)
-        mark("decoder.output_projection.")
 
-    return _finish_import(sd, out, handled)
+    return _finish_import(sd, out, tsd.consumed)
 
 
 def strip_w2v2_pretraining_keys(sd: Dict[str, Any]) -> Dict[str, Any]:

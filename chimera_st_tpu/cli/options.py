@@ -99,6 +99,23 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr-scheduler", default="fixed")
     p.add_argument("--warmup-updates", type=int, default=0)
     p.add_argument("--warmup-init-lr", type=float, default=-1)
+    # scheduler-family hyperparams (previously unreachable from the CLI —
+    # polynomial/cosine/triangular/tri_stage ran on silent defaults)
+    p.add_argument("--total-num-update", type=int, default=0,
+                   help="polynomial_decay horizon (falls back to --max-update)")
+    p.add_argument("--end-learning-rate", type=float, default=0.0)
+    p.add_argument("--power", type=float, default=1.0)
+    p.add_argument("--min-lr", type=float, default=None,
+                   help="cosine floor (reference --min-lr)")
+    p.add_argument("--max-lr", type=float, default=None,
+                   help="cosine/triangular ceiling (reference --max-lr)")
+    p.add_argument("--lr-period-updates", type=float, default=None)
+    p.add_argument("--lr-shrink", type=float, default=0.1)
+    p.add_argument("--init-lr-scale", type=float, default=0.01)
+    p.add_argument("--final-lr-scale", type=float, default=0.01)
+    p.add_argument("--phase-ratio", type=str, default=None,
+                   help="tri_stage warmup,hold,decay fractions, e.g. "
+                        "'(0.1,0.4,0.5)'")
     p.add_argument("--stop-min-lr", type=float, default=-1.0)
     p.add_argument("--update-freq", type=str, default="1")
     p.add_argument("--max-update", type=int, default=0)

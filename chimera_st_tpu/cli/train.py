@@ -101,7 +101,26 @@ def main(argv=None) -> None:
         "warmup_updates": args.warmup_updates,
         "warmup_init_lr": args.warmup_init_lr,
         "max_update": args.max_update,
+        # family hyperparams + plateau polarity (review fixes: these never
+        # reached the schedulers; plateau was inverted for maximize metrics)
+        "total_num_update": args.total_num_update or args.max_update,
+        "end_learning_rate": args.end_learning_rate,
+        "power": args.power,
+        "lr_shrink": args.lr_shrink,
+        "init_lr_scale": args.init_lr_scale,
+        "final_lr_scale": args.final_lr_scale,
+        "maximize_best_checkpoint_metric": args.maximize_best_checkpoint_metric,
     }
+    if args.min_lr is not None:
+        sched_cfg["min_lr"] = args.min_lr
+    if args.max_lr is not None:
+        sched_cfg["max_lr"] = args.max_lr
+    if args.lr_period_updates is not None:
+        sched_cfg["lr_period_updates"] = args.lr_period_updates
+    if args.phase_ratio:
+        import ast as _ast
+
+        sched_cfg["phase_ratio"] = tuple(_ast.literal_eval(args.phase_ratio))
     lr_schedule = build_lr_schedule(sched_cfg)
     opt_cfg = {
         "_name": args.optimizer, "adam_betas": args.adam_betas,
@@ -268,8 +287,12 @@ def main(argv=None) -> None:
             trainer.state = state
         else:
             trainer.state = trainer.state._replace(params=state.params)
-        if not args.reset_meters:
-            trainer.load_extra_state(extra, None if args.reset_dataloader else train_itr)
+        trainer.load_extra_state(
+            extra,
+            None if args.reset_dataloader else train_itr,
+            load_meters=not args.reset_meters,
+            load_lr_scheduler=not args.reset_lr_scheduler,
+        )
         ckpt_mgr.best = extra.get("best")
         epoch = extra.get("train_iterator", {}).get("epoch", 1)
         logger.info(
@@ -283,6 +306,9 @@ def main(argv=None) -> None:
         jax.profiler.start_trace(args.profile)
     start = time.time()
     patience_left = args.patience
+    last_interval_validated = -1  # review fix: a non-finite skip keeps
+    # num_updates unchanged; without this guard the save/validate interval
+    # block re-fires every skipped step at a boundary
     stop = False
     while not stop:
         if args.max_epoch and epoch > args.max_epoch:
@@ -309,7 +335,9 @@ def main(argv=None) -> None:
                 if (
                     args.save_interval_updates > 0
                     and num_updates % args.save_interval_updates == 0
+                    and num_updates != last_interval_validated
                 ):
+                    last_interval_validated = num_updates
                     val = None
                     if num_updates >= args.validate_after_updates:
                         val = validate_and_metric(args, task, trainer, criterion)

@@ -76,7 +76,7 @@ def cosine(cfg: Dict) -> Callable:
 def polynomial_decay(cfg: Dict) -> Callable:
     lr = float(cfg.get("lr", 5e-4))
     warmup = int(cfg.get("warmup_updates", 0))
-    total = float(cfg.get("total_num_update", 100000))
+    total = float(cfg.get("total_num_update") or 100000)
     end_lr = float(cfg.get("end_learning_rate", 0.0))
     power = float(cfg.get("power", 1.0))
 
@@ -96,7 +96,13 @@ def tri_stage(cfg: Dict) -> Callable:
     init_scale = float(cfg.get("init_lr_scale", 0.01))
     final_scale = float(cfg.get("final_lr_scale", 0.01))
     w, h, d = cfg.get("phase_ratio", None) or (0.1, 0.4, 0.5)
-    total = float(cfg.get("max_update", 100000))
+    total = float(cfg.get("max_update") or 0)
+    if total <= 0:
+        # review fix: --max-update defaults to 0, which silently collapsed
+        # the whole schedule to final_lr from step 1
+        raise ValueError(
+            "tri_stage needs a positive --max-update (the schedule is "
+            "defined as fractions of the total update budget)")
     warmup, hold = total * w, total * h
     decay = total * d
     init_lr, final_lr = peak * init_scale, peak * final_scale

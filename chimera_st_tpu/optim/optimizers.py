@@ -47,7 +47,7 @@ def adagrad(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
 
 @register_optimizer("adadelta")
 def adadelta(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
-    return optax.contrib.adadelta if False else optax.adadelta(
+    return optax.adadelta(
         lr_schedule,
         rho=float(cfg.get("adadelta_rho", 0.9)),
         eps=float(cfg.get("adadelta_eps", 1e-6)),

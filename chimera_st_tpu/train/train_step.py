@@ -106,12 +106,23 @@ def make_apply_gradients(
     tx: optax.GradientTransformation,
     skip_nonfinite: bool = True,
     opt_state_shardings: Any = None,
+    return_leaf_finite: bool = False,
 ):
-    """(state, grads, sample_size) -> (new_state, gnorm, finite)."""
+    """(state, grads, sample_size) -> (new_state, gnorm, finite[, leaf_finite]).
+
+    ``return_leaf_finite`` additionally returns a grads-shaped tree of scalar
+    bools (per-leaf all-finite flags), computed INSIDE the jitted step so the
+    skip-path diagnosis never touches the donated grad buffers (review fix:
+    reading `grads` after `donate_argnums=(0, 1)` raises 'Array has been
+    deleted' on TPU — exactly on the non-finite event it diagnoses)."""
 
     def apply_fn(state: TrainState, grads, sample_size):
         grads = jax.tree_util.tree_map(
             lambda g: g / jnp.maximum(sample_size, 1.0), grads
+        )
+        leaf_finite = (
+            jax.tree_util.tree_map(lambda g: jnp.isfinite(g).all(), grads)
+            if return_leaf_finite else None
         )
         gnorm = global_norm(grads)
         finite = jnp.isfinite(gnorm)
@@ -130,7 +141,10 @@ def make_apply_gradients(
             new_opt = jax.lax.with_sharding_constraint(
                 new_opt, opt_state_shardings
             )
-        return TrainState(new_step, new_params, new_opt), gnorm, finite
+        out = TrainState(new_step, new_params, new_opt)
+        if return_leaf_finite:
+            return out, gnorm, finite, leaf_finite
+        return out, gnorm, finite
 
     return apply_fn
 

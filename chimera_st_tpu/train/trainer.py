@@ -49,10 +49,17 @@ def nonfinite_grad_paths(grads) -> List[str]:
     """Names of gradient leaves containing nan/inf ("a/b/c" paths) — the
     skip-path diagnosis replacing the reference's NanDetector forward/backward
     hook re-run (fairseq/nan_detector.py:14, trainer.py:629-641)."""
-    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    flags = jax.tree_util.tree_map(lambda g: jnp.isfinite(g).all(), grads)
+    return nonfinite_paths_from_flags(flags)
+
+
+def nonfinite_paths_from_flags(leaf_finite) -> List[str]:
+    """Same naming, but from per-leaf all-finite flags computed inside the
+    jitted apply step — safe to call after the grad buffers were donated."""
+    flat = jax.tree_util.tree_flatten_with_path(leaf_finite)[0]
     bad = []
-    for path, leaf in flat:
-        if not bool(jnp.isfinite(leaf).all()):
+    for path, flag in flat:
+        if not bool(flag):
             bad.append(jax.tree_util.keystr(path, simple=True, separator="/"))
     return bad
 
@@ -128,6 +135,7 @@ class Trainer:
                 self.tx,
                 skip_nonfinite=self.skip_nonfinite,
                 opt_state_shardings=self._opt_shardings,
+                return_leaf_finite=True,
             ),
             donate_argnums=(0, 1),
         )
@@ -189,7 +197,9 @@ class Trainer:
                         logging_sum[k] = logging_sum[k] + logging[k]
                     elif k in logging:
                         logging_sum[k] = logging[k]
-        self.state, gnorm, finite = self._apply_fn(self.state, grads, total_ss)
+        self.state, gnorm, finite, leaf_finite = self._apply_fn(
+            self.state, grads, total_ss
+        )
         self.cumulative_training_time += time.time() - t0
 
         out = {k: np.asarray(v) for k, v in logging_sum.items()}
@@ -199,7 +209,7 @@ class Trainer:
             # module-naming re-run, trainer.py:629-641 — here the grads are
             # already materialized, so the diagnosis is a host reduction on
             # the skip path only)
-            bad = nonfinite_grad_paths(grads)
+            bad = nonfinite_paths_from_flags(leaf_finite)
             logger.warning(
                 f"non-finite gradient norm at update {self.num_updates}; "
                 f"update skipped; non-finite leaves: {bad[:8]}"
@@ -248,14 +258,33 @@ class Trainer:
         }
         if epoch_itr is not None:
             ex["train_iterator"] = epoch_itr.state_dict()
+        # stateful LR schedules (reduce_lr_on_plateau's shrink scale/best/
+        # bad counters) persist like the reference's lr_scheduler state
+        # (checkpoint_utils.py:344-394; review fix — resume used to reset a
+        # shrunk LR back to 1.0)
+        if hasattr(self.lr_schedule, "state_dict"):
+            ex["lr_scheduler"] = self.lr_schedule.state_dict()
         return ex
 
-    def load_extra_state(self, extra: Dict[str, Any], epoch_itr=None):
-        if "metrics" in extra:
+    def load_extra_state(self, extra: Dict[str, Any], epoch_itr=None,
+                         load_meters: bool = True,
+                         load_lr_scheduler: bool = True):
+        """Restore auxiliary state; the three --reset-* concerns are
+        independent flags like the reference (review fix: --reset-meters
+        used to also skip the dataloader + training-time restore)."""
+        if load_meters and "metrics" in extra:
             try:
                 metrics_mod.load_state_dict(extra["metrics"])
             except Exception:  # metrics format drift is non-fatal
                 logger.warning("could not restore metrics state")
-        self.cumulative_training_time = extra.get("previous_training_time", 0.0)
+        if load_meters:
+            self.cumulative_training_time = extra.get(
+                "previous_training_time", 0.0
+            )
+        if (load_lr_scheduler and "lr_scheduler" in extra
+                and hasattr(self.lr_schedule, "load_state_dict")):
+            self.lr_schedule.load_state_dict(extra["lr_scheduler"])
+            # a restored shrink scale changes the traced schedule value
+            self.refresh_apply()
         if epoch_itr is not None and "train_iterator" in extra:
             epoch_itr.load_state_dict(extra["train_iterator"])
