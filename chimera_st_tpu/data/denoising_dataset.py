@@ -237,10 +237,14 @@ class DenoisingDataset:
             [s["target"] for s in samples], self.pad,
             target_len=tgt_target_len, dtype=np.int32,
         )
-        # prev = [eos, target[:-1]] per row (fairseq move_eos_to_beginning)
+        # prev rotates each row's ACTUAL last token to the front (fairseq
+        # move_eos_to_beginning) — with multilingual denoising the target
+        # ends in the appended language tag, which must lead the decoder
+        # input (review fix: a hard-coded eos dropped the lang tag, so
+        # mBART-style models were never conditioned on the target language)
         prev = collate_tokens(
             [
-                np.concatenate([[self.eos], s["target"][:-1]])
+                np.concatenate([s["target"][-1:], s["target"][:-1]])
                 for s in samples
             ],
             self.pad, target_len=tgt_target_len, dtype=np.int32,

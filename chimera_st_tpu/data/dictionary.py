@@ -114,6 +114,15 @@ class Dictionary:
                     field = field[: -len("#fairseq:overwrite")].rstrip()
                     self.add_symbol(field, n=int(count), overwrite=True)
                 else:
+                    if field in self.indices:
+                        # reference raises here (dictionary.py "Duplicate
+                        # word found"); merging would silently shift every
+                        # later index (review fix)
+                        raise RuntimeError(
+                            f"Duplicate word found when loading Dictionary: "
+                            f"{field!r} — corrupt dict file? (append "
+                            f"'#fairseq:overwrite' to override)"
+                        )
                     self.add_symbol(field, n=int(count))
             except ValueError:
                 raise ValueError(

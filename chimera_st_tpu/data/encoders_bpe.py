@@ -140,7 +140,10 @@ class _CodesFileBPE:
                 if i == 0 and line.startswith("#version"):
                     continue
                 parts = line.split()
-                if len(parts) == 2:
+                # subword-nmt codes: "a b"; fastBPE learnbpe: "a b count"
+                # (review fix: 3-column lines were silently dropped, leaving
+                # an empty merge table -> character-level garbage output)
+                if len(parts) in (2, 3):
                     ranks[(parts[0], parts[1])] = len(ranks)
         self.merger = _BPEMerger(ranks)
         self.sep = separator

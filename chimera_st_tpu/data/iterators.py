@@ -70,22 +70,39 @@ class CountingIterator:
 
 
 class GroupedIterator(CountingIterator):
-    """Groups `chunk_size` elements (update_freq; reference: iterators.py:438)."""
+    """Groups `chunk_size` elements (update_freq; reference: iterators.py:438).
+
+    Review fixes: a 0-length inner (CountingIterator over a streaming source
+    reports len 0, not unsized) no longer yields total=0, and the inherited
+    has_next/skip API works (they read self._itr, which was never set)."""
 
     def __init__(self, iterable, chunk_size: int):
         self.chunk_size = chunk_size
         inner_len = len(iterable) if hasattr(iterable, "__len__") else None
+        if not inner_len:  # None OR 0 (unsized sources report len 0)
+            inner_len = None
         total = (
             -(-inner_len // chunk_size) if inner_len is not None else None
         )
         self._inner = iter(iterable)
+        self._itr = self._chunks()  # inherited has_next/skip consume this
         self.n = 0
         self.total = total
 
+    def _chunks(self):
+        while True:
+            chunk = list(itertools.islice(self._inner, self.chunk_size))
+            if not chunk:
+                return
+            yield chunk
+
     def __next__(self):
-        chunk = list(itertools.islice(self._inner, self.chunk_size))
-        if not chunk:
+        if self.total is not None and self.n >= self.total:
             raise StopIteration
+        if getattr(self, "_peeked", self._SENTINEL) is not self._SENTINEL:
+            chunk, self._peeked = self._peeked, self._SENTINEL
+        else:
+            chunk = next(self._itr)
         self.n += 1
         return chunk
 
@@ -197,6 +214,11 @@ class EpochBatchIterator:
     def iterations_in_epoch(self) -> int:
         if self._cur is not None:
             return self._cur.n
+        if self._next_epoch_itr is not None:
+            # a checkpoint written between load_state_dict and the first
+            # next_epoch_itr must keep the mid-epoch offset (reference
+            # iterators.py:268-273; review fix)
+            return self._next_epoch_itr.n
         return 0
 
     def _shuffled(self, epoch: int, shuffle: bool) -> List[np.ndarray]:
@@ -221,13 +243,18 @@ class EpochBatchIterator:
             self._next_epoch_itr = None
         else:
             batches = self._shuffled(self.epoch, shuffle)
+            total = len(batches)
+            if offset > 0:
+                # resume is O(1): drop the already-consumed batch indices
+                # BEFORE collation (review fix: skip() used to pull every
+                # skipped batch — audio reads included — through the
+                # prefetcher); the counter still starts at `offset`
+                batches = batches[offset:]
             gen = (self.collate(b) for b in batches)
             source = BackgroundPrefetcher(
                 _SizedGenerator(gen, len(batches)), self.buffer_size
             ) if self.buffer_size > 0 else _SizedGenerator(gen, len(batches))
-            itr = CountingIterator(source, total=len(batches))
-            if offset > 0:
-                itr.skip(offset)
+            itr = CountingIterator(source, total=total, start=offset)
         self.shuffle = shuffle
         self._cur = itr
         return itr
@@ -317,8 +344,12 @@ class StreamingEpochBatchIterator:
 
     def next_epoch(self):
         """Advance the epoch counter after an exhausted epoch (parity with
-        EpochBatchIterator.next_epoch for the train-loop contract)."""
+        EpochBatchIterator.next_epoch for the train-loop contract). Clears
+        the exhausted iterator so the following next_epoch_itr does not see
+        end_of_epoch()==True and advance AGAIN (review fix: every epoch >= 2
+        fed set_epoch an index one ahead, breaking resume determinism)."""
         self.epoch = self.next_epoch_idx
+        self._cur = None
 
     @property
     def iterations_in_epoch(self) -> int:

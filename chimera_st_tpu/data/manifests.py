@@ -92,14 +92,18 @@ class S2TDataConfig:
 
     def get_feature_transforms(self, split: str, is_train: bool):
         cfg = dict(self.config.get("transforms", {}) or {})
-        # split wildcard resolution (reference: speech_to_text_dataset.py:106-124)
-        if f"_{split}" in cfg:
-            return cfg[f"_{split}"]
-        if "_train" in cfg and is_train:
-            return cfg["_train"]
-        if "_eval" in cfg and not is_train:
-            return cfg["_eval"]
-        return cfg.get("*", None)
+        # split resolution order matches the reference
+        # (speech_to_text_dataset.py:111-123): exact split key first, then
+        # the _train/_eval wildcards, then * (review fix: plain split keys
+        # were previously looked up as `_{split}` and missed)
+        cur = cfg.get(split)
+        if cur is None and is_train:
+            cur = cfg.get("_train")
+        if cur is None and not is_train:
+            cur = cfg.get("_eval")
+        if cur is None:
+            cur = cfg.get("*")
+        return cur
 
 
 class TripletDataConfig(S2TDataConfig):
@@ -190,11 +194,15 @@ class SpeechToTextDataset:
         from .feature_transforms import CompositeAudioFeatureTransform
 
         tf_list = data_cfg.get_feature_transforms(split, is_train_split)
+        # per-transform params live at the TOP level of config_wave.yaml
+        # (reference gen_config_yaml writes e.g. a `specaugment:` block next
+        # to `transforms:`; review fix — params were read from inside the
+        # transforms mapping, silently using defaults / KeyError for cmvn)
         self.feature_transforms = (
             CompositeAudioFeatureTransform.from_config_dict(
-                {"transforms": tf_list,
-                 **{k: v for k, v in (data_cfg.config.get("transforms") or {}).items()
-                    if not k.startswith("_") and k != "*"}}
+                {**{k: v for k, v in data_cfg.config.items()
+                    if k != "transforms"},
+                 "transforms": tf_list}
             )
             if tf_list and not data_cfg.use_audio_input
             else None

@@ -57,7 +57,9 @@ class RawAudioDataset:
             self.rows[i]["audio"], use_audio_input=True, audio_root=self.audio_root
         )
         if len(wav) > self.max_sample_size:
-            start = self.rng.integers(0, len(wav) - self.max_sample_size)
+            # +1: the final valid window is reachable (reference randint is
+            # high-inclusive via diff+1; review fix)
+            start = self.rng.integers(0, len(wav) - self.max_sample_size + 1)
             wav = wav[start : start + self.max_sample_size]
         return wav.astype(np.float32)
 
@@ -108,7 +110,7 @@ class BimodalRawAudioDataset(RawAudioDataset):
         ).astype(np.float32)
         n = min(len(wav), len(wav2))
         if n > self.max_sample_size:
-            start = self.rng.integers(0, n - self.max_sample_size)
+            start = self.rng.integers(0, n - self.max_sample_size + 1)
             n = self.max_sample_size
         else:
             start = 0

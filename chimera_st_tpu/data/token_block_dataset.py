@@ -53,6 +53,12 @@ class TokenBlockDataset:
                 )
         else:
             raise ValueError(f"unknown break_mode {break_mode!r}")
+        # block lengths are pure arithmetic over the sizes array — no
+        # dataset[i] reads (review fix: the old per-item len(self.dataset[i])
+        # loop issued O(corpus) mmap getitems at construction)
+        csum = np.concatenate([[0], np.cumsum(sizes)])
+        self._item_sizes = sizes
+        self._csum = csum
         self._sizes = np.asarray(
             [self._slice_len(sl) for sl in self.slices], np.int64
         )
@@ -61,16 +67,12 @@ class TokenBlockDataset:
         si, so, ei, eo = sl
         if si == ei:
             return eo - so
-        total = 0
-        for i in range(si, ei + 1):
-            n = len(self.dataset[i])
-            if i == si:
-                total += n - so
-            elif i == ei:
-                total += eo
-            else:
-                total += n
-        return total
+        # (sizes[si] - so) + sum(sizes[si+1:ei]) + eo, via the prefix sum
+        return int(
+            (self._item_sizes[si] - so)
+            + (self._csum[ei] - self._csum[si + 1])
+            + eo
+        )
 
     @property
     def sizes(self):
