@@ -338,11 +338,12 @@ class MultiheadAttention(nn.Module):
                 jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3) > cache_index
             )
             if _lazy_select_mode() == "crosscol":
-                # cross-column logits: every beam row vs every cache column of
-                # its sentence group ([B,K,H] x [L,..,K] -> [B,H,K,L,K]).
-                # Kept for A/B: materializes two [B,H,K,L,K] fp32 intermediates
-                # (~262 MB/layer/step at B=128 K=10 L=64) — the gather mode
-                # below bounds traffic at the bf16 cache size instead.
+                # cross-column logits (DEFAULT — measured 628.1 vs the gather
+                # mode's 779.8 ms/batch at B=128, benchmarks/ab_lazy_select):
+                # every beam row vs every cache column of its sentence group
+                # ([B,K,H] x [L,..,K] -> [B,H,K,L,K]). The nominal fp32
+                # intermediates never materialize — XLA fuses the select into
+                # the adjacent einsums (ARCHITECTURE.md §7).
                 sel = jax.nn.one_hot(anc, K, dtype=jnp.float32)  # [L, B, K, K]
                 logits_all = jnp.einsum(
                     "bkhd,lhdbc->bhklc", qg, kc_g,
@@ -360,12 +361,12 @@ class MultiheadAttention(nn.Module):
                     preferred_element_type=jnp.float32,
                 ).astype(query.dtype)
             else:
-                # ancestry-gather mode (default): select each hypothesis's K/V
-                # columns FIRST via a tiny one-hot contraction over the K
-                # column group (0.9 GF at B=128 — rides the MXU; identical
-                # math: 1.0 * x is exact in bf16), then standard single-column
-                # attention. Intermediates are two bf16 cache-sized tensors,
-                # not the K x fp32 logits blowup of the crosscol path.
+                # ancestry-gather mode (CHIMERA_LAZY_SELECT=gather, measured
+                # DEAD END: 779.8 ms/batch vs crosscol 628.1 at B=128 — the
+                # explicit k_sel/v_sel copies materialize in transposed
+                # layouts while crosscol fuses): select each hypothesis's K/V
+                # columns FIRST via a one-hot contraction (identical math:
+                # 1.0 * x is exact in bf16), then single-column attention.
                 sel = jax.nn.one_hot(anc, K, dtype=query.dtype)  # [L,B,K,Kc]
                 k_sel = jnp.einsum(
                     "lhdbc,lbkc->lhdbk", kc_g, sel,

@@ -112,6 +112,21 @@ class MaskedLMModel(nn.Module):
         x, _ = self.encode(tokens, deterministic)
         return self.sentence_projection(x[:, 0]).astype(jnp.float32)
 
+    def forward_with_sentence(self, tokens: jax.Array,
+                              deterministic: bool = True):
+        """One encoder pass -> (mlm logits [B, T, V], nsp logits [B, C]).
+        The legacy_masked_lm criterion uses this instead of two separate
+        apply calls (review fix: the NSP head re-ran the whole encoder,
+        doubling step FLOPs)."""
+        x, _ = self.encode(tokens, deterministic)
+        act = get_activation(self.cfg.activation)
+        h = self.lm_head_layer_norm(act(self.lm_head_dense(x)))
+        logits = self.embed_tokens.attend(h) + self.lm_head_bias.astype(
+            jnp.float32
+        )
+        sent = self.sentence_projection(x[:, 0]).astype(jnp.float32)
+        return logits, sent
+
 
 @register_model("masked_lm")
 def build_masked_lm(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):

@@ -171,10 +171,14 @@ class ChimeraTask:
         def build_batches(epoch: int):
             if hasattr(dataset, "set_epoch"):
                 dataset.set_epoch(epoch)
-            order = self.filtered_indices(dataset, max_positions)
+            # one num_tokens scan per epoch (review fix: filtered_indices
+            # re-scanned the whole dataset for its argsort)
             sizes = np.asarray(
                 [dataset.num_tokens(int(i)) for i in range(len(dataset))]
             )
+            order = np.argsort(-sizes, kind="stable")
+            if max_positions is not None:
+                order = order[sizes[order] <= max_positions]
             return batch_by_size(
                 order,
                 sizes,

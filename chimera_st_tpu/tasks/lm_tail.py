@@ -296,9 +296,21 @@ def make_legacy_masked_lm(cfg: Dict):
     nsp_weight = float(cfg.get("nsp_loss_weight", 1.0))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
-        logits = model.apply(
-            params, batch["net_tokens"], deterministic=not train, rngs=rngs
-        )  # [B, T, V]
+        has_nsp = (
+            hasattr(type(model), "forward_with_sentence")
+            and getattr(model.cfg, "sentence_class_num", 0) > 0
+        )
+        if has_nsp:
+            # single encoder pass serves both heads (review fix: a separate
+            # classify_sentence apply re-encoded the batch, 2x step FLOPs)
+            logits, sent_logits = model.apply(
+                params, batch["net_tokens"], deterministic=not train,
+                rngs=rngs, method=type(model).forward_with_sentence,
+            )
+        else:
+            logits = model.apply(
+                params, batch["net_tokens"], deterministic=not train, rngs=rngs
+            )  # [B, T, V]
         target = batch["target"]
         mask = target != pad
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -306,11 +318,7 @@ def make_legacy_masked_lm(cfg: Dict):
         mlm_loss = jnp.sum(jnp.where(mask, nll, 0.0))
 
         nsp_loss = jnp.zeros((), jnp.float32)
-        if hasattr(type(model), "classify_sentence"):
-            sent_logits = model.apply(
-                params, batch["net_tokens"], deterministic=not train,
-                rngs=rngs, method=type(model).classify_sentence,
-            )
+        if has_nsp:
             sl = jax.nn.log_softmax(sent_logits.astype(jnp.float32), -1)
             nsp_loss = -jnp.sum(
                 jnp.take_along_axis(

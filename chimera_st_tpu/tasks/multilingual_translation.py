@@ -101,7 +101,18 @@ class MultilingualTranslationTask(ChimeraTask):
     def model_config_overrides(self, cfg: Dict) -> Dict:
         cfg = dict(cfg)
         cfg.setdefault("lang_pairs", tuple(self.pairs))
-        # joined-dictionary setup: all dicts share sizes
+        # joined-dictionary setup: embedding tables are sized from ONE dict,
+        # so all per-language dicts must match — verify instead of assuming
+        # (review fix: a larger dict silently overflowed into XLA's clamped
+        # gather, embedding every high-id token as the last row)
+        sizes = {lang: len(d) for lang, d in self.dicts.items()}
+        if len(set(sizes.values())) > 1:
+            raise ValueError(
+                "multilingual_translation shares one embedding table across "
+                f"languages but the dictionaries differ in size: {sizes}; "
+                "binarize with --joined-dictionary (reference multilingual "
+                "setup) or train per-language models"
+            )
         any_src = self.pairs[0].split("-")[0]
         any_tgt = self.pairs[0].split("-")[1]
         cfg.setdefault("src_vocab_size", len(self.dicts[any_src]))

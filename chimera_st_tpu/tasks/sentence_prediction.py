@@ -31,12 +31,21 @@ from .base import ChimeraTask
 logger = logging.getLogger(__name__)
 
 
-def _read_labels(path: Path, regression: bool):
+def _read_labels(path: Path, regression: bool, mapping=None):
+    """``mapping`` pins label->id across splits (review fix: each split used
+    to build its own sorted mapping, so a valid split missing one train
+    label silently shifted every class id)."""
     lines = path.read_text().splitlines()
     if regression:
         return np.asarray([float(x) for x in lines], np.float32), None
-    label_set = sorted(set(lines))
-    mapping = {l: i for i, l in enumerate(label_set)}
+    if mapping is None:
+        label_set = sorted(set(lines))
+        mapping = {l: i for i, l in enumerate(label_set)}
+    unknown = sorted(set(lines) - set(mapping))
+    if unknown:
+        raise ValueError(
+            f"{path} contains labels absent from the train mapping: {unknown}"
+        )
     return np.asarray([mapping[x] for x in lines], np.int64), mapping
 
 
@@ -97,13 +106,17 @@ class SentencePredictionTask(ChimeraTask):
         root = Path(cfg["data"])
         d = cls.load_dictionary(str(root / "input0" / "dict.txt"))
         num_classes = int(cfg.get("num_classes", 0))
-        if not num_classes and not cfg.get("regression_target"):
-            # infer from the train labels
-            labels, mapping = _read_labels(
-                root / "label" / "train.label", False
-            )
-            num_classes = len(mapping)
-        return cls(cfg, d, max(num_classes, 1))
+        mapping = None
+        if not cfg.get("regression_target"):
+            # the CANONICAL mapping comes from the train labels and is
+            # reused for every split
+            train_labels = root / "label" / "train.label"
+            if train_labels.exists():
+                _, mapping = _read_labels(train_labels, False)
+                num_classes = num_classes or len(mapping)
+        task = cls(cfg, d, max(num_classes, 1))
+        task.label_mapping = mapping
+        return task
 
     def model_config_overrides(self, cfg: Dict) -> Dict:
         out = dict(cfg)
@@ -123,6 +136,7 @@ class SentencePredictionTask(ChimeraTask):
         labels, _ = _read_labels(
             root / "label" / f"{split}.label",
             bool(self.cfg.get("regression_target", False)),
+            mapping=getattr(self, "label_mapping", None),
         )
         self.datasets[split] = _SentencePairs(
             inputs, labels, self.dictionary,

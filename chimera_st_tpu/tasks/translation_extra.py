@@ -52,11 +52,13 @@ class LangTokPairDataset:
         src_prepend: Optional[int] = None,
         src_append: Optional[int] = None,
         tgt_bos: Optional[int] = None,  # decoder-side language token
+        tgt_append: Optional[int] = None,  # mBART: target suffixed [tgt_lang]
     ):
         self.base = base
         self.src_prepend = src_prepend
         self.src_append = src_append
         self.tgt_bos = tgt_bos
+        self.tgt_append = tgt_append
 
     def __len__(self):
         return len(self.base)
@@ -72,17 +74,28 @@ class LangTokPairDataset:
         if self.src_append is not None:
             src = np.concatenate([src, [self.src_append]]).astype(src.dtype)
         item["source"] = src
+        if self.tgt_append is not None:
+            tgt = item["target"]
+            item["target"] = np.concatenate(
+                [tgt, [self.tgt_append]]
+            ).astype(tgt.dtype)
         if self.tgt_bos is not None:
             item["_tgt_bos"] = self.tgt_bos
         return item
 
     def collater(self, samples, **kwargs):
+        tagged = bool(samples) and "_tgt_bos" in samples[0]
+        if tagged:
+            # pre-apply the base collater's sort so rows align with samples
+            # (review fix: stamping samples[0]'s tag onto every row gave
+            # minority-pair rows of a mixed batch the WRONG language token)
+            samples = sorted(samples, key=lambda s: -len(s["source"]))
         batch = self.base.collater(samples, **kwargs)
-        if samples and "_tgt_bos" in samples[0]:
-            # decoder starts from the language token instead of eos
-            prev = batch["prev_output_tokens"]
-            prev = prev.copy()
-            prev[:, 0] = samples[0]["_tgt_bos"]
+        if tagged:
+            prev = batch["prev_output_tokens"].copy()
+            prev[:, 0] = np.asarray(
+                [s["_tgt_bos"] for s in samples], prev.dtype
+            )
             batch["prev_output_tokens"] = prev
         return batch
 
@@ -148,10 +161,16 @@ class TranslationMultiSimpleEpochTask(ChimeraTask):
             ))
             sizes.append(len(base))
         if split == self.cfg.get("train_subset", "train") and len(parts) > 1:
-            alpha = float(self.cfg.get("sampling_temperature",
-                                       self.cfg.get("sampling_alpha", 1.0)))
+            # temperature uses p^(1/T); alpha is the DIRECT exponent p^a
+            # (review fix: alpha was fed through 1/T, inverting the
+            # smoothing direction vs multilingual_denoising/lm_tail)
+            if "sampling_temperature" in self.cfg:
+                t = float(self.cfg.get("sampling_temperature") or 1.0)
+                exponent = 1.0 / t if t > 0 else 1.0
+            else:
+                exponent = float(self.cfg.get("sampling_alpha", 1.0))
             probs = np.asarray(sizes, np.float64) / max(sum(sizes), 1)
-            smoothed = probs ** (1.0 / alpha if alpha > 0 else 1.0)
+            smoothed = probs ** exponent
             smoothed /= smoothed.sum()
             ratios = smoothed * sum(sizes) / np.maximum(sizes, 1)
             parts = [
@@ -239,10 +258,15 @@ class TranslationFromPretrainedBARTTask(TranslationTask):
     def load_dataset(self, split: str, **kwargs):
         super().load_dataset(split, **kwargs)
         src, tgt = self.cfg["source_lang"], self.cfg["target_lang"]
+        # reference mBART format: source suffixed [src_lang], target
+        # suffixed [tgt_lang], prev rotated so [tgt_lang] leads (review fix:
+        # the target-side suffix was missing — fine-tune format diverged
+        # from mBART pretraining)
         self.datasets[split] = LangTokPairDataset(
             self.datasets[split],
             src_append=self.src_dict.index(f"[{src}]"),
             tgt_bos=self.tgt_dict.index(f"[{tgt}]"),
+            tgt_append=self.tgt_dict.index(f"[{tgt}]"),
         )
 
 
@@ -329,7 +353,10 @@ class SemisupervisedTranslationTask(ChimeraTask):
             # denoising autoencoder over target-side monolingual data:
             # noised(tgt) -> tgt (reference: _load_denoising pairs)
             mono_path = root / f"{split}.{tgt}"
-            if (mono_path.with_suffix(".idx")).exists():
+            # review fix: with_suffix(".idx") replaced the ".{tgt}" suffix
+            # and probed the wrong file, so mono corpora were silently
+            # ignored and DAE fell back to the parallel target side
+            if Path(str(mono_path) + ".idx").exists():
                 mono = MMapIndexedDataset(str(mono_path))
             else:
                 mono = MMapIndexedDataset(prefix + tgt)

@@ -39,7 +39,7 @@ class TranslationLevenshteinTask(TranslationTask):
 
     def __init__(self, cfg, src_dict, tgt_dict):
         super().__init__(cfg, src_dict, tgt_dict)
-        self._rng = np.random.default_rng(int(cfg.get("seed", 1)))
+        self.seed = int(cfg.get("seed", 1))
         self.delete_prob_max = float(cfg.get("random_delete_max", 0.5))
         self.insert_frac_max = float(cfg.get("random_insert_max", 0.3))
         self.max_ins = int(cfg.get("max_ins", 64))
@@ -49,23 +49,23 @@ class TranslationLevenshteinTask(TranslationTask):
         alignment; reference levenshtein_utils assumes matching endpoints)."""
         return np.concatenate([[self.BOS], target]).astype(np.int32)
 
-    def _random_delete(self, y: np.ndarray) -> np.ndarray:
+    def _random_delete(self, y: np.ndarray, rng) -> np.ndarray:
         """Drop a random fraction of interior tokens (reference:
         translation_lev.py _random_delete)."""
         n = len(y)
         if n <= 2:
             return y.copy()
-        p = self._rng.uniform(0.0, self.delete_prob_max)
-        keep = self._rng.random(n - 2) >= p
+        p = rng.uniform(0.0, self.delete_prob_max)
+        keep = rng.random(n - 2) >= p
         return np.concatenate([y[:1], y[1:-1][keep], y[-1:]]).astype(np.int32)
 
-    def _random_insert(self, y: np.ndarray, vocab: int) -> np.ndarray:
+    def _random_insert(self, y: np.ndarray, vocab: int, rng) -> np.ndarray:
         n = len(y)
-        k = int(self._rng.integers(0, max(int(self.insert_frac_max * n), 1) + 1))
+        k = int(rng.integers(0, max(int(self.insert_frac_max * n), 1) + 1))
         if k == 0:
             return y.copy()
-        noise = self._rng.integers(4, max(vocab, 5), size=k).astype(np.int32)
-        slots = self._rng.integers(1, n, size=k)  # insert before y[slot]
+        noise = rng.integers(4, max(vocab, 5), size=k).astype(np.int32)
+        slots = rng.integers(1, n, size=k)  # insert before y[slot]
         order = np.argsort(slots, kind="stable")
         out = list(y)
         for off, j in enumerate(order):
@@ -81,8 +81,15 @@ class TranslationLevenshteinTask(TranslationTask):
         r16 = lambda n: ((n + 15) // 16) * 16
 
         ys = [self._frame(t[t != pad]) for t in np.asarray(batch["target"])]
-        y_dels = [self._random_delete(y) for y in ys]
-        y_inss = [self._random_insert(y, vocab) for y in ys]
+        # per-(seed, sample-id) rngs: corruption is a pure function of the
+        # sample, so mid-epoch resume replays identical noise (review fix —
+        # one mutable task-level rng desynced resumed runs; same pattern as
+        # MaskedTokensDataset/ShortenedDataset)
+        ids = (np.asarray(batch["id"]) if "id" in batch
+               else np.arange(len(ys)))
+        rngs = [np.random.default_rng((self.seed, int(i))) for i in ids]
+        y_dels = [self._random_delete(y, r) for y, r in zip(ys, rngs)]
+        y_inss = [self._random_insert(y, vocab, r) for y, r in zip(ys, rngs)]
 
         Ly = r16(max(len(y) for y in ys))
         Ld = r16(max(len(y) for y in y_dels))

@@ -138,3 +138,77 @@ def test_semisupervised_mixes_dae(tmp_path):
     # a denoising sample reconstructs the clean target from a noised source
     dae_item = ds[len(ds) - 1]
     assert dae_item["target"][-1] == EOS
+
+
+def test_mixed_pair_batch_rows_get_own_lang_token(tmp_path):
+    """Review fix: a batch mixing language pairs must stamp EACH row's own
+    target-language token onto prev_output_tokens (samples[0]'s tag used to
+    be broadcast to every row)."""
+    from chimera_st_tpu.tasks import setup_task
+
+    d = _make_dict(tmp_path)
+    _write_pair(tmp_path, "train", "en", "de", d, n=6)
+    _write_pair(tmp_path, "train", "en", "fr", d, n=6)
+    task = setup_task({
+        "_name": "translation_multi_simple_epoch", "data": str(tmp_path),
+        "lang_pairs": "en-de,en-fr", "decoder_langtok": True,
+    })
+    task.load_dataset("train")
+    ds = task.dataset("train")
+    # pick indices straddling the two concatenated pair datasets
+    idx = np.asarray([0, 1, len(ds) - 2, len(ds) - 1])
+    samples = [ds[int(i)] for i in idx]
+    tags = {int(s["_tgt_bos"]) for s in samples}
+    assert len(tags) == 2  # really a mixed batch
+    batch = task.collate_indices(ds, idx, None)
+    assert set(batch["prev_output_tokens"][:, 0].tolist()) == tags
+
+
+def test_sampling_alpha_direction(tmp_path):
+    """sampling_alpha is the DIRECT exponent p^a (upsample small pairs for
+    a<1); it used to be routed through the temperature formula p^(1/a)."""
+    from chimera_st_tpu.tasks import setup_task
+
+    d = _make_dict(tmp_path)
+    _write_pair(tmp_path, "train", "en", "de", d, n=20)
+    _write_pair(tmp_path, "train", "en", "fr", d, n=5)
+
+    def small_pair_len(cfg_extra):
+        task = setup_task({
+            "_name": "translation_multi_simple_epoch", "data": str(tmp_path),
+            "lang_pairs": "en-de,en-fr", **cfg_extra,
+        })
+        task.load_dataset("train")
+        ds = task.dataset("train")
+        # total resampled size is conserved; the en-fr (second) part's
+        # resampled length reveals the smoothing direction
+        return len(ds.parts[1])
+
+    flattened = small_pair_len({"sampling_alpha": 0.25})   # p^0.25 upsamples
+    sharpened = small_pair_len({"sampling_temperature": 0.25})  # p^4
+    assert flattened > 5 >= sharpened  # raw en-fr size is 5
+
+
+def test_mbart_target_suffix(tmp_path):
+    """mBART format: the TARGET also ends with [tgt_lang] (review fix), and
+    prev rotates it to the front."""
+    from chimera_st_tpu.tasks import setup_task
+
+    d = _make_dict(tmp_path, names=("dict.en.txt", "dict.de.txt"))
+    _write_pair(tmp_path, "train", "en", "de", d)
+    task = setup_task({
+        "_name": "translation_from_pretrained_bart", "data": str(tmp_path),
+        "source_lang": "en", "target_lang": "de", "langs": "en,de",
+    })
+    task.load_dataset("train")
+    ds = task.dataset("train")
+    item = ds[0]
+    tag = task.tgt_dict.index("[de]")
+    assert int(item["target"][-1]) == tag
+    batch = task.collate_indices(ds, np.arange(2), None)
+    assert (batch["prev_output_tokens"][:, 0] == tag).all()
+    # target rows end with the tag (before padding)
+    tgt = batch["target"]
+    for row in tgt:
+        nonpad = row[row != task.tgt_dict.pad()]
+        assert int(nonpad[-1]) == tag
