@@ -18,6 +18,7 @@ from ..config.registry import register_criterion
 def make_ctc_criterion(cfg: dict):
     blank_idx = int(cfg.get("blank_idx", 0))
     pad_idx = int(cfg.get("padding_idx", 1))
+    eos_idx = int(cfg.get("eos_idx", 2))
     zero_infinity = bool(cfg.get("zero_infinity", True))
 
     def criterion(model, params, batch, rngs=None, num_updates=None, train=True):
@@ -54,7 +55,13 @@ def make_ctc_criterion(cfg: dict):
         else:
             logit_paddings = enc_mask.astype(jnp.float32)
         labels = batch["target"]
-        label_paddings = (labels == pad_idx).astype(jnp.float32)
+        # eos terminates the seq2seq targets but is NOT a CTC label — the
+        # reference masks (target != pad) & (target != eos); review fix:
+        # counting eos forced the encoder to emit a frame for it and
+        # spurious eos tokens surfaced in greedy-WER hypotheses
+        label_paddings = (
+            (labels == pad_idx) | (labels == eos_idx)
+        ).astype(jnp.float32)
 
         per_seq = optax.ctc_loss(
             logits, logit_paddings, labels, label_paddings, blank_id=blank_idx

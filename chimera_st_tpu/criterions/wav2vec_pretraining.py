@@ -89,21 +89,28 @@ def make_wav2vec_bimodal_criterion(cfg: dict):
         rngs = dict(rngs or {})
         if train and "dropout" in rngs:
             rngs["gumbel"] = jax.random.fold_in(rngs["dropout"], 7)
+        temp = batch.get("gumbel_temp", 2.0)  # annealed by the task
+        # genuinely CROSS-modal: one apply computes preds_1 vs targets_2 and
+        # preds_2 vs targets_1 over the shared mask (review fix: two
+        # independent unimodal applies trained no cross-modal alignment and
+        # dropped the gumbel temperature schedule)
+        out12, out21 = model.apply(
+            params,
+            batch["audio"],
+            batch["audio2"],
+            batch.get("audio_padding_mask"),
+            batch.get("audio2_padding_mask"),
+            batch["mask_indices"],
+            batch["negative_indices"],
+            gumbel_temp=temp,
+            deterministic=not train,
+            rngs=rngs if train else None,
+            method=type(model).bimodal_forward,
+        )
         total_loss = 0.0
         total_ss = 0.0
         logging = {}
-        for direction, (src_key, tgt_key) in enumerate(
-            [("audio", "audio2"), ("audio2", "audio")]
-        ):
-            out = model.apply(
-                params,
-                batch[src_key],
-                batch.get(f"{src_key}_padding_mask"),
-                batch["mask_indices"],
-                batch["negative_indices"],
-                deterministic=not train,
-                rngs=rngs if train else None,
-            )
+        for direction, out in enumerate([out12, out21]):
             loss, ss, lg = infonce_from_outputs(out, loss_weights)
             total_loss = total_loss + loss
             total_ss = total_ss + ss
@@ -176,10 +183,15 @@ def make_aligning_loss_bimodal(cfg: dict):
         if fix_side is None:
             loss = pair_loss(a, t, valid)
         else:
-            # reference arithmetic (aligning_loss_bimodal.py:85-89) with the
-            # snapshot replaced by stop_gradient (see docstring)
+            # the trainable side regresses onto a stop-gradient snapshot of
+            # the fixed side (reference aligning_loss_bimodal.py:85-89 with
+            # the pickled snapshot replaced by stop_gradient; review fix —
+            # the old arithmetic paired the fixed side with ITSELF (a zero,
+            # gradient-free term) and let gradients flow into the
+            # supposedly-fixed side through the second term)
             fixed = jax.lax.stop_gradient(a if fix_side == "audio" else t)
-            loss = pair_loss(a, fixed, valid) + pair_loss(t, a, valid)
+            trainable = t if fix_side == "audio" else a
+            loss = pair_loss(trainable, fixed, valid)
 
         sample_size = jnp.sum(valid).astype(jnp.float32)
         logging = {

@@ -270,14 +270,16 @@ def beam_search(
                 prefix_tokens, jnp.minimum(i, P - 1), 1, axis=1
             )[:, 0]  # [B]
             has_force = in_prefix & (forced != pad)
-            forced_row = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (B, V), 1) == forced[:, None],
-                0.0,
-                NEG_INF,
-            )
-            logprobs = jnp.where(
-                has_force[:, None, None], forced_row[:, None, :], logprobs
-            )
+            # keep the MODEL's log-prob for the forced token (reference
+            # _prefix_tokens gathers lprobs at the prefix index; review fix:
+            # scoring forced steps 0.0 dropped the prefix mass from the
+            # cumulative score, flipping length-normalized rankings)
+            is_forced_tok = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+                == forced[:, None]
+            )[:, None, :]  # [B, 1, V]
+            forced_rows = jnp.where(is_forced_tok, logprobs, NEG_INF)
+            logprobs = jnp.where(has_force[:, None, None], forced_rows, logprobs)
 
         if no_repeat_ngram_size > 0:
             # ban tokens completing an already-seen n-gram (reference:
@@ -344,8 +346,12 @@ def beam_search(
                 sc, idx = jax.lax.top_k(cand_g.reshape(B, kp * V), 2 * kp)
                 beam_g = idx // V + g * kp  # global beam index
                 tok_g = idx % V
+                # penalize with ALL 2k' candidates of this group (reference
+                # DiverseBeamSearch scatter_adds every index beam.step
+                # returned; review fix: counting only the top k' weakened
+                # the diversity pressure on later groups)
                 counts = counts + jnp.sum(
-                    jax.nn.one_hot(tok_g[:, :kp], V, dtype=jnp.float32), axis=1
+                    jax.nn.one_hot(tok_g, V, dtype=jnp.float32), axis=1
                 )
                 parts.append((sc, beam_g, tok_g))
             topk_scores = jnp.concatenate([p[0] for p in parts], axis=1)
@@ -469,14 +475,19 @@ def beam_search(
     # fall back to alive hypos for sentences with no finished hypo (hit max_len
     # without eos — can only happen if eos was never forced; defensive)
     none_finished = jnp.logical_not(jnp.any(final.finished_flags, axis=1))
-    alive_norm = final.alive_scores / length_norm(jnp.max(max_lens))
+    # per-sentence max_lens, not the global max (review fix: short sentences
+    # falling back were normalized/reported with the batch-wide maximum)
+    own_max = max_lens.astype(jnp.int32)  # [B]
+    alive_norm = final.alive_scores / length_norm(own_max)[:, None]
     out_seq = jnp.where(
         none_finished[:, None, None], final.alive_seq, final.finished_seq
     )
     out_scores = jnp.where(none_finished[:, None], alive_norm, final.finished_scores)
     out_lens = jnp.where(
         none_finished[:, None],
-        jnp.max(max_lens) * jnp.ones_like(final.finished_lens),
+        jnp.broadcast_to(own_max[:, None], final.finished_lens.shape).astype(
+            final.finished_lens.dtype
+        ),
         final.finished_lens,
     )
     # strip the bos seed: hypotheses start at position 1

@@ -360,16 +360,17 @@ class Wav2Vec2PretrainModel(nn.Module):
         )
         return logits
 
-    def __call__(
+    def _pretrain_streams(
         self,
-        source: jax.Array,  # [B, T] waveform
+        source: jax.Array,
         padding_mask: Optional[jax.Array],
-        mask_indices: jax.Array,  # [B, T'] bool (host-sampled spans)
-        negative_indices: jax.Array,  # [B, T', N]
-        gumbel_temp: float = 2.0,
-        deterministic: bool = False,
-    ) -> Dict[str, jax.Array]:
-        c = self.cfg
+        mask_indices: jax.Array,
+        gumbel_temp: float,
+        deterministic: bool,
+    ):
+        """One modality's (preds, targets, quantizer stats, features_pen,
+        valid-mask) — shared by the unimodal __call__ and the cross-modal
+        bimodal_forward."""
         tr = self.trunk
         features = tr.feature_extractor(source)  # [B, T', feat]
         features_pen = jnp.mean(jnp.square(features.astype(jnp.float32)))
@@ -404,11 +405,13 @@ class Wav2Vec2PretrainModel(nn.Module):
         )
         targets = self.project_q(q["x"])
         preds = self.final_proj(x)
-        logits = self._contrastive_logits(preds, targets, negative_indices)
-
         valid = mask_indices
         if padding_mask is not None:
             valid = valid & ~padding_mask
+        return preds, targets, q, features_pen, valid
+
+    def _outputs(self, preds, targets, negative_indices, q, features_pen, valid):
+        logits = self._contrastive_logits(preds, targets, negative_indices)
         return {
             "logits": logits,  # [B, T', 1+N]; target class 0
             "mask": valid,
@@ -418,6 +421,50 @@ class Wav2Vec2PretrainModel(nn.Module):
             # nonzero only on the kmeans-VQ path (latent+commitment MSE)
             "kmeans_loss": q.get("kmeans_loss", jnp.float32(0.0)),
         }
+
+    def bimodal_forward(
+        self,
+        source: jax.Array,  # [B, T] modality-1 waveform
+        source2: jax.Array,  # [B, T] ALIGNED modality-2 waveform
+        padding_mask: Optional[jax.Array],
+        padding_mask2: Optional[jax.Array],
+        mask_indices: jax.Array,  # SHARED span mask
+        negative_indices: jax.Array,  # SHARED negatives
+        gumbel_temp: float = 2.0,
+        deterministic: bool = False,
+    ):
+        """Cross-modal contrastive pretraining (reference:
+        wav2vec2_quasiwave.py:52-207 bimodal_forward): each modality's
+        masked-context predictions score against the OTHER modality's
+        quantized targets over the shared mask — review fix: the criterion
+        previously ran two independent unimodal losses, so no cross-modal
+        alignment was trained. Returns (outputs_1->2, outputs_2->1)."""
+        p1, t1, q1, pen1, v1 = self._pretrain_streams(
+            source, padding_mask, mask_indices, gumbel_temp, deterministic
+        )
+        p2, t2, q2, pen2, v2 = self._pretrain_streams(
+            source2, padding_mask2, mask_indices, gumbel_temp, deterministic
+        )
+        valid = v1 & v2
+        out12 = self._outputs(p1, t2, negative_indices, q2, pen1, valid)
+        out21 = self._outputs(p2, t1, negative_indices, q1, pen2, valid)
+        return out12, out21
+
+    def __call__(
+        self,
+        source: jax.Array,  # [B, T] waveform
+        padding_mask: Optional[jax.Array],
+        mask_indices: jax.Array,  # [B, T'] bool (host-sampled spans)
+        negative_indices: jax.Array,  # [B, T', N]
+        gumbel_temp: float = 2.0,
+        deterministic: bool = False,
+    ) -> Dict[str, jax.Array]:
+        preds, targets, q, features_pen, valid = self._pretrain_streams(
+            source, padding_mask, mask_indices, gumbel_temp, deterministic
+        )
+        return self._outputs(
+            preds, targets, negative_indices, q, features_pen, valid
+        )
 
 
 # ----------------------------------------------------------- registrations
