@@ -38,8 +38,11 @@ def _build() -> bool:
 
 
 _lib = None
+# a shipped .so without the .cpp source is fine — skip the freshness check
+# (review fix: _SRC.stat() raised FileNotFoundError, which consumers
+# guarding only against ImportError did not catch)
 _fresh = (
-    _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime
+    _SO.exists() and (not _SRC.exists() or _SO.stat().st_mtime >= _SRC.stat().st_mtime)
 ) or _build()
 if _fresh:
     try:

@@ -324,8 +324,9 @@ class SequenceGenerator:
             min_lens=min_lens,
         )
 
+    @staticmethod
     def to_hypotheses(
-        self, tokens, scores, lens, nbest: int = 1
+        tokens, scores, lens, nbest: int = 1
     ) -> List[List[Dict[str, Any]]]:
         """Host-side: [B, K, L] arrays -> fairseq-style hypo dicts."""
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))

@@ -162,15 +162,14 @@ class GeneratorHubInterface:
                 self.params, jnp.asarray(src), src_lengths=lengths
             )
         )
-        out: List[List[Dict]] = []
-        for b in range(tokens.shape[0]):
-            hyps = []
-            for k in range(min(nbest, tokens.shape[1])):
-                ids = tokens[b, k, : int(lens[b, k])]
-                hyps.append({
-                    "tokens": ids,
-                    "score": float(scores[b, k]),
-                    "text": self.decode(ids),
-                })
-            out.append(hyps)
-        return out
+        # reuse the generator's hypothesis unpacking; layer the decoded text
+        # on top (review cleanup: this loop duplicated to_hypotheses)
+        from .generation.generator import SequenceGenerator
+
+        batches = SequenceGenerator.to_hypotheses(
+            tokens, scores, lens, nbest=nbest
+        )
+        for hyps in batches:
+            for h in hyps:
+                h["text"] = self.decode(h["tokens"])
+        return batches

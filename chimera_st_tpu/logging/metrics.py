@@ -55,17 +55,21 @@ def aggregate(name: Optional[str] = None, new_root: bool = False):
     _active_aggregators[name] = agg
     _active_aggregators_cnt[name] += 1
 
-    yield agg
+    try:
+        yield agg
+    finally:
+        # cleanup must survive exceptions inside the with-block (review fix:
+        # a failed validate leaked the aggregator into every later
+        # log_scalar; reference wraps this in finally)
+        _active_aggregators_cnt[name] -= 1
+        if _active_aggregators_cnt[name] == 0 and name in _active_aggregators:
+            del _active_aggregators[name]
 
-    _active_aggregators_cnt[name] -= 1
-    if _active_aggregators_cnt[name] == 0 and name in _active_aggregators:
-        del _active_aggregators[name]
-
-    if new_root:
-        _active_aggregators.clear()
-        _active_aggregators.update(backup_aggregators)
-        _active_aggregators_cnt.clear()
-        _active_aggregators_cnt.update(backup_aggregators_cnt)
+        if new_root:
+            _active_aggregators.clear()
+            _active_aggregators.update(backup_aggregators)
+            _active_aggregators_cnt.clear()
+            _active_aggregators_cnt.update(backup_aggregators_cnt)
 
 
 def get_active_aggregators() -> List[MetersDict]:
@@ -159,6 +163,11 @@ def load_state_dict(state_dict):
     for name, agg_state in state_dict.items():
         _aggregators[name] = MetersDict()
         _aggregators[name].load_state_dict(agg_state)
+        if name in _active_aggregators:
+            # rebind live references (review fix: 'default' is always active;
+            # post-restore writes went to the orphaned pre-restore object
+            # while checkpoints serialized the new one — frozen metrics)
+            _active_aggregators[name] = _aggregators[name]
 
 
 def get_perplexity(loss, round=2, base=2):

@@ -74,12 +74,12 @@ def quant_noise(x: jax.Array, rng: jax.Array, p: float, block_size: int = 8):
     if p <= 0:
         return x
     in_dim, out_dim = x.shape[-2], x.shape[-1]
-    nb = in_dim // block_size
+    nb = -(-in_dim // block_size)  # remainder rows form a partial block
     mask = jax.random.bernoulli(rng, p, (nb, out_dim))
-    mask = jnp.repeat(mask, block_size, axis=0)
-    if mask.shape[0] < in_dim:  # remainder rows never dropped
-        pad = jnp.zeros((in_dim - mask.shape[0], out_dim), bool)
-        mask = jnp.concatenate([mask, pad], axis=0)
+    mask = jnp.repeat(mask, block_size, axis=0)[:in_dim]
+    # every row is dropped with probability p, so the 1/(1-p) rescale is
+    # unbiased for ALL rows (review fix: never-dropped remainder rows were
+    # still rescaled, inflating their expected contribution by 1/(1-p))
     return jnp.where(mask, 0.0, x) / (1.0 - p)
 
 

@@ -120,6 +120,11 @@ class Scorer:
     def add(self, ref, pred):
         ref = [int(t) for t in ref if int(t) != self.pad and int(t) != self.eos]
         pred = [int(t) for t in pred if int(t) != self.pad and int(t) != self.eos]
+        # a hypothesis <unk> must NEVER match a reference <unk> (the
+        # reference scorer negates ref unks, scoring/bleu.py add(); review
+        # fix: unk-for-unk positions were credited as n-gram matches,
+        # rewarding models that emit unk for every rare word)
+        ref = [-(t + 100) if t == self.unk else t for t in ref]
         if self._native is not None:
             self.stat += self._native.ngram_stats(ref, pred)
         else:

@@ -53,10 +53,30 @@ class EvaluationTokenizer:
                 from sacrebleu.tokenizers.tokenizer_13a import Tokenizer13a
                 from sacrebleu.tokenizers.tokenizer_intl import TokenizerV14International
 
-                self._tok = {
+                table = {
                     "13a": Tokenizer13a,
                     "intl": TokenizerV14International,
-                }.get(tokenizer_type, Tokenizer13a)()
+                }
+                try:  # zh/char exist in sacrebleu; ja-mecab needs mecab
+                    from sacrebleu.tokenizers.tokenizer_zh import TokenizerZh
+
+                    table["zh"] = TokenizerZh
+                except ImportError:
+                    pass
+                try:
+                    from sacrebleu.tokenizers.tokenizer_char import TokenizerChar
+
+                    table["char"] = TokenizerChar
+                except ImportError:
+                    pass
+                if tokenizer_type not in table:
+                    # review fix: unknown types silently fell back to 13a —
+                    # e.g. 'zh' eval ran word-level splits with no warning
+                    raise ValueError(
+                        f"unsupported wer tokenizer {tokenizer_type!r} "
+                        f"(available: {sorted(table) + ['none']})"
+                    )
+                self._tok = table[tokenizer_type]()
             except ImportError:  # pragma: no cover
                 self._tok = None
 

@@ -44,10 +44,14 @@ def hopen(path: str, mode: str = "rb") -> Iterator[IO[bytes]]:
             proc.stdout.close()
             proc.wait()
     elif "w" in mode or "a" in mode:
-        flag = "-appendToFile" if "a" in mode else "-put"
-        proc = subprocess.Popen(
-            ["hdfs", "dfs", flag, "-f", "-", path], stdin=subprocess.PIPE
+        # -appendToFile takes no -f flag (review fix: hadoop parsed '-f' as
+        # a local source file and every append failed); -put uses -f to
+        # overwrite like a local 'w'
+        cmd = (
+            ["hdfs", "dfs", "-appendToFile", "-", path] if "a" in mode
+            else ["hdfs", "dfs", "-put", "-f", "-", path]
         )
+        proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         try:
             yield proc.stdin
         finally:
