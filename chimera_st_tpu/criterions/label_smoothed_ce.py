@@ -120,14 +120,16 @@ def make_label_smoothed_ce_with_alignment(cfg: dict):
             model, params, batch, rngs=rngs, num_updates=num_updates, train=train
         )
         if "alignment_tgt" in batch:
-            enc, enc_mask = model.apply(
-                params, batch["src_tokens"],
-                method=type(model).encode_text,
-            )
+            # one combined apply for encode + attention. Remaining documented
+            # delta vs the reference (which reads attn out of the SAME
+            # net_output as the CE): this is a second, dropout-free forward —
+            # folding attn into forward_text_with_internal across every
+            # encoder-decoder model was judged not worth the surface churn
+            # for an alignment-supervision-only cost.
             attn = model.apply(
-                params, batch["prev_output_tokens"], enc, enc_mask,
-                method=lambda m, t, e, em: m.decoder.cross_attention_weights(
-                    t, e, em
+                params, batch["src_tokens"], batch["prev_output_tokens"],
+                method=lambda m, s, t: m.decoder.cross_attention_weights(
+                    t, *m.encode_text(s)
                 ),
             )  # [B, T, S] probabilities
             at = batch["alignment_tgt"]
