@@ -175,3 +175,23 @@ def hf_gpt2_medium(cfg: Dict) -> Dict:
     d.setdefault("n_layer", 24)
     d.setdefault("n_head", 16)
     return d
+
+
+@register_model_architecture("hf_gpt2", "hf_gpt2_large")
+def hf_gpt2_large(cfg: Dict) -> Dict:
+    """reference: models/huggingface/hf_gpt2.py:179-183."""
+    d = dict(cfg)
+    d.setdefault("n_embd", 1280)
+    d.setdefault("n_layer", 36)
+    d.setdefault("n_head", 20)
+    return d
+
+
+@register_model_architecture("hf_gpt2", "hf_gpt2_xl")
+def hf_gpt2_xl(cfg: Dict) -> Dict:
+    """reference: models/huggingface/hf_gpt2.py:187-191."""
+    d = dict(cfg)
+    d.setdefault("n_embd", 1600)
+    d.setdefault("n_layer", 48)
+    d.setdefault("n_head", 25)
+    return d

@@ -557,6 +557,20 @@ def transformer_lm_gpt2_big(cfg: Dict) -> Dict:
     return _gpt_preset(cfg, 1600, 6400, 48, 25)
 
 
+@register_model_architecture("transformer", "transformer_iwslt_de_en_pipeline_parallel")
+def transformer_iwslt_pipeline(cfg: Dict) -> Dict:
+    """reference arch name (model_parallel/models/pipeline_parallel_transformer):
+    same dims as transformer_iwslt_de_en; pipelining here is the
+    --pipeline-stages/--pipeline-chunks flags (parallel/pipeline.py), not a
+    separate model class."""
+    return transformer_iwslt(dict(cfg))
+
+
+@register_model_architecture("transformer", "transformer_wmt_en_de_big_pipeline_parallel")
+def transformer_big_pipeline(cfg: Dict) -> Dict:
+    return transformer_big(dict(cfg))
+
+
 @register_model_architecture("transformer_lm", "transformer_lm_megatron")
 def transformer_lm_megatron(cfg: Dict) -> Dict:
     """reference: model_parallel/models/transformer_lm.py:152-160 on the
