@@ -236,7 +236,12 @@ def import_wav2vec_ctc_state_dict(
         )
     }
     _linear(tsd, "w2v_encoder.proj", out, ["proj"])
-    return _finish_import(sd, out, tsd.consumed)
+    handled = set(tsd.consumed)
+    if not apply_mask:
+        # documented drop: models built without span masking have no
+        # mask_emb param (see keep_mask_emb docstring)
+        handled |= {k for k in sd if k.endswith(".mask_emb")}
+    return _finish_import(sd, out, handled)
 
 
 def import_wav2vec_seq2seq_state_dict(
@@ -269,7 +274,10 @@ def import_wav2vec_seq2seq_state_dict(
             ["decoder", "output_projection", "kernel"],
             _to_np(tsd["decoder.embed_out"]).T,
         )
-    return _finish_import(sd, out, tsd.consumed)
+    handled = set(tsd.consumed)
+    if not apply_mask:
+        handled |= {k for k in sd if k.endswith(".mask_emb")}
+    return _finish_import(sd, out, handled)
 
 
 def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
