@@ -310,6 +310,7 @@ def main(argv=None) -> None:
         sampling_topk = args.sampling_topk
         sampling_topp = args.sampling_topp
         seed = args.seed
+        kv_cache_int8 = getattr(args, "kv_cache_int8", False)
 
     paths = args.path.split(":")
     if len(paths) > 1 or args.lm_path:
@@ -353,6 +354,7 @@ def main(argv=None) -> None:
                 len_penalty=GenCfg.lenpen, unk_penalty=args.unkpen,
                 max_decode_len=args.max_decode_len, temperature=args.temperature,
                 no_repeat_ngram_size=args.no_repeat_ngram_size,
+                kv_cache_int8=GenCfg.kv_cache_int8,
             )
             d = tgt_dict
             ens = EnsembleSequenceGenerator(

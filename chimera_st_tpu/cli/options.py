@@ -257,6 +257,10 @@ def add_generation_args(p: argparse.ArgumentParser):
                    help="rank hypotheses by raw log-prob sum instead of "
                         "length-normalized score (reference --unnormalized; "
                         "equivalent to lenpen 0)")
+    p.add_argument("--kv-cache-int8", action="store_true",
+                   help="store decode self-attention K/V caches as int8 with "
+                        "per-row f32 scales (halves the per-step cache HBM "
+                        "read; near-lossless per-row symmetric quantization)")
     p.add_argument("--retain-dropout", action="store_true",
                    help="keep dropout active while scoring gold targets "
                         "(MC-sampling eval; reference sequence_generator.py "

@@ -33,6 +33,13 @@ class EnsembleSequenceGenerator:
         lm: Optional[Tuple] = None,  # (lm_model, lm_params, weight)
     ):
         assert len(models) == len(params_list) >= 1
+        if getattr(settings, "kv_cache_int8", False):
+            # loud rejection over silent ignore (repo convention): the
+            # ensemble cache allocation below is bf16-only
+            raise NotImplementedError(
+                "--kv-cache-int8 is a single-model decode feature; ensemble "
+                "decoding allocates full-precision caches"
+            )
         self.models = models
         self.params_list = params_list
         self.s = settings

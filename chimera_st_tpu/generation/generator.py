@@ -60,6 +60,10 @@ class GeneratorSettings:
     # O((B*K)^2) per-step gather matmul that made decode scale superlinearly
     # with batch (measured 326->745 ms decode from B=64->128 under eager).
     lazy_beam_reorder: bool = True
+    # int8 KV cache: store decode self-attention K/V quantized (symmetric
+    # per-row int8 + f32 scales) — halves the per-step cache HBM read.
+    # Lazy-reorder path only; ignored for sampling / the Pallas decode cache.
+    kv_cache_int8: bool = False
 
 
 class SequenceGenerator:
@@ -157,10 +161,22 @@ class SequenceGenerator:
             kv_shape = (B, c.decoder_heads, K, init_len, head_dim)
         else:
             kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
+        int8_kv = self.s.kv_cache_int8 and lazy_mode and not pallas_decode
+        kv_dtype = jnp.int8 if int8_kv else self.model.dtype
         layer_caches = [
             {
-                "k": jnp.zeros(kv_shape, self.model.dtype),
-                "v": jnp.zeros(kv_shape, self.model.dtype),
+                "k": jnp.zeros(kv_shape, kv_dtype),
+                "v": jnp.zeros(kv_shape, kv_dtype),
+                # unwritten positions keep scale 0 -> logits 0, masked off by
+                # the `future` mask in MultiheadAttention anyway
+                **(
+                    {
+                        "k_scale": jnp.zeros((init_len, B * K), jnp.float32),
+                        "v_scale": jnp.zeros((init_len, B * K), jnp.float32),
+                    }
+                    if int8_kv
+                    else {}
+                ),
             }
             for _ in range(c.decoder_layers)
         ]

@@ -318,13 +318,48 @@ class MultiheadAttention(nn.Module):
             assert query.shape[1] == 1, "cached decode is single-step"
             k_new = self._split(self.k_proj(query))  # [B, 1, H, D]
             v_new = self._split(self.v_proj(query))
-            kc = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], jnp.transpose(k_new, (1, 2, 3, 0)), cache_index, axis=0
-            )
-            vc = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], jnp.transpose(v_new, (1, 2, 3, 0)), cache_index, axis=0
-            )
-            new_cache = {"k": kc, "v": vc}
+            k_row = jnp.transpose(k_new, (1, 2, 3, 0))  # [1, H, D, BK]
+            v_row = jnp.transpose(v_new, (1, 2, 3, 0))
+            int8_cache = "k_scale" in cache
+            if int8_cache:
+                # int8 KV cache (--kv-cache-int8): symmetric per-row
+                # quantization — one f32 scale per cache column per position
+                # (amax over this step's [H, D] vector). Halves the per-step
+                # HBM cache read vs bf16; the dequant is folded into the
+                # logits/probs (the scale is constant over the contracted
+                # (H, D) dims), so the int8->compute-dtype convert happens
+                # after the HBM read without materializing a dequantized
+                # cache copy. int8 in [-127, 127] converts to bf16 exactly.
+                def _quant(row):
+                    r = row.astype(jnp.float32)
+                    amax = jnp.max(jnp.abs(r), axis=(0, 1, 2))  # [BK]
+                    s = jnp.maximum(amax, 1e-8) / 127.0
+                    q8 = jnp.round(r / s).astype(jnp.int8)
+                    return q8, s
+
+                k_q, k_s = _quant(k_row)
+                v_q, v_s = _quant(v_row)
+                kc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k_q, cache_index, axis=0
+                )
+                vc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v_q, cache_index, axis=0
+                )
+                ks = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_scale"], k_s[None], cache_index, axis=0
+                )
+                vs = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_scale"], v_s[None], cache_index, axis=0
+                )
+                new_cache = {"k": kc, "v": vc, "k_scale": ks, "v_scale": vs}
+            else:
+                kc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["k"], k_row, cache_index, axis=0
+                )
+                vc = jax.lax.dynamic_update_slice_in_dim(
+                    cache["v"], v_row, cache_index, axis=0
+                )
+                new_cache = {"k": kc, "v": vc}
             K = ancestry_groups
             BK = q.shape[0]
             B, L = BK // K, kc.shape[0]
@@ -333,6 +368,16 @@ class MultiheadAttention(nn.Module):
             qg = q.reshape(B, K, 1, H, D)[:, :, 0]  # [B, K, H, D]
             kc_g = kc.reshape(L, H, D, B, K)
             vc_g = vc.reshape(L, H, D, B, K)
+            if int8_cache:
+                kc_g = kc_g.astype(query.dtype)
+                vc_g = vc_g.astype(query.dtype)
+                # [L, BK] -> [B, 1, 1, L, K] broadcast against [B,H,K,L,C]
+                ks_b = jnp.transpose(ks.reshape(L, B, K), (1, 0, 2))[
+                    :, None, None
+                ]
+                vs_b = jnp.transpose(vs.reshape(L, B, K), (1, 0, 2))[
+                    :, None, None
+                ]
             anc = cache_ancestry.reshape(L, B, K)  # within-group columns
             future = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, L), 3) > cache_index
@@ -349,11 +394,15 @@ class MultiheadAttention(nn.Module):
                     "bkhd,lhdbc->bhklc", qg, kc_g,
                     preferred_element_type=jnp.float32,
                 ) * jnp.float32(scale)
+                if int8_cache:
+                    logits_all = logits_all * ks_b
                 sel_b = jnp.transpose(sel, (1, 2, 0, 3))  # [B, K, L, K]
                 logits = jnp.sum(logits_all * sel_b[:, None], axis=-1)
                 logits = jnp.where(future, -1e8, logits)
                 probs = jax.nn.softmax(logits, axis=-1)
                 probs_sel = probs[..., None] * sel_b[:, None]  # [B,H,K,L,K]
+                if int8_cache:
+                    probs_sel = probs_sel * vs_b
                 out = jnp.einsum(
                     "bhklc,lhdbc->bkhd",
                     probs_sel.astype(query.dtype),
@@ -367,6 +416,16 @@ class MultiheadAttention(nn.Module):
                 # layouts while crosscol fuses): select each hypothesis's K/V
                 # columns FIRST via a one-hot contraction (identical math:
                 # 1.0 * x is exact in bf16), then single-column attention.
+                if int8_cache:
+                    # dead-end A/B mode: dequantize the full cache upfront
+                    # (materializes a copy — the crosscol path is the one
+                    # that folds the scales in without one)
+                    kc_g = kc_g * ks.reshape(L, B, K)[:, None, None].astype(
+                        query.dtype
+                    )
+                    vc_g = vc_g * vs.reshape(L, B, K)[:, None, None].astype(
+                        query.dtype
+                    )
                 sel = jax.nn.one_hot(anc, K, dtype=query.dtype)  # [L,B,K,Kc]
                 k_sel = jnp.einsum(
                     "lhdbc,lbkc->lhdbk", kc_g, sel,

@@ -129,6 +129,7 @@ class ChimeraTask:
             sampling_topk=getattr(g, "sampling_topk", -1),
             sampling_topp=getattr(g, "sampling_topp", -1.0),
             diversity_rate=getattr(g, "diversity_rate", -1.0),
+            kv_cache_int8=getattr(g, "kv_cache_int8", False),
         )
         d = self.target_dictionary
         return SequenceGenerator(
