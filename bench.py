@@ -114,7 +114,37 @@ def run_batch(batch: int):
     return dt, t_enc
 
 
+def _probe_devices(timeout_s: int = 240) -> str:
+    """Bounded backend probe in a subprocess.
+
+    When the remote-TPU tunnel is down, jax.devices() blocks FOREVER (no
+    exception) — a hang is worse than a failure for the driver, so probe in
+    a child with a hard timeout and raise a clean error instead. A healthy
+    tunnel answers in ~10-40 s (plugin init + first contact)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform, len(d))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device backend unreachable (probe timed out after {timeout_s}s "
+            "— TPU tunnel down?)"
+        )
+    if r.returncode != 0:
+        raise RuntimeError(f"device probe failed: {r.stderr.strip()[-200:]}")
+    return r.stdout.strip()
+
+
 def main():
+    import sys
+
+    # stderr: stdout must stay exactly ONE JSON line for the driver
+    print(f"# devices: {_probe_devices()}", file=sys.stderr, flush=True)
     results = {}
     for batch in BATCHES:
         dt, t_enc = run_batch(batch)
