@@ -67,6 +67,7 @@ def main(argv=None) -> None:
         unkpen = args.unkpen
         temperature = args.temperature
         max_decode_len = args.max_decode_len
+        kv_cache_int8 = getattr(args, "kv_cache_int8", False)
 
     generator = task.build_generator(model, GenCfg)
     logger.info("Type a .wav file path per line and press Enter:")
