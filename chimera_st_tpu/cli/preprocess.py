@@ -15,8 +15,12 @@ logger = logging.getLogger("chimera_st_tpu.preprocess")
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser("chimera-preprocess")
-    p.add_argument("--source-lang", "-s", required=True)
-    p.add_argument("--target-lang", "-t", required=True)
+    p.add_argument("--source-lang", "-s", default=None)
+    p.add_argument("--target-lang", "-t", default=None)
+    p.add_argument("--only-source", action="store_true",
+                   help="binarize the source side only (the reference's LM "
+                        "preprocessing path: emits dict.txt + {split}.bin/idx "
+                        "with no language pair in the filenames)")
     p.add_argument("--trainpref", default=None)
     p.add_argument("--validpref", default=None)
     p.add_argument("--testpref", default=None)
@@ -41,6 +45,8 @@ def main(argv=None) -> None:
     dest = Path(args.destdir)
     dest.mkdir(parents=True, exist_ok=True)
     src, tgt = args.source_lang, args.target_lang
+    if not args.only_source and (src is None or tgt is None):
+        p.error("--source-lang/--target-lang are required unless --only-source")
 
     def build_dict(pref_files, threshold, nwords):
         d = Dictionary()
@@ -52,31 +58,52 @@ def main(argv=None) -> None:
         d.finalize(threshold=threshold, nwords=nwords)
         return d
 
+    def train_path(lang):
+        return f"{args.trainpref}.{lang}" if lang else args.trainpref
+
+    def require_trainpref(what):
+        if not args.trainpref:
+            p.error(f"--trainpref required to build the {what} dictionary")
+
     if args.srcdict:
         src_dict = Dictionary.load(args.srcdict)
     elif args.joined_dictionary:
+        require_trainpref("joined")
         src_dict = build_dict(
-            [f"{args.trainpref}.{l}" for l in (src, tgt)],
+            [train_path(l) for l in (src, tgt)],
             args.thresholdsrc, args.nwordssrc,
         )
     else:
-        src_dict = build_dict([f"{args.trainpref}.{src}"], args.thresholdsrc, args.nwordssrc)
-    if args.tgtdict:
+        require_trainpref("source")
+        src_dict = build_dict([train_path(src)], args.thresholdsrc, args.nwordssrc)
+    if args.only_source:
+        tgt_dict = src_dict
+    elif args.tgtdict:
         tgt_dict = Dictionary.load(args.tgtdict)
-    elif args.joined_dictionary or args.srcdict and not args.tgtdict:
+    elif args.joined_dictionary:
         tgt_dict = src_dict
     else:
-        tgt_dict = build_dict([f"{args.trainpref}.{tgt}"], args.thresholdtgt, args.nwordstgt)
+        # like the reference, --srcdict alone does NOT imply a joined dict:
+        # the target dictionary is built from the training data
+        require_trainpref("target")
+        tgt_dict = build_dict([train_path(tgt)], args.thresholdtgt, args.nwordstgt)
 
-    src_dict.save(str(dest / f"dict.{src}.txt"))
-    tgt_dict.save(str(dest / f"dict.{tgt}.txt"))
+    src_dict.save(str(dest / (f"dict.{src}.txt" if src else "dict.txt")))
+    if not args.only_source:
+        tgt_dict.save(str(dest / f"dict.{tgt}.txt"))
+
+    def dest_prefix(split: str, lang: str) -> str:
+        if args.only_source:
+            # LM layout the language_modeling/masked_lm tasks read:
+            # {split}.bin/idx next to dict.txt
+            return str(dest / split)
+        return str(dest / f"{split}.{src}-{tgt}.{lang}")
 
     def binarize(pref: str, split: str, lang: str, d: Dictionary):
-        builder = MMapIndexedDatasetBuilder(
-            str(dest / f"{split}.{src}-{tgt}.{lang}")
-        )
+        builder = MMapIndexedDatasetBuilder(dest_prefix(split, lang))
         n_tok, n_unk = 0, 0
-        with open(f"{pref}.{lang}", encoding="utf-8") as f:
+        in_path = f"{pref}.{lang}" if lang else pref
+        with open(in_path, encoding="utf-8") as f:
             for line in f:
                 ids = d.encode_line(line, append_eos=True)
                 n_tok += len(ids)
@@ -84,7 +111,7 @@ def main(argv=None) -> None:
                 builder.add_item(ids)
         builder.finalize()
         logger.info(
-            f"[{lang}] {split}: {n_tok} tokens, "
+            f"[{lang or 'source'}] {split}: {n_tok} tokens, "
             f"{100.0 * n_unk / max(n_tok, 1):.3f}% replaced by <unk>"
         )
 
@@ -95,7 +122,8 @@ def main(argv=None) -> None:
     ]:
         if pref:
             binarize(pref, split, src, src_dict)
-            binarize(pref, split, tgt, tgt_dict)
+            if not args.only_source:
+                binarize(pref, split, tgt, tgt_dict)
     logger.info(f"Wrote binarized data to {dest}")
 
 

@@ -110,6 +110,51 @@ def test_preprocess_and_mt_train(tmp_path):
     assert (Path(save_dir) / "checkpoint_last.ckpt").is_file()
 
 
+def test_preprocess_only_source_and_srcdict_semantics(tmp_path):
+    """--only-source emits the LM layout (dict.txt + {split}.bin/idx) the
+    language_modeling task reads, and --srcdict WITHOUT --tgtdict builds the
+    target dictionary from train data instead of silently joining
+    (reference: fairseq_cli/preprocess.py dictionary branches)."""
+    from chimera_st_tpu.cli import preprocess
+    from chimera_st_tpu.data.dictionary import Dictionary
+    from chimera_st_tpu.data.indexed_dataset import MMapIndexedDataset
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+
+    # LM path: no language pair in filenames
+    lm_dir = tmp_path / "lm_bin"
+    preprocess.main([
+        "--only-source",
+        "--trainpref", f"{raw}/train.en", "--validpref", f"{raw}/valid.en",
+        "--destdir", str(lm_dir),
+    ])
+    assert (lm_dir / "dict.txt").is_file()
+    assert (lm_dir / "train.bin").is_file() and (lm_dir / "valid.idx").is_file()
+    assert not list(lm_dir.glob("dict.*.*.txt"))
+    ds = MMapIndexedDataset(str(lm_dir / "train"))
+    assert len(ds) == 32 and ds[0][-1] == 2  # eos-terminated
+
+    from chimera_st_tpu.tasks import setup_task
+
+    task = setup_task({"_name": "language_modeling", "data": str(lm_dir),
+                       "tokens_per_sample": 16})
+    task.load_dataset("train")
+    assert len(task.dataset("train")) > 0
+
+    # --srcdict alone: target dict is built from train data, not joined
+    pair_dir = tmp_path / "pair_bin"
+    preprocess.main([
+        "-s", "en", "-t", "de",
+        "--trainpref", f"{raw}/train",
+        "--destdir", str(pair_dir), "--srcdict", str(lm_dir / "dict.txt"),
+    ])
+    src_d = Dictionary.load(str(pair_dir / "dict.en.txt"))
+    tgt_d = Dictionary.load(str(pair_dir / "dict.de.txt"))
+    # srcdict holds the English LM vocab; the target dict must be freshly
+    # built from the German train side (the old behavior reused src_dict)
+    assert [src_d[i] for i in range(len(src_d))] != [tgt_d[i] for i in range(len(tgt_d))]
+
+
 def test_score_cli(tmp_path, capsys):
     from chimera_st_tpu.cli import score
 
