@@ -65,24 +65,51 @@ def param_partition_specs(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def zero1_opt_state_specs(opt_state: Any, mesh: Mesh, param_specs: Any = None) -> Any:
-    """Shard large replicated optimizer moments over the data axis (ZeRO-1).
+def zero1_opt_state_specs(
+    opt_state: Any, mesh: Mesh, param_specs: Any = None, tx: Any = None
+) -> Any:
+    """Shard large optimizer moments over the data axis (ZeRO-1).
 
     Wired into ``create_train_state(..., zero_sharding='os')``
     (train/train_step.py); the CLI flag is ``--zero-sharding os``
-    (reference equivalent: fairseq/optim/shard.py via fairscale OSS)."""
+    (reference equivalent: fairseq/optim/shard.py via fairscale OSS).
+
+    When ``tx`` and ``param_specs`` are given, each moment keeps its param's
+    TP/pipe spec and gains ``data`` on the first free divisible axis — the
+    classic ZeRO-over-TP layout. Without them moments of TP-sharded params
+    would get a layout that disagrees with the grads and the updated params,
+    making XLA reshard both every step."""
     n_data = mesh.shape.get("data", 1)
+
+    def data_spec(leaf, base=None):
+        axes = list(base) if base is not None else []
+        axes += [None] * (leaf.ndim - len(axes))
+        for i, d in enumerate(leaf.shape):
+            if axes[i] is None and d % n_data == 0 and d >= n_data:
+                axes[i] = "data"
+                break
+        if any(a is not None for a in axes):
+            return P(*axes)
+        return P()
+
+    if tx is not None and param_specs is not None:
+        import optax
+
+        return optax.tree_map_params(
+            tx,
+            lambda leaf, spec: (
+                P() if not hasattr(leaf, "shape") or leaf.ndim == 0
+                else data_spec(leaf, tuple(spec))
+            ),
+            opt_state,
+            param_specs,
+            transform_non_params=lambda leaf: P(),
+        )
 
     def spec_for(path, leaf):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
             return P()
-        # keep TP-sharded params' moments on their TP spec; shard the rest
-        for i, d in enumerate(leaf.shape):
-            if d % n_data == 0 and d >= n_data:
-                spec = [None] * leaf.ndim
-                spec[i] = "data"
-                return P(*spec)
-        return P()
+        return data_spec(leaf)
 
     return jax.tree_util.tree_map_with_path(spec_for, opt_state)
 

@@ -52,11 +52,22 @@ def create_train_state(
     replicated optimizer moments over the mesh's data axis (ZeRO-1)."""
     opt_state = tx.init(params)
     if mesh is not None and zero_sharding == "os" and mesh.shape.get("data", 1) > 1:
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
 
         from ..parallel.partition import zero1_opt_state_specs
 
-        specs = zero1_opt_state_specs(opt_state, mesh)
+        # each moment inherits its param's TP/pipe spec (read off the placed
+        # params) plus `data` on a free axis — grads/moments/params then agree
+        # and the update step needs no per-step resharding
+        param_specs = jax.tree_util.tree_map(
+            lambda p: (
+                p.sharding.spec
+                if isinstance(getattr(p, "sharding", None), NamedSharding)
+                else PartitionSpec()
+            ),
+            params,
+        )
+        specs = zero1_opt_state_specs(opt_state, mesh, param_specs, tx)
         opt_state = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), opt_state, specs
         )
