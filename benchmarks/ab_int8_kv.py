@@ -71,15 +71,22 @@ def main():
         for _ in range(ITERS)
     ]
     jax.block_until_ready(batches)
-    for int8 in (False, True):
-        t0 = time.perf_counter()
-        for b in batches:
+    # interleave the variants per iteration — this tunnel has up to 2x
+    # run-to-run drift, so timing all of A then all of B can fabricate or
+    # bury a ~5% effect (same rule as the other ab_*.py harnesses)
+    totals = {False: 0.0, True: 0.0}
+    for b in batches:
+        for int8 in (False, True):
+            t0 = time.perf_counter()
             np.asarray(gens[int8].generate_audio(params, b, mask)[0])
-        dt = (time.perf_counter() - t0) / ITERS
+            totals[int8] += time.perf_counter() - t0
+    for int8 in (False, True):
+        dt = totals[int8] / ITERS
         print(
             f"int8={int8} B={BATCH}: {dt * 1e3:.1f} ms/batch, "
             f"{BATCH / dt:.1f} utt/s"
         )
+    print(f"speedup int8/bf16: {totals[False] / totals[True]:.3f}x")
 
 
 if __name__ == "__main__":
