@@ -83,6 +83,17 @@ def zero1_opt_state_specs(
 
     def data_spec(leaf, base=None):
         axes = list(base) if base is not None else []
+        if axes and (
+            len(axes) > leaf.ndim
+            or any(
+                a is not None and leaf.shape[i] % mesh.shape[a] != 0
+                for i, a in enumerate(axes)
+            )
+        ):
+            # moments that are not param-shaped (adafactor's factored
+            # row/col stats reduce one param dim away) cannot inherit the
+            # param's TP/pipe spec — fall back to plain data sharding
+            axes = []
         axes += [None] * (leaf.ndim - len(axes))
         for i, d in enumerate(leaf.shape):
             if axes[i] is None and d % n_data == 0 and d >= n_data:

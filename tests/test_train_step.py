@@ -243,6 +243,38 @@ def test_train_step_tp_plus_zero1(setup):
     assert sum(1 for l in leaves if {"data", "model"} <= axes_in_spec(l)) > 0
 
 
+def test_zero1_over_tp_factored_moments():
+    """Optimizers whose moments are NOT param-shaped (adafactor's factored
+    row/col stats reduce one param dim away) must not inherit the param's TP
+    spec — regression for a device_put crash on adafactor + --zero-sharding
+    os over a model axis. They fall back to plain data sharding."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chimera_st_tpu.parallel import make_mesh, shard_params
+    from chimera_st_tpu.train.train_step import create_train_state
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    params = {
+        "layer": {"fc1": {"kernel": jnp.ones((64, 128)),
+                          "bias": jnp.zeros((128,))}}
+    }
+    placed = shard_params(params, mesh)
+    for tx in (
+        optax.adafactor(learning_rate=1e-3),  # factored: rank-reduced moments
+        optax.adam(1e-3),  # param-shaped: keeps the TP spec + data axis
+    ):
+        state = create_train_state(placed, tx, mesh=mesh, zero_sharding="os")
+        for leaf in jax.tree_util.tree_leaves(state.opt_state):
+            spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+            if spec is None:
+                continue
+            assert len(spec) <= leaf.ndim
+            for i, ax in enumerate(spec):
+                if ax:
+                    assert leaf.shape[i] % mesh.shape[ax] == 0
+
+
 def test_nonfinite_grad_paths_naming():
     """Skip-path diagnosis names the offending grad subtrees (replaces the
     reference's NanDetector hook re-run, fairseq/nan_detector.py:14)."""
