@@ -283,6 +283,12 @@ def main(argv=None) -> None:
         iter_decode_force_max_iter = args.iter_decode_force_max_iter
         iter_decode_eos_penalty = args.iter_decode_eos_penalty
         iter_decode_with_beam = args.iter_decode_with_beam
+        iter_decode_with_external_reranker = getattr(
+            args, "iter_decode_with_external_reranker", False)
+        # --print-step needs the per-sentence step counts, which ride the
+        # history-recording decode variant
+        retain_iter_history = getattr(args, "retain_iter_history", False) \
+            or getattr(args, "print_step", False)
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
         min_len = args.min_len
@@ -313,6 +319,23 @@ def main(argv=None) -> None:
         kv_cache_int8 = getattr(args, "kv_cache_int8", False)
 
     paths = args.path.split(":")
+    reranker = None
+    if getattr(args, "iter_decode_with_external_reranker", False):
+        # reference convention (iterative_refinement_generator.py:113-120):
+        # the LAST --path checkpoint is the autoregressive reranker, the
+        # rest decode
+        if len(paths) < 2:
+            raise ValueError(
+                "--iter-decode-with-external-reranker: give at least two "
+                "--path checkpoints; the last one is the AR reranker")
+        rr_model, rr_params = load_model_and_params(
+            paths[-1], task, dtype, model_overrides)
+        reranker = (rr_model, rr_params)
+        paths = paths[:-1]
+        if len(paths) > 1:
+            raise NotImplementedError(
+                "external reranking over a NAT *ensemble* is not supported; "
+                "use one decoding checkpoint + one reranker")
     if len(paths) > 1 or args.lm_path:
         # ensemble / LM-fusion decode (reference: generate.py:103-128)
         from ..generation.ensemble import EnsembleSequenceGenerator
@@ -373,7 +396,7 @@ def main(argv=None) -> None:
 
             generator = _EnsembleAdapter()
     else:
-        generator = task.build_generator(model, GenCfg)
+        generator = task.build_generator(model, GenCfg, reranker=reranker)
     scorer = build_scorer({"_name": args.scoring}, tgt_dict)
 
     itr = task.make_batch_iterator(
@@ -514,6 +537,31 @@ def main(argv=None) -> None:
                     print(f"H-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"D-{sid}\t{scores[b, k]:.4f}\t{hyp_str}", file=out)
                     print(f"P-{sid}\t{scores[b, k]:.4f}", file=out)
+                    # NAT refinement introspection (reference
+                    # generate.py:325-344: I- finalization step under
+                    # --print-step, E-<id>_<round> canvases under
+                    # --retain-iter-history)
+                    last_steps = getattr(generator, "last_steps", None)
+                    if k == 0 and getattr(args, "print_step", False) \
+                            and last_steps is not None:
+                        print(f"I-{sid}\t{int(last_steps[b])}", file=out)
+                    hist = getattr(generator, "last_history", None)
+                    if (
+                        k == 0
+                        and getattr(args, "retain_iter_history", False)
+                        and hist is not None
+                    ):
+                        rounds = hist.shape[0]
+                        upto = rounds if last_steps is None else min(
+                            int(last_steps[b]) + 1, rounds)
+                        for j in range(upto):
+                            h_ids = [int(t) for t in hist[j, b]
+                                     if int(t) != tgt_dict.pad()]
+                            h_str = tgt_dict.string(
+                                h_ids, bpe_symbol=args.remove_bpe,
+                                extra_symbols_to_ignore=strip,
+                            )
+                            print(f"E-{sid}_{j}\t{h_str}", file=out)
                     if (
                         alignments is not None
                         and k == 0

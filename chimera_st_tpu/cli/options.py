@@ -247,6 +247,19 @@ def add_generation_args(p: argparse.ArgumentParser):
                    help="NAT length-beam: decode the top-B predicted lengths "
                         "in parallel and keep the best-scoring candidate "
                         "(reference iterative_refinement_generator beam_size)")
+    p.add_argument("--iter-decode-with-external-reranker", action="store_true",
+                   help="NAT: teacher-force-score every length-beam candidate "
+                        "with the LAST --path checkpoint (an autoregressive "
+                        "seq2seq model) and keep the best mean token log-prob "
+                        "(reference iterative_refinement_generator.py rerank; "
+                        "requires --iter-decode-with-beam > 1)")
+    p.add_argument("--retain-iter-history", action="store_true",
+                   help="NAT: record the canvas after every refinement round "
+                        "and print them as E-<id>_<step> lines (reference "
+                        "retain_history / generate.py:331)")
+    p.add_argument("--print-step", action="store_true",
+                   help="print the refinement step each NAT hypothesis "
+                        "finalized at as I-<id> (reference generate.py:325)")
     p.add_argument("--diversity-rate", type=float, default=-1.0,
                    help="diverse-siblings rank penalty (reference search.py:745)")
     p.add_argument("--match-source-len", action="store_true",

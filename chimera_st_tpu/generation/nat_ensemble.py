@@ -125,6 +125,10 @@ def build_nat_ensemble_generator(models, params_list, gen_cfg, tgt_dict):
         )
     if not all(isinstance(m, LevenshteinTransformer) for m in models):
         raise NotImplementedError("all ensemble members must be Levenshtein models")
+    if getattr(gen_cfg, "retain_iter_history", False):
+        raise NotImplementedError(
+            "--retain-iter-history/--print-step are not supported for NAT "
+            "ensemble decoding; use a single checkpoint")
 
     max_len = min(getattr(gen_cfg, "max_decode_len", 64) or 64, 256)
     req_iters = getattr(gen_cfg, "iter_decode_max_iter", None)

@@ -92,23 +92,36 @@ class CMLMTransformer(nn.Module):
         max_len: Optional[int] = None,
         pad: int = 1,
         eos: int = 2,
-    ) -> Tuple[jax.Array, jax.Array]:
+        return_history: bool = False,
+    ):
         """Iterative refinement decode -> (tokens [B, L], lengths [B]).
 
         reference: iterative_refinement_generator.py — here a fixed-iteration
         scan; iteration i re-masks the floor(L * (1 - (i+1)/N)) least
-        confident positions and re-predicts them."""
+        confident positions and re-predicts them.
+
+        With ``return_history`` (--retain-iter-history, reference
+        retain_history which snapshots decoder_out.output_tokens after each
+        forward_decoder) also returns the per-iteration canvases
+        [iterations, B, L] — each entry is the fully-predicted canvas of that
+        round, before skeptical re-masking."""
         c = self.cfg
         L = max_len or c.max_predicted_length
         enc, enc_mask = self.encode(src_tokens)
         len_logits = self.predict_length_logits(enc, enc_mask)
         lengths = jnp.clip(jnp.argmax(len_logits, axis=-1), 1, L)  # [B]
-        tokens, _ = self._mask_predict_from(lengths, enc, enc_mask,
-                                            iterations, L, pad)
+        tokens, _, hist = self._mask_predict_from(
+            lengths, enc, enc_mask, iterations, L, pad,
+            return_history=return_history,
+        )
+        if return_history:
+            return tokens, lengths, hist
         return tokens, lengths
 
-    def _mask_predict_from(self, lengths, enc, enc_mask, iterations, L, pad=1):
-        """Mask-predict loop from given target lengths -> (tokens, scores)."""
+    def _mask_predict_from(self, lengths, enc, enc_mask, iterations, L, pad=1,
+                           return_history: bool = False):
+        """Mask-predict loop from given target lengths ->
+        (tokens, scores, history-or-None)."""
         B = lengths.shape[0]
         pos = jnp.arange(L)[None, :]
         tgt_pad_mask = pos >= lengths[:, None]
@@ -126,6 +139,10 @@ class CMLMTransformer(nn.Module):
             is_masked = tokens == mask_tok
             tokens = jnp.where(is_masked, pred, tokens)
             scores = jnp.where(is_masked, conf, scores)
+            # the round's fully-predicted canvas (what the reference's
+            # history list records), padded for display
+            snapshot = jnp.where(tgt_pad_mask, pad, tokens) if return_history \
+                else None
             # re-mask the least confident for the next round
             n_remask = (
                 lengths.astype(jnp.float32) * (1.0 - (i + 1.0) / iterations)
@@ -134,14 +151,14 @@ class CMLMTransformer(nn.Module):
             rank_of = jnp.argsort(ranked, axis=1)  # position -> confidence rank
             remask = (rank_of < n_remask[:, None]) & ~tgt_pad_mask
             tokens = jnp.where(remask, mask_tok, tokens)
-            return (tokens, scores), None
+            return (tokens, scores), snapshot
 
         scores0 = jnp.zeros((B, L), jnp.float32)
-        (tokens, scores), _ = jax.lax.scan(
+        (tokens, scores), hist = jax.lax.scan(
             iteration, (tokens, scores0), jnp.arange(iterations)
         )
         tokens = jnp.where(tgt_pad_mask, pad, tokens)
-        return tokens, scores
+        return tokens, scores, hist
 
     def mask_predict_with_length_beam(
         self,
@@ -151,13 +168,20 @@ class CMLMTransformer(nn.Module):
         max_len: Optional[int] = None,
         pad: int = 1,
         eos: int = 2,
-    ) -> Tuple[jax.Array, jax.Array]:
+        return_candidates: bool = False,
+    ):
         """Length-beam mask-predict (reference:
         iterative_refinement_generator.py:138-158 on allow_length_beam
         models): run the refinement for the top-``beam`` predicted lengths in
         one batched pass and keep the candidate whose FINAL per-token
         confidences average highest — the reference reranks candidates by
-        output_scores mean. -> (tokens [B, L], lengths [B])."""
+        output_scores mean. -> (tokens [B, L], lengths [B]).
+
+        With ``return_candidates`` returns ALL length-beam candidates
+        beam-minor instead of selecting: (tokens [B*beam, L],
+        lengths [B*beam], mean-confidence [B*beam]) — the surface the
+        external reranker (--iter-decode-with-external-reranker,
+        reference iterative_refinement_generator.py:313 rerank) scores."""
         c = self.cfg
         L = max_len or c.max_predicted_length
         B = src_tokens.shape[0]
@@ -167,13 +191,15 @@ class CMLMTransformer(nn.Module):
         lengths = jnp.clip(top_lens.reshape(-1), 1, L)  # [B*beam]
         enc_t = jnp.repeat(enc, beam, axis=0)
         enc_mask_t = jnp.repeat(enc_mask, beam, axis=0)
-        tokens, scores = self._mask_predict_from(
+        tokens, scores, _ = self._mask_predict_from(
             lengths, enc_t, enc_mask_t, iterations, L, pad
         )
         pos = jnp.arange(L)[None, :]
         valid = pos < lengths[:, None]
         denom = jnp.maximum(jnp.sum(valid, axis=1), 1)
         mean_conf = jnp.sum(jnp.where(valid, scores, 0.0), axis=1) / denom
+        if return_candidates:
+            return tokens, lengths, mean_conf
         best = jnp.argmax(mean_conf.reshape(B, beam), axis=1)
         flat = jnp.arange(B) * beam + best
         return tokens[flat], lengths[flat]

@@ -24,7 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config.registry import register_criterion, register_model, register_model_architecture
-from .nat_levenshtein import apply_ins_placeholders
+from .nat_levenshtein import _scan_refine_history, apply_ins_placeholders
 from .transformer_mt import TransformerMTConfig, TransformerModel
 
 Dtype = Any
@@ -109,17 +109,20 @@ class InsertionTransformer(nn.Module):
 
     def refine(self, src_tokens, iterations: int = 8, max_len: int = 64,
                pad: int = 1, bos: int = 0, eos: int = 2, unk: int = 3,
-               force_iterations: bool = False):
+               force_iterations: bool = False, return_history: bool = False):
         """Parallel insertion decode -> (tokens [B, L], lengths [B]).
         ``force_iterations`` disables the all-slots-said-pad early exit
-        (--iter-decode-force-max-iter)."""
+        (--iter-decode-force-max-iter). ``return_history``
+        (--retain-iter-history) runs the full fixed bound instead (a no-insert
+        round is a fixpoint of the deterministic rounds, so the result is
+        identical) and also returns per-round canvases [iterations, B, L] +
+        per-sentence step counts [B]."""
         B = src_tokens.shape[0]
         enc, enc_mask = self.encode(src_tokens)
         init_tokens = jnp.full((B, max_len), pad, jnp.int32)
         init_tokens = init_tokens.at[:, 0].set(bos).at[:, 1].set(eos)
 
-        def body(state):
-            i, tokens, _ = state
+        def one_round(tokens):
             logits = self.slot_logits(tokens, enc, enc_mask)
             pick = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, L-1]
             do_insert = (pick != pad) & (tokens[:, 1:] != pad)
@@ -135,7 +138,18 @@ class InsertionTransformer(nn.Module):
                 ),
                 new,
             )
-            return i + 1, filled, jnp.any(do_insert)
+            return filled, jnp.any(do_insert)
+
+        if return_history:
+            tokens, hist, steps = _scan_refine_history(
+                lambda t: one_round(t)[0], init_tokens, iterations
+            )
+            return tokens, jnp.sum(tokens != pad, axis=1), hist, steps
+
+        def body(state):
+            i, tokens, _ = state
+            filled, inserted = one_round(tokens)
+            return i + 1, filled, inserted
 
         def cond(state):
             i, _, inserted = state

@@ -91,6 +91,33 @@ def apply_ins_placeholders(tokens, ins_pred, pad=1, unk=3, eos=2):
     return out
 
 
+def _scan_refine_history(one_round, init_tokens, iterations):
+    """Run ``one_round`` a fixed ``iterations`` times, recording the canvas
+    after every round (--retain-iter-history) and each sentence's step count
+    (the first round whose canvas repeated; ``iterations`` if it never
+    settled — the reference's per-sentence terminated step,
+    iterative_refinement_generator.py:236-247).
+
+    -> (final tokens [B, L], history [iterations, B, L], steps [B])."""
+    B = init_tokens.shape[0]
+
+    def body(carry, _):
+        tokens, steps, done = carry
+        new = one_round(tokens)
+        changed = jnp.any(new != tokens, axis=1)  # [B]
+        steps = jnp.where(done, steps, steps + changed.astype(jnp.int32))
+        done = done | ~changed
+        return (new, steps, done), new
+
+    (tokens, steps, _), hist = jax.lax.scan(
+        body,
+        (init_tokens, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
+        None,
+        length=iterations,
+    )
+    return tokens, hist, steps
+
+
 class LevenshteinTransformer(nn.Module):
     cfg: LevenshteinConfig
     dtype: Dtype = jnp.float32
@@ -160,7 +187,8 @@ class LevenshteinTransformer(nn.Module):
         unk: int = 3,
         eos_penalty: float = 0.0,
         force_iterations: bool = False,
-    ) -> Tuple[jax.Array, jax.Array]:
+        return_history: bool = False,
+    ):
         """Iterative refinement decode -> (tokens [B, L], lengths [B]).
 
         reference: iterative_refinement_generator.py + the model's
@@ -171,7 +199,16 @@ class LevenshteinTransformer(nn.Module):
         ``eos_penalty`` discourages zero-insertion predictions (reference
         levenshtein_transformer.py forward_decoder: mask_ins_score[...,0] -=
         eos_penalty — the --iter-decode-eos-penalty flag); ``force_iterations``
-        is --iter-decode-force-max-iter (early exit disabled)."""
+        is --iter-decode-force-max-iter (early exit disabled).
+
+        ``return_history`` (--retain-iter-history) switches to a
+        fixed-``iterations`` `lax.scan` emitting the canvas after every round
+        plus per-sentence step counts: -> (tokens, lengths,
+        history [iterations, B, L], steps [B]). The rounds are deterministic,
+        so once a canvas repeats it is a fixpoint — running the full bound
+        yields the exact while_loop result (terminated canvases just repeat;
+        the reference's is_a_loop termination is the same repeat test,
+        iterative_refinement_generator.py:165)."""
         B = src_tokens.shape[0]
         L = max_len
         enc, enc_mask = self.encode(src_tokens)
@@ -194,6 +231,12 @@ class LevenshteinTransformer(nn.Module):
             word_logits = self.forward_word_ins(tokens, enc, enc_mask)
             pred = jnp.argmax(word_logits, axis=-1).astype(jnp.int32)
             return jnp.where(tokens == unk, pred, tokens)
+
+        if return_history:
+            tokens, hist, steps = _scan_refine_history(
+                one_round, init_tokens, iterations
+            )
+            return tokens, jnp.sum(tokens != pad, axis=1), hist, steps
 
         def cond(state):
             i, _, changed = state

@@ -205,11 +205,15 @@ class NATransformer(nn.Module):
         max_len: Optional[int] = None,
         iterations: int = 1,
         deterministic: bool = True,
-    ) -> Tuple[jax.Array, jax.Array]:
+        return_history: bool = False,
+    ):
         """Predict lengths, then ``iterations`` full re-prediction passes
         (argmax feedback; the reference's iterative refinement without the
         dynamic early exit). With a CRF head the final pass decodes with
-        Viterbi. -> (tokens [B, L], lengths [B])."""
+        Viterbi. -> (tokens [B, L], lengths [B]).
+
+        With ``return_history`` (--retain-iter-history) also returns the
+        canvas after each pass, [iterations, B, L]."""
         c = self.cfg
         L = max_len or c.max_predicted_length
         enc, enc_mask = self.encode(src_tokens, deterministic)
@@ -220,6 +224,7 @@ class NATransformer(nn.Module):
         pos = jnp.arange(L)[None, :]
         interior = (pos > 0) & (pos < (lengths - 1)[:, None])
 
+        history = []
         for it in range(max(1, iterations)):
             emissions = self.decode_tokens(toks, enc, enc_mask, deterministic)
             if self.crf is not None and it == max(1, iterations) - 1:
@@ -227,6 +232,10 @@ class NATransformer(nn.Module):
             else:
                 pred = jnp.argmax(emissions, axis=-1).astype(jnp.int32)
             toks = jnp.where(interior, pred, toks)
+            if return_history:
+                history.append(toks)
+        if return_history:
+            return toks, lengths, jnp.stack(history)
         return toks, lengths
 
     def translate_with_length_beam(
@@ -236,13 +245,18 @@ class NATransformer(nn.Module):
         max_len: Optional[int] = None,
         iterations: int = 1,
         deterministic: bool = True,
-    ) -> Tuple[jax.Array, jax.Array]:
+        return_candidates: bool = False,
+    ):
         """Length-beam NAT decode (reference:
         iterative_refinement_generator.py:138-158 `--iter-decode-with-beam` on
         models with allow_length_beam): decode the top-``beam`` predicted
         lengths per sentence in ONE batched pass and keep the candidate with
         the best average token log-prob over its interior.
-        -> (tokens [B, L], lengths [B])."""
+        -> (tokens [B, L], lengths [B]).
+
+        With ``return_candidates`` returns all candidates beam-minor —
+        (tokens [B*beam, L], lengths [B*beam], mean log-prob [B*beam]) —
+        for the external reranker (--iter-decode-with-external-reranker)."""
         c = self.cfg
         L = max_len or c.max_predicted_length
         B = src_tokens.shape[0]
@@ -275,6 +289,8 @@ class NATransformer(nn.Module):
         tok_lp = jnp.take_along_axis(lp, toks[..., None], axis=-1)[..., 0]
         denom = jnp.maximum(jnp.sum(interior, axis=1), 1)
         score = jnp.sum(jnp.where(interior, tok_lp, 0.0), axis=1) / denom
+        if return_candidates:
+            return toks, lengths, score
         best = jnp.argmax(score.reshape(B, beam), axis=1)  # [B]
         flat = jnp.arange(B) * beam + best
         return toks[flat], lengths[flat]

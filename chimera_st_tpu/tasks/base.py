@@ -98,14 +98,16 @@ class ChimeraTask:
             cfg.setdefault("padding_idx", self.target_dictionary.pad())
         return CRITERIONS.get(cfg["_name"])(cfg)
 
-    def build_generator(self, model, gen_cfg):
+    def build_generator(self, model, gen_cfg, reranker=None):
         from ..generation.generator import GeneratorSettings, SequenceGenerator
         from ..generation.nat_generator import build_nat_generator
 
         # non-autoregressive families decode via whole-sequence refinement,
         # not beam search (reference: fairseq_task.build_generator routing
-        # to IterativeRefinementGenerator for NAT models)
-        nat = build_nat_generator(model, gen_cfg, self.target_dictionary)
+        # to IterativeRefinementGenerator for NAT models). ``reranker``
+        # (ar_model, ar_params) backs --iter-decode-with-external-reranker.
+        nat = build_nat_generator(model, gen_cfg, self.target_dictionary,
+                                  reranker=reranker)
         if nat is not None:
             return nat
 

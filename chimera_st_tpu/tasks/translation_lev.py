@@ -110,11 +110,12 @@ class TranslationLevenshteinTask(TranslationTask):
         return batch
 
 
-    def build_generator(self, model, gen_cfg):
+    def build_generator(self, model, gen_cfg, reranker=None):
         from ..generation.nat_generator import build_nat_generator
 
         return build_nat_generator(
-            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK
+            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK,
+            reranker=reranker,
         )
 
 @register_task("translation_ins")
@@ -148,10 +149,11 @@ class TranslationInsertionTask(TranslationLevenshteinTask):
         batch["slot_weights"] = wts
         return batch
 
-    def build_generator(self, model, gen_cfg):
+    def build_generator(self, model, gen_cfg, reranker=None):
         from ..generation.nat_generator import build_nat_generator
 
         return build_nat_generator(
-            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK
+            model, gen_cfg, self.tgt_dict, bos=self.BOS, unk=self.UNK,
+            reranker=reranker,
         )
 

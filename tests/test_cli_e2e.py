@@ -480,7 +480,13 @@ def test_joint_training_cli_with_config_files(triplet_dir, tmp_path):
     preprocess.main([
         "-s", "de", "-t", "en",
         "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
-        "--destdir", bin_dir, "--srcdict", f"{triplet_dir}/dict.txt",
+        "--destdir", bin_dir,
+        # joint_task_mtst shares the decoder, so the MT sub-task must use
+        # the SAME (joint) vocabulary as the triplet task — pass the dict
+        # for both sides (--srcdict alone builds the target dict from data
+        # like the reference, which would diverge from the triplet dict)
+        "--srcdict", f"{triplet_dir}/dict.txt",
+        "--tgtdict", f"{triplet_dir}/dict.txt",
     ])
     st_yaml = tmp_path / "task_st.yaml"
     st_yaml.write_text(
