@@ -114,37 +114,48 @@ def run_batch(batch: int):
     return dt, t_enc
 
 
-def _probe_devices(timeout_s: int = 240) -> str:
-    """Bounded backend probe in a subprocess.
+def _devices_or_die(timeout_s: int = 240) -> str:
+    """Backend init with a watchdog instead of a probe subprocess.
 
     When the remote-TPU tunnel is down, jax.devices() blocks FOREVER (no
-    exception) — a hang is worse than a failure for the driver, so probe in
-    a child with a hard timeout and raise a clean error instead. A healthy
-    tunnel answers in ~10-40 s (plugin init + first contact)."""
-    import subprocess
+    exception) — a hang is worse than a failure for the driver. The earlier
+    fix probed in a throwaway child first, but that paid the full 10-40 s
+    plugin init TWICE on every healthy run (review finding). Instead: init
+    in-process and let a watchdog thread emit the parseable error JSON and
+    hard-exit if init hasn't answered within the timeout — zero added
+    latency when the tunnel is up, bounded failure when it isn't."""
+    import os
     import sys
+    import threading
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); print(d[0].platform, len(d))"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        raise RuntimeError(
-            f"device backend unreachable (probe timed out after {timeout_s}s "
-            "— TPU tunnel down?)"
-        )
-    if r.returncode != 0:
-        raise RuntimeError(f"device probe failed: {r.stderr.strip()[-200:]}")
-    return r.stdout.strip()
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "decode_utterances_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "utt/s",
+                "vs_baseline": 0.0,
+                "extras": {"error": (
+                    f"device backend unreachable (init exceeded "
+                    f"{timeout_s}s — TPU tunnel down?)")},
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    import jax
+
+    d = jax.devices()
+    done.set()
+    return f"{d[0].platform} {len(d)}"
 
 
 def main():
     import sys
 
     # stderr: stdout must stay exactly ONE JSON line for the driver
-    print(f"# devices: {_probe_devices()}", file=sys.stderr, flush=True)
+    print(f"# devices: {_devices_or_die()}", file=sys.stderr, flush=True)
     results = {}
     for batch in BATCHES:
         dt, t_enc = run_batch(batch)

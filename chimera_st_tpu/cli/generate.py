@@ -285,10 +285,8 @@ def main(argv=None) -> None:
         iter_decode_with_beam = args.iter_decode_with_beam
         iter_decode_with_external_reranker = getattr(
             args, "iter_decode_with_external_reranker", False)
-        # --print-step needs the per-sentence step counts, which ride the
-        # history-recording decode variant
-        retain_iter_history = getattr(args, "retain_iter_history", False) \
-            or getattr(args, "print_step", False)
+        retain_iter_history = getattr(args, "retain_iter_history", False)
+        print_step = getattr(args, "print_step", False)
         max_len_a = args.max_len_a
         max_len_b = args.max_len_b
         min_len = args.min_len

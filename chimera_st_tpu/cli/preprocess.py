@@ -69,8 +69,11 @@ def main(argv=None) -> None:
         src_dict = Dictionary.load(args.srcdict)
     elif args.joined_dictionary:
         require_trainpref("joined")
+        # dedupe like the reference's set comprehension (preprocess.py:92) —
+        # with --only-source both langs resolve to the same file and a plain
+        # list would double every count, skewing threshold/nwords truncation
         src_dict = build_dict(
-            [train_path(l) for l in (src, tgt)],
+            list(dict.fromkeys(train_path(l) for l in (src, tgt))),
             args.thresholdsrc, args.nwordssrc,
         )
     else:

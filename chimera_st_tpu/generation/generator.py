@@ -162,6 +162,16 @@ class SequenceGenerator:
         else:
             kv_shape = (init_len, c.decoder_heads, head_dim, B * K)
         int8_kv = self.s.kv_cache_int8 and lazy_mode and not pallas_decode
+        if self.s.kv_cache_int8 and not int8_kv:
+            # loud rejection over silent ignore (repo convention, same as
+            # the ensemble decode): the int8 dequant is implemented in the
+            # lazy-reorder cached-attention branch only
+            blocker = ("--sampling" if self.s.sampling
+                       else "CHIMERA_PALLAS_DECODE=1" if pallas_decode
+                       else "lazy_beam_reorder=False")
+            raise NotImplementedError(
+                f"--kv-cache-int8 is only supported on the default "
+                f"lazy-reorder beam decode path; incompatible with {blocker}")
         kv_dtype = jnp.int8 if int8_kv else self.model.dtype
         layer_caches = [
             {

@@ -37,9 +37,10 @@ from typing import Optional, Tuple
 
 def _rerank_settings(gen_cfg):
     retain_history = bool(getattr(gen_cfg, "retain_iter_history", False))
+    print_step = bool(getattr(gen_cfg, "print_step", False))
     reranking = bool(
         getattr(gen_cfg, "iter_decode_with_external_reranker", False))
-    return retain_history, reranking
+    return retain_history, print_step, reranking
 
 
 def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
@@ -62,7 +63,14 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
     eos_penalty = float(getattr(gen_cfg, "iter_decode_eos_penalty", 0.0) or 0.0)
     force = bool(getattr(gen_cfg, "iter_decode_force_max_iter", False))
     length_beam = int(getattr(gen_cfg, "iter_decode_with_beam", 1) or 1)
-    retain_history, reranking = _rerank_settings(gen_cfg)
+    retain_history, print_step, reranking = _rerank_settings(gen_cfg)
+    # --print-step needs per-sentence step counts. On a single canvas they
+    # ride the history-recording decode; length-beam decodes have no early
+    # exit, so every sentence runs the full schedule and the count is the
+    # constant `iterations` (no history variant needed — keeps --print-step
+    # valid alongside --iter-decode-with-beam/--iter-decode-with-external-
+    # reranker like the reference).
+    record_history = retain_history or (print_step and length_beam <= 1)
 
     is_nat = any(hasattr(cls, m) for m in ("refine", "mask_predict",
                                            "translate"))
@@ -90,7 +98,7 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
             "supported here (history is recorded for the single-canvas "
             "refinement)")
 
-    _run_history = None  # set per family when retain_history is viable
+    _run_history = None  # set per family when step/history recording is viable
 
     if hasattr(cls, "refine"):
         iterations = req_iters if req_iters is not None else (
@@ -121,7 +129,7 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
             )
             return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
 
-        if retain_history:
+        if record_history:
             @jax.jit
             def _run_history(params, src_tokens):
                 tokens, lengths, hist, steps = model.apply(
@@ -160,7 +168,7 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
                     pad=pad, eos=eos, method=cls.mask_predict,
                 )
 
-            if retain_history:
+            if record_history:
                 @jax.jit
                 def _run_history(params, src_tokens):
                     tokens, lengths, hist = model.apply(
@@ -208,7 +216,7 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
                 )
                 return tokens[:, 1:], jnp.maximum(lengths - 1, 1)  # drop bos
 
-            if retain_history:
+            if record_history:
                 @jax.jit
                 def _run_history(params, src_tokens):
                     tokens, lengths, hist = model.apply(
@@ -223,7 +231,7 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
     else:
         return None
 
-    if retain_history and _run_history is None:
+    if record_history and _run_history is None:
         raise NotImplementedError(
             f"--retain-iter-history is not supported for {cls.__name__} "
             "with these settings")
@@ -270,12 +278,16 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
         last_steps = None
 
         def generate_text(self, params, src_tokens, src_lengths=None):
+            B = src_tokens.shape[0]
+            if print_step and _run_history is None:
+                # length-beam decodes have no early exit: every sentence runs
+                # the full refinement schedule
+                self.last_steps = np.full((B,), iterations, np.int32)
             if _rerank is not None:
                 # candidates come back beam-minor [B*beam, L]; the NAT
                 # model's own score is replaced by the AR reranker's
                 cand, cand_lens, _ = _candidates(params, src_tokens)
                 rr_score = _rerank(rr_params, src_tokens, cand)
-                B = src_tokens.shape[0]
                 best = jnp.argmax(rr_score.reshape(B, length_beam), axis=1)
                 flat = jnp.arange(B) * length_beam + best
                 tokens, lens = cand[flat], cand_lens[flat]
@@ -283,7 +295,11 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
                 return tokens[:, None, :], scores, lens[:, None]
             if _run_history is not None:
                 tokens, lens, hist, steps = _run_history(params, src_tokens)
-                self.last_history = np.asarray(hist)
+                # history is only surfaced under the explicit flag;
+                # --print-step alone also rides this decode for real
+                # early-exit step counts
+                if retain_history:
+                    self.last_history = np.asarray(hist)
                 self.last_steps = np.asarray(steps)
             else:
                 tokens, lens = _run(params, src_tokens)

@@ -154,6 +154,25 @@ def test_preprocess_only_source_and_srcdict_semantics(tmp_path):
     # built from the German train side (the old behavior reused src_dict)
     assert [src_d[i] for i in range(len(src_d))] != [tgt_d[i] for i in range(len(tgt_d))]
 
+    # --only-source --joined-dictionary: both "langs" resolve to the same
+    # training file; counts must not be doubled (reference preprocess.py:92
+    # dedupes via a set). A word appearing exactly twice must fail a
+    # threshold of 3 — the double-count bug let it through as 4.
+    onceword_dir = tmp_path / "thresh_raw"
+    onceword_dir.mkdir()
+    (onceword_dir / "train.txt").write_text(
+        "common common common common rare rare\n")
+    joined_dir = tmp_path / "joined_only_src"
+    preprocess.main([
+        "--only-source", "--joined-dictionary", "--thresholdsrc", "3",
+        "--trainpref", str(onceword_dir / "train.txt"),
+        "--destdir", str(joined_dir),
+    ])
+    joined_d = Dictionary.load(str(joined_dir / "dict.txt"))
+    syms = [joined_d[i] for i in range(len(joined_d))]
+    assert "common" in syms
+    assert "rare" not in syms
+
 
 def test_score_cli(tmp_path, capsys):
     from chimera_st_tpu.cli import score

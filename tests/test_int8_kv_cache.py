@@ -85,6 +85,20 @@ def test_ensemble_rejects_int8():
         )
 
 
+def test_unsupported_paths_reject_int8_loudly():
+    """--kv-cache-int8 off the lazy-reorder beam path must raise, not
+    silently fall back to full precision (review finding: a user A/B-timing
+    sampling decode would otherwise record a bogus no-effect result)."""
+    import pytest
+
+    model, params, wav, mask = _tiny_setup()
+    with pytest.raises(NotImplementedError, match="sampling"):
+        _decode(params, model, wav, mask, kv_cache_int8=True, sampling=True)
+    with pytest.raises(NotImplementedError, match="lazy"):
+        _decode(params, model, wav, mask, kv_cache_int8=True,
+                lazy_beam_reorder=False)
+
+
 def test_quantization_roundtrip_error_bound():
     # unit check on the quantization scheme itself: per-row symmetric int8
     # keeps worst-case relative error <= 1/254 of the row amax

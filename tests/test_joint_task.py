@@ -13,11 +13,14 @@ def joint_setup(tmp_path_factory):
     st_dir = make_triplet_dir(str(tmp_path_factory.mktemp("st")))
     raw = make_parallel_text(str(tmp_path_factory.mktemp("raw")))
     bin_dir = str(tmp_path_factory.mktemp("bin"))
-    # joint vocabulary: reuse the triplet dict for both sides
+    # joint vocabulary: reuse the triplet dict for both sides (--srcdict
+    # alone builds the target dict from data like the reference, which
+    # would break joint_task_mtst's shared-vocabulary requirement)
     preprocess.main([
         "-s", "de", "-t", "en",
         "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
         "--destdir", bin_dir, "--srcdict", f"{st_dir}/dict.txt",
+        "--tgtdict", f"{st_dir}/dict.txt",
     ])
     cfg = {
         "_name": "joint_task_mtst",

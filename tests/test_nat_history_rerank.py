@@ -254,6 +254,52 @@ def test_reranker_flag_validation(vanilla, ar_reranker):
             D())
 
 
+@pytest.mark.quick
+def test_print_step_works_with_length_beam(vanilla, ar_reranker):
+    """--print-step must NOT force the history decode: with a length beam
+    (no early exit) every sentence's step count is the full schedule, and
+    the combination with --iter-decode-with-external-reranker is valid
+    (review finding: the CLI used to couple print_step to
+    retain_iter_history and crash on beam decodes)."""
+    model, params, src = vanilla
+    gen = build_nat_generator(
+        model,
+        _cfg(iter_decode_with_beam=3, iter_decode_max_iter=2,
+             print_step=True),
+        D())
+    gen.generate_text(params, src)
+    np.testing.assert_array_equal(gen.last_steps,
+                                  np.full((src.shape[0],), 2, np.int32))
+    assert gen.last_history is None  # only --retain-iter-history surfaces it
+
+    rr = ar_reranker
+    gen2 = build_nat_generator(
+        model,
+        _cfg(iter_decode_with_beam=3, iter_decode_max_iter=2,
+             print_step=True, iter_decode_with_external_reranker=True),
+        D(), reranker=rr)
+    gen2.generate_text(params, src)
+    np.testing.assert_array_equal(gen2.last_steps,
+                                  np.full((src.shape[0],), 2, np.int32))
+
+
+@pytest.mark.quick
+def test_print_step_alone_records_real_steps(lev):
+    """Single-canvas decode: --print-step alone rides the history decode for
+    real early-exit step counts but does not surface the canvases."""
+    model, params, src = lev
+    gen = build_nat_generator(
+        model, _cfg(iter_decode_max_iter=4, print_step=True), D())
+    t, _, _ = gen.generate_text(params, src)
+    assert gen.last_steps is not None
+    assert ((gen.last_steps >= 0) & (gen.last_steps <= 4)).all()
+    assert gen.last_history is None
+    # decode unchanged vs the plain adapter
+    plain = build_nat_generator(model, _cfg(iter_decode_max_iter=4), D())
+    t0, _, _ = plain.generate_text(params, src)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))
+
+
 @pytest.mark.slow
 def test_generate_cli_history_and_print_step(tmp_path):
     """e2e: --retain-iter-history/--print-step emit E-<id>_<round> and I-<id>
