@@ -255,21 +255,9 @@ class CheckpointManager:
         return str(p) if p.is_file() else None
 
 
-def average_checkpoints(paths, state_template):
-    """Parameter averaging (replaces the reference's missing
-    scripts/average_checkpoints.py that chimera/tools/eval-average-checkpoint.py
-    depends on)."""
-    acc = None
-    n = 0
-    for p in paths:
-        params = load_params_only(p, state_template)
-        host = _to_host(params)
-        if acc is None:
-            acc = jax.tree_util.tree_map(lambda x: x.astype(np.float64), host)
-        else:
-            acc = jax.tree_util.tree_map(lambda a, x: a + x, acc, host)
-        n += 1
-    return jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+# checkpoint parameter averaging lives in tools/average_checkpoints.py (the
+# chimera-average-checkpoints CLI) — a second template-based implementation
+# here was dead code and has been removed (review fix)
 
 
 def prune_layer_params(tree: Dict[str, Any], layers_to_keep, prefix: str = "layers_"):

@@ -280,9 +280,18 @@ def import_wav2vec_seq2seq_state_dict(
     return _finish_import(sd, out, handled)
 
 
-def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+def import_interlingua_state_dict(
+    sd: Dict[str, Any], apply_mask: bool = False
+) -> Dict[str, Any]:
     """Import a full Chimera interlingua model state dict
-    (reference model: s2t_transformer_w2v2_interlingua) to flax params."""
+    (reference model: s2t_transformer_w2v2_interlingua) to flax params.
+
+    ``apply_mask=True`` keeps the trunk's ``mask_emb`` (only for models built
+    with fine-tune span masking); by default it is dropped like the other
+    wav2vec2 pretraining-only heads — fairseq's Wav2Vec2Model registers
+    mask_emb unconditionally (+ quantizer/project_q/final_proj when
+    configured), so real Chimera fine-tune checkpoints carry them even
+    though ST inference never reads them."""
     out: Dict[str, Any] = {}
 
     # consumption tracking: every key a sub-importer actually READS counts
@@ -292,7 +301,9 @@ def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     tsd = _ConsumeTracking(sd)
 
     # --- encoder.wav2vec_model
-    out["wav2vec_model"] = import_wav2vec2_state_dict(tsd, "encoder.wav2vec_model.")
+    out["wav2vec_model"] = import_wav2vec2_state_dict(
+        tsd, "encoder.wav2vec_model.", keep_mask_emb=apply_mask
+    )
 
     # --- subsampler
     n_sub = _count_layers(sd, r"encoder\.subsample\.conv_layers\.(\d+)\.weight")
@@ -309,8 +320,12 @@ def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         _enc_layer(tsd, f"encoder.transformer_layers.{i}", out, [f"transformer_layers_{i}"])
     n_excl = _count_layers(sd, r"encoder\.audio_exclusive_layers\.(\d+)\.")
     for i in range(n_excl):
+        # read through tsd (NOT the raw sd) so the completeness check sees
+        # these keys as consumed — review fix: checkpoints trained with
+        # non_shared_encoder_layers > 0 imported correctly but then died in
+        # _finish_import with "unmatched checkpoint keys"
         _enc_layer(
-            sd, f"encoder.audio_exclusive_layers.{i}", out, [f"audio_exclusive_layers_{i}"]
+            tsd, f"encoder.audio_exclusive_layers.{i}", out, [f"audio_exclusive_layers_{i}"]
         )
     if "encoder.layer_norm.weight" in sd:
         _norm(tsd, "encoder.layer_norm", out, ["encoder_layer_norm"])
@@ -339,7 +354,17 @@ def import_interlingua_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
         else:
             _set(out, ["decoder", "output_projection", "kernel"], w_proj.T)
 
-    return _finish_import(sd, out, tsd.consumed)
+    # documented drop: wav2vec2 pretraining-only heads under the trunk
+    # prefix (mask_emb unless apply_mask kept it, quantizer/project_q/
+    # final_proj/...) exist in real fine-tune checkpoints but have no
+    # inference-time consumer
+    handled = set(tsd.consumed)
+    handled |= {
+        k for k in sd
+        if k.startswith("encoder.wav2vec_model.")
+        and any(re.search(p, k) for p in W2V2_PRETRAIN_PATTERNS)
+    }
+    return _finish_import(sd, out, handled)
 
 
 def strip_w2v2_pretraining_keys(sd: Dict[str, Any]) -> Dict[str, Any]:

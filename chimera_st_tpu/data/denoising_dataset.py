@@ -189,6 +189,13 @@ class DenoisingDataset:
         return self.blocks.num_tokens(i) + 2
 
     def _framed(self, tokens: np.ndarray) -> np.ndarray:
+        # NOTE (verified non-delta): with append_tokens (multilingual lang
+        # tag) the item is [bos, ..., eos, lang] and every noise op protects
+        # ONLY the first and last positions — so the interior eos at -2 can
+        # be masked/permuted/rotated. That matches the reference exactly:
+        # fairseq's word_starts zeroes is_word_start[0] and [-1] only
+        # (denoising_dataset.py:240-247), and its multilingual_denoising
+        # items likewise end [.., eos, lang] with the eos exposed.
         parts = [np.array([self.bos], tokens.dtype), tokens]
         if tokens[-1] != self.eos:
             parts.append(np.array([self.eos], tokens.dtype))

@@ -64,7 +64,15 @@ class CountingIterator:
         return True
 
     def skip(self, n: int) -> "CountingIterator":
-        next(itertools.islice(self._itr, n, n), None)
+        # a pending has_next() peek is the FIRST upcoming element — it must
+        # count toward the skip, or the stale peeked item would be yielded
+        # out of order after the skipped window (review fix)
+        take = n
+        if take > 0 and getattr(self, "_peeked", self._SENTINEL) \
+                is not self._SENTINEL:
+            self._peeked = self._SENTINEL
+            take -= 1
+        next(itertools.islice(self._itr, take, take), None)
         self.n += n
         return self
 
@@ -86,7 +94,12 @@ class GroupedIterator(CountingIterator):
         )
         self._inner = iter(iterable)
         self._itr = self._chunks()  # inherited has_next/skip consume this
-        self.n = 0
+        # a mid-epoch-resumed CountingIterator arrives with n=offset: group
+        # counters must scale like the reference (iterators.py GroupedIterator
+        # start=ceil(inner.n/chunk)), else len()/has_next() report a full
+        # epoch on every resumed epoch (review fix)
+        inner_n = int(getattr(iterable, "n", 0) or 0)
+        self.n = -(-inner_n // chunk_size) if inner_n > 0 else 0
         self.total = total
 
     def _chunks(self):

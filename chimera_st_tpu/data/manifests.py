@@ -251,6 +251,13 @@ class SpeechToTextDataset:
 
     # --------------------------------------------------------------- collate
 
+    @staticmethod
+    def _collate_order(samples: List[S2TExample]) -> List[S2TExample]:
+        """THE batch order (descending n-frames, stable): the single key
+        definition every collater (base + triplet src_text rows) sorts by,
+        so modality rows can never silently misalign."""
+        return sorted(samples, key=lambda s: -len(s.audio))
+
     def collater(
         self,
         samples: List[S2TExample],
@@ -260,7 +267,7 @@ class SpeechToTextDataset:
         if not samples:
             return {}
         # sort by descending n-frames (reference collater order)
-        samples = sorted(samples, key=lambda s: -len(s.audio))
+        samples = self._collate_order(samples)
         audio = collate_tokens(
             [s.audio for s in samples], 0.0, target_len=audio_target_len,
             dtype=np.float32,
@@ -339,7 +346,10 @@ class TripletDataset(SpeechToTextDataset):
         batch = super().collater(samples, audio_target_len, text_target_len)
         if not batch:
             return batch
-        samples = sorted(samples, key=lambda s: -len(s.audio))
+        # the SAME deterministic order the parent used, from the single
+        # shared key definition — src_text rows must align with the audio
+        # rows (review fix: a duplicated inline sort was fragile coupling)
+        samples = self._collate_order(samples)
         if samples[0].source_text is not None:
             src = collate_tokens(
                 [s.source_text for s in samples],
@@ -398,7 +408,13 @@ def make_dataset_from_tsv(
     rows = load_tsv(str(Path(root) / f"{split}.tsv"))
     audio_paths = [r["audio"] for r in rows]
     n_frames = [int(r["n_frames"]) for r in rows]
-    tgt_texts = [r.get("tgt_text", "") for r in rows]
+    # a manifest without a tgt_text column means NO labels (inference
+    # manifests): pass None so the dataset takes the no-target path instead
+    # of encoding '' to eos-only references (review fix)
+    tgt_texts = (
+        [r["tgt_text"] for r in rows]
+        if rows and "tgt_text" in rows[0] else None
+    )
     ids = [r.get("id", str(i)) for i, r in enumerate(rows)]
     tgt_langs = [r["tgt_lang"] for r in rows] if "tgt_lang" in (rows[0] if rows else {}) else None
     if triplet:

@@ -76,6 +76,38 @@ def test_grouped_iterator_streaming_and_api():
 
 
 @pytest.mark.quick
+def test_skip_counts_a_pending_peek():
+    """has_next() stashes the next element; an immediate skip(n) must count
+    it as the FIRST skipped item — the stale peek used to be yielded out of
+    order after the skipped window (review fix)."""
+    src = CountingIterator(iter(range(6)), total=None)
+    assert src.has_next()  # peeks 0
+    src.skip(2)  # must skip 0 and 1
+    assert next(src) == 2
+    assert src.n == 3
+
+    g = GroupedIterator(CountingIterator(iter(range(8)), total=None), 2)
+    assert g.has_next()  # peeks [0, 1]
+    g.skip(2)  # must skip [0,1] and [2,3]
+    assert next(g) == [4, 5]
+
+
+@pytest.mark.quick
+def test_grouped_iterator_resumed_inner_counters():
+    """A mid-epoch-resumed CountingIterator (n=offset) wrapped in
+    GroupedIterator must report group counters scaled like the reference
+    (start=ceil(n/chunk)), not a full epoch (review fix)."""
+    inner = CountingIterator(iter(range(4, 10)), start=4, total=10)
+    g = GroupedIterator(inner, 2)
+    assert g.total == 5  # ceil(10/2)
+    assert g.n == 2  # ceil(4/2) groups already consumed
+    chunks = list(g)
+    assert chunks == [[4, 5], [6, 7], [8, 9]]
+    assert g.n == 5
+    assert not g.has_next()
+
+
+@pytest.mark.quick
 def test_denoising_prev_keeps_appended_lang_tag():
     """Multilingual denoising: the appended language tag (the row's final
     target token) leads prev_output_tokens (fairseq move_eos_to_beginning

@@ -84,6 +84,36 @@ def test_skip_patterns_accepted(pair):
     import_interlingua_state_dict(sd)  # should not raise
 
 
+def test_w2v2_pretraining_heads_dropped(pair):
+    """Real Chimera fine-tune checkpoints carry the trunk's pretraining-only
+    tensors (fairseq Wav2Vec2Model registers mask_emb unconditionally;
+    quantizer/project_q/final_proj when configured) — the importer must drop
+    them, not die with unmatched-keys (review fix)."""
+    tref, model, params = pair
+    sd = dict(tref.state_dict())
+    sd["encoder.wav2vec_model.mask_emb"] = torch.zeros(8)
+    sd["encoder.wav2vec_model.quantizer.vars"] = torch.zeros(1, 4, 2)
+    sd["encoder.wav2vec_model.project_q.weight"] = torch.zeros(4, 4)
+    sd["encoder.wav2vec_model.final_proj.weight"] = torch.zeros(4, 4)
+    p = import_interlingua_state_dict(sd)  # should not raise
+    assert "mask_emb" not in p["wav2vec_model"]
+    assert "quantizer" not in p["wav2vec_model"]
+
+
+def test_audio_exclusive_layers_consumed(pair):
+    """non_shared_encoder_layers checkpoints: the audio-exclusive stack must
+    be imported AND counted as consumed (review fix: it was read through the
+    raw dict, so the completeness check rejected every such checkpoint)."""
+    tref, model, params = pair
+    sd = dict(tref.state_dict())
+    for k in list(sd):
+        if k.startswith("encoder.transformer_layers.0."):
+            sd[k.replace("encoder.transformer_layers.0.",
+                         "encoder.audio_exclusive_layers.0.")] = sd[k]
+    p = import_interlingua_state_dict(sd)  # should not raise
+    assert "audio_exclusive_layers_0" in p
+
+
 def test_tied_output_projection_alias(pair):
     tref, model, params = pair
     sd = dict(tref.state_dict())
