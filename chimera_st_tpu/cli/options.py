@@ -110,6 +110,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--max-lr", type=float, default=None,
                    help="cosine/triangular ceiling (reference --max-lr)")
     p.add_argument("--lr-period-updates", type=float, default=None)
+    p.add_argument("--t-mult", type=float, default=1.0,
+                   help="cosine restarts: factor to grow each period "
+                        "(reference cosine_lr_scheduler --t-mult)")
     p.add_argument("--lr-shrink", type=float, default=0.1)
     p.add_argument("--init-lr-scale", type=float, default=0.01)
     p.add_argument("--final-lr-scale", type=float, default=0.01)

@@ -107,6 +107,7 @@ def main(argv=None) -> None:
         "end_learning_rate": args.end_learning_rate,
         "power": args.power,
         "lr_shrink": args.lr_shrink,
+        "t_mult": getattr(args, "t_mult", 1.0),
         "init_lr_scale": args.init_lr_scale,
         "final_lr_scale": args.final_lr_scale,
         "maximize_best_checkpoint_metric": args.maximize_best_checkpoint_metric,

@@ -21,7 +21,12 @@ from ..config.registry import LR_SCHEDULERS, register_lr_scheduler
 def fixed(cfg: Dict) -> Callable:
     lr = float(cfg.get("lr", 0.25))
     warmup = int(cfg.get("warmup_updates", 0))
-    warmup_init = float(cfg.get("warmup_init_lr", lr if warmup == 0 else 0.0))
+    # the CLI always passes the fairseq -1 sentinel (review fix: taken
+    # literally it made warmup START at lr=-1, i.e. gradient ascent); the
+    # reference fixed schedule ramps (n+1)/N * lr, i.e. effectively from 0
+    warmup_init = float(cfg.get("warmup_init_lr", -1))
+    if warmup_init < 0:
+        warmup_init = 0.0 if warmup > 0 else lr
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
@@ -54,19 +59,51 @@ def inverse_sqrt(cfg: Dict) -> Callable:
 
 @register_lr_scheduler("cosine")
 def cosine(cfg: Dict) -> Callable:
-    max_lr = float(cfg.get("max_lr", cfg.get("lr", 5e-4)))
-    min_lr = float(cfg.get("min_lr", 1e-5))
+    """Cyclical cosine with warm restarts (SGDR; reference:
+    cosine_lr_scheduler.py:90-151): each ``lr_period_updates`` period
+    restarts the cosine, shrunk by ``lr_shrink**i`` and stretched by
+    ``t_mult**i``. The reference's cosine FLOOR is --lr itself (its ceiling
+    is --max-lr); an explicit min_lr overrides the floor. Review fixes: the
+    previous version ran a single half-cycle then stuck at the floor forever
+    and took the CLI's -1 warmup_init_lr sentinel literally (negative LR
+    through warmup)."""
+    lr = float(cfg.get("lr", 5e-4))
+    max_lr = float(cfg.get("max_lr", lr))
+    min_lr = float(cfg.get("min_lr", lr))
     warmup = int(cfg.get("warmup_updates", 0))
-    warmup_init = float(cfg.get("warmup_init_lr", min_lr))
-    period = float(cfg.get("lr_period_updates", 50000))
+    warmup_init = float(cfg.get("warmup_init_lr", -1))
+    if warmup_init < 0:
+        warmup_init = lr  # reference cosine sentinel resolves to --lr
+    period = float(cfg.get("lr_period_updates") or -1)
+    if period <= 0:
+        max_update = float(cfg.get("max_update") or 0)
+        if max_update <= 0:
+            raise ValueError(
+                "cosine needs --lr-period-updates or a positive --max-update "
+                "(the reference derives period = max_update - warmup_updates)")
+        period = max(max_update - warmup, 1.0)
+    t_mult = float(cfg.get("t_mult", 1.0))
+    lr_shrink = float(cfg.get("lr_shrink", 0.1))
+    lr_step = (max_lr - warmup_init) / warmup if warmup > 0 else 1.0
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = warmup_init + (max_lr - warmup_init) * jnp.minimum(step, max(warmup, 1)) / max(
-            warmup, 1
-        )
-        t = jnp.minimum((step - warmup) / period, 1.0)
-        cos = min_lr + 0.5 * (max_lr - min_lr) * (1 + jnp.cos(math.pi * t))
+        warm = warmup_init + step * lr_step
+        curr = jnp.maximum(step - warmup, 0.0)
+        if t_mult != 1.0:
+            i = jnp.floor(
+                jnp.log1p(-curr / period * (1.0 - t_mult)) / math.log(t_mult)
+            )
+            t_i = jnp.power(t_mult, i) * period
+            t_curr = curr - (1.0 - jnp.power(t_mult, i)) / (1.0 - t_mult) * period
+        else:
+            i = jnp.floor(curr / period)
+            t_i = period
+            t_curr = curr - period * i
+        shrink = jnp.power(lr_shrink, i)
+        mn = min_lr * shrink
+        mx = max_lr * shrink
+        cos = mn + 0.5 * (mx - mn) * (1.0 + jnp.cos(math.pi * t_curr / t_i))
         return jnp.where(step < warmup, warm, cos)
 
     return sched
@@ -161,7 +198,9 @@ class PlateauSchedule:
         self.patience = int(cfg.get("lr_patience", 0))
         self.maximize = bool(cfg.get("maximize_best_checkpoint_metric", False))
         self.warmup = int(cfg.get("warmup_updates", 0))
-        self.warmup_init = float(cfg.get("warmup_init_lr", 0.0))
+        self.warmup_init = float(cfg.get("warmup_init_lr", -1))
+        if self.warmup_init < 0:  # fairseq sentinel (reference :45-46)
+            self.warmup_init = 0.0 if self.warmup > 0 else self.lr
         self.scale = 1.0
         self._best = None
         self._bad = 0

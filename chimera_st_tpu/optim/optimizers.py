@@ -25,6 +25,17 @@ def _parse_betas(v, default=(0.9, 0.999)) -> Tuple[float, float]:
     return tuple(v)
 
 
+def _with_l2(cfg: Dict, tx: optax.GradientTransformation):
+    """torch-style L2 weight decay: add wd*param to the GRADIENT before the
+    optimizer update (what torch.optim SGD/NAG/Adagrad/Adamax/Adadelta do
+    with weight_decay — review fix: --weight-decay was silently ignored for
+    every optimizer except adam/lamb)."""
+    wd = float(cfg.get("weight_decay", 0.0))
+    if wd > 0:
+        return optax.chain(optax.add_decayed_weights(wd), tx)
+    return tx
+
+
 @register_optimizer("adam")
 def adam(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
     b1, b2 = _parse_betas(cfg.get("adam_betas"), (0.9, 0.999))
@@ -37,38 +48,51 @@ def adam(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
 
 @register_optimizer("adafactor")
 def adafactor(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
-    return optax.adafactor(learning_rate=lr_schedule)
+    # fairseq adafactor applies DECOUPLED decay scaled by the adaptive step
+    # (adafactor.py p.add_(-wd * lr_t, p)) == optax weight_decay_rate
+    return optax.adafactor(
+        learning_rate=lr_schedule,
+        weight_decay_rate=float(cfg.get("weight_decay", 0.0)) or None,
+    )
 
 
 @register_optimizer("adagrad")
 def adagrad(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
-    return optax.adagrad(lr_schedule, eps=float(cfg.get("adagrad_eps", 1e-10)))
+    return _with_l2(
+        cfg, optax.adagrad(lr_schedule, eps=float(cfg.get("adagrad_eps", 1e-10)))
+    )
 
 
 @register_optimizer("adadelta")
 def adadelta(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
-    return optax.adadelta(
+    return _with_l2(cfg, optax.adadelta(
         lr_schedule,
         rho=float(cfg.get("adadelta_rho", 0.9)),
         eps=float(cfg.get("adadelta_eps", 1e-6)),
-    )
+    ))
 
 
 @register_optimizer("sgd")
 def sgd(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
     momentum = float(cfg.get("momentum", 0.0))
-    return optax.sgd(lr_schedule, momentum=momentum if momentum > 0 else None)
+    return _with_l2(
+        cfg, optax.sgd(lr_schedule, momentum=momentum if momentum > 0 else None)
+    )
 
 
 @register_optimizer("nag")
 def nag(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
-    return optax.sgd(lr_schedule, momentum=float(cfg.get("momentum", 0.99)), nesterov=True)
+    return _with_l2(cfg, optax.sgd(
+        lr_schedule, momentum=float(cfg.get("momentum", 0.99)), nesterov=True
+    ))
 
 
 @register_optimizer("adamax")
 def adamax(cfg: Dict, lr_schedule: Callable) -> optax.GradientTransformation:
     b1, b2 = _parse_betas(cfg.get("adamax_betas"), (0.9, 0.999))
-    return optax.adamax(lr_schedule, b1=b1, b2=b2, eps=float(cfg.get("adamax_eps", 1e-8)))
+    return _with_l2(cfg, optax.adamax(
+        lr_schedule, b1=b1, b2=b2, eps=float(cfg.get("adamax_eps", 1e-8))
+    ))
 
 
 def build_optimizer(

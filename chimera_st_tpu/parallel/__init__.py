@@ -8,7 +8,6 @@ from .pipeline import (
     stack_stage_params,
 )
 from .partition import (
-    batch_sharding,
     param_partition_specs,
     shard_batch,
     shard_params,
@@ -19,7 +18,6 @@ __all__ = [
     "make_mesh",
     "initialize_distributed",
     "param_partition_specs",
-    "batch_sharding",
     "shard_batch",
     "shard_params",
     "zero1_opt_state_specs",

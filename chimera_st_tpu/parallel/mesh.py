@@ -19,7 +19,6 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
 
@@ -55,6 +54,10 @@ def make_pipeline_mesh(
     )
     if data_parallel == -1:
         data_parallel = n // pipeline_stages
+    assert data_parallel * pipeline_stages <= n, (
+        f"mesh {data_parallel}x{pipeline_stages} (data x pipe) needs more "
+        f"than {n} devices"
+    )
     used = devices[: data_parallel * pipeline_stages]
     arr = np.asarray(used).reshape(data_parallel, pipeline_stages)
     return Mesh(arr, ("data", "pipe"))

@@ -106,16 +106,32 @@ def zero1_opt_state_specs(
     if tx is not None and param_specs is not None:
         import optax
 
-        return optax.tree_map_params(
-            tx,
-            lambda leaf, spec: (
-                P() if not hasattr(leaf, "shape") or leaf.ndim == 0
-                else data_spec(leaf, tuple(spec))
-            ),
-            opt_state,
-            param_specs,
-            transform_non_params=lambda leaf: P(),
-        )
+        try:
+            return optax.tree_map_params(
+                tx,
+                lambda leaf, spec: (
+                    P() if not hasattr(leaf, "shape") or leaf.ndim == 0
+                    else data_spec(leaf, tuple(spec))
+                ),
+                opt_state,
+                param_specs,
+                transform_non_params=lambda leaf: P(),
+            )
+        except (ValueError, TypeError) as e:
+            # optax.tree_map_params cannot traverse some WRAPPED optimizers
+            # (e.g. the freeze controls' optax.multi_transform — its inner
+            # state flattening trips over the PartitionSpec leaves). Fall
+            # back to plain data sharding for the moments: still a valid
+            # ZeRO-1 layout, just without TP-spec inheritance (XLA may
+            # reshard TP params' moments each step). Review fix:
+            # --zero-sharding os + any --fix-* flag used to crash here.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "zero1_opt_state_specs: optimizer state not traversable via "
+                f"optax.tree_map_params ({type(e).__name__}: {e}); falling "
+                "back to data-only moment sharding (no TP-spec inheritance)"
+            )
 
     def spec_for(path, leaf):
         if not hasattr(leaf, "shape") or leaf.ndim == 0:
@@ -133,17 +149,6 @@ def shard_params(params: Any, mesh: Mesh, specs: Optional[Any] = None) -> Any:
     )
 
 
-def batch_sharding(mesh: Mesh, ndim_map: Optional[Dict[str, int]] = None):
-    """NamedSharding for batches: leading dim over ``data``."""
-
-    def shard(leaf):
-        if not hasattr(leaf, "ndim") or leaf.ndim == 0:
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, P("data"))
-
-    return shard
-
-
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """device_put a batch dict with leading dims sharded over ``data``.
 
@@ -153,8 +158,6 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     split done by the dataloader sharding, fairseq/data/iterators.py
     ShardedIterator — under SPMD one process feeds the global batch and XLA
     splits it along the sharded dim)."""
-    import numpy as np
-
     n_data = mesh.shape.get("data", 1)
 
     def put(v):

@@ -52,7 +52,6 @@ Two scope notes:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax

@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
 
 def _ring_attention_local(q, k, v, kv_valid, axis_name: str, scale: float):
     """Per-device body (runs inside shard_map).
@@ -94,7 +99,7 @@ def ring_self_attention(
     )
     scale = 1.0 / float(D) ** 0.5
     spec = P(None, axis, None, None)
-    fn = jax.shard_map(
+    fn = shard_map(
         partial(_ring_attention_local, axis_name=axis, scale=scale),
         mesh=mesh,
         in_specs=(spec, spec, spec, P(None, axis)),

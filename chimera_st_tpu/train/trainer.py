@@ -89,7 +89,12 @@ class Trainer:
         self._t_start = time.time()
 
         opt_shardings = None
-        if zero_sharding == "os" and mesh is not None:
+        # must mirror create_train_state's gate EXACTLY (data axis > 1):
+        # on a TP-/pipe-only mesh the opt state is never device_put, and
+        # capturing its SingleDeviceShardings here made the jitted step's
+        # with_sharding_constraint crash on the first update (review fix)
+        if zero_sharding == "os" and mesh is not None \
+                and mesh.shape.get("data", 1) > 1:
             opt_shardings = jax.tree_util.tree_map(
                 lambda x: x.sharding, self.state.opt_state
             )
@@ -217,7 +222,11 @@ class Trainer:
             )
             out["nonfinite_grad"] = 1.0
         if self.lr_schedule is not None:
-            out["lr"] = float(self.lr_schedule(self.num_updates))
+            # state.step already incremented: report the LR the update USED
+            # (optax scale_by_schedule evaluated the pre-increment count) —
+            # review fix: logging schedule(step) was one step ahead, so TB
+            # warmup curves never showed schedule(0)
+            out["lr"] = float(self.lr_schedule(max(self.num_updates - 1, 0)))
         ss = max(float(total_ss), 1.0)
         # every criterion's loss-like keys reach the metrics system — new
         # criterions must not silently skip progress/TB aggregation

@@ -275,6 +275,62 @@ def test_zero1_over_tp_factored_moments():
                     assert leaf.shape[i] % mesh.shape[ax] == 0
 
 
+def test_zero1_with_freeze_wrapped_optimizer():
+    """--zero-sharding os + --fix-* flags: the freeze controls wrap the
+    optimizer in optax.multi_transform, which optax.tree_map_params cannot
+    traverse — the spec builder must fall back to data-only moment sharding
+    instead of crashing at startup (review fix, reproduced)."""
+    import optax
+
+    from chimera_st_tpu.optim.freeze import wrap_freeze
+    from chimera_st_tpu.parallel import make_mesh, shard_params
+    from chimera_st_tpu.train.train_step import create_train_state
+
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    params = {
+        "wav2vec_model": {"fc1": {"kernel": jnp.ones((64, 128))}},
+        "decoder": {"fc2": {"kernel": jnp.ones((128, 64))}},
+    }
+    placed = shard_params(params, mesh)
+    tx = wrap_freeze(optax.adam(1e-3), params, ["fix_wav2vec"])
+    state = create_train_state(placed, tx, mesh=mesh, zero_sharding="os")
+    # moments exist and carry valid (divisible) shardings
+    for leaf in jax.tree_util.tree_leaves(state.opt_state):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is None:
+            continue
+        for i, ax in enumerate(spec):
+            if ax:
+                assert leaf.shape[i] % mesh.shape[ax] == 0
+
+
+def test_zero1_gate_matches_on_tp_only_mesh():
+    """zero_sharding='os' on a mesh whose data axis is 1 (TP-only): the
+    Trainer must not capture opt-state shardings that create_train_state
+    never placed — the first jitted update used to crash on
+    with_sharding_constraint (review fix, reproduced)."""
+    import optax
+
+    from chimera_st_tpu.parallel import make_mesh, shard_params
+    from chimera_st_tpu.train.train_step import create_train_state
+
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    params = {"layer": {"fc1": {"kernel": jnp.ones((64, 128))}}}
+    placed = shard_params(params, mesh)
+    tx = optax.adam(1e-3)
+    state = create_train_state(placed, tx, mesh=mesh, zero_sharding="os")
+    # mirror the Trainer's gate: opt shardings only when data > 1
+    opt_shardings = None
+    if mesh.shape.get("data", 1) > 1:
+        opt_shardings = jax.tree_util.tree_map(
+            lambda x: x.sharding, state.opt_state
+        )
+    # the gate itself is the regression surface: with data=1 the Trainer
+    # must not thread opt-state shardings into the jitted apply step
+    assert opt_shardings is None
+    assert state.opt_state is not None
+
+
 def test_nonfinite_grad_paths_naming():
     """Skip-path diagnosis names the offending grad subtrees (replaces the
     reference's NanDetector hook re-run, fairseq/nan_detector.py:14)."""

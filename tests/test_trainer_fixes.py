@@ -83,6 +83,73 @@ def test_scheduler_hyperparams_reachable():
 
 
 @pytest.mark.quick
+def test_warmup_init_sentinel_never_negative():
+    """The CLI always passes the fairseq warmup_init_lr=-1 sentinel; every
+    warmup-capable schedule must resolve it, not warm up from lr=-1
+    (review fix: cosine/fixed/plateau took it literally, training with a
+    NEGATIVE LR through most of warmup)."""
+    for name, extra in (
+        ("fixed", {}),
+        ("inverse_sqrt", {}),
+        ("cosine", {"max_lr": 2e-3, "lr_period_updates": 1000}),
+        ("reduce_lr_on_plateau", {}),
+    ):
+        sched = build_lr_schedule({
+            "_name": name, "lr": 1e-3, "warmup_updates": 100,
+            "warmup_init_lr": -1.0, **extra,
+        })
+        for step in (0, 1, 50, 99, 100, 500):
+            lr = float(sched(step))
+            assert lr >= 0.0, f"{name} lr({step}) = {lr}"
+
+
+@pytest.mark.quick
+def test_cosine_restarts_with_shrink():
+    """Cosine is cyclical with warm restarts (reference
+    cosine_lr_scheduler.py): after each lr_period_updates the schedule
+    restarts, shrunk by lr_shrink**i — it must NOT stick at the floor
+    forever after one half-cycle (review fix)."""
+    sched = build_lr_schedule({
+        "_name": "cosine", "lr": 1e-4, "max_lr": 1e-3,
+        "warmup_updates": 0, "lr_period_updates": 100, "lr_shrink": 0.5,
+    })
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-4)  # cycle top
+    assert float(sched(100)) == pytest.approx(0.5e-3, rel=1e-4)  # restart, shrunk
+    assert float(sched(200)) == pytest.approx(0.25e-3, rel=1e-4)
+    # mid-cycle of the second period is above its floor
+    assert float(sched(150)) > float(sched(199))
+    # period defaults to max_update - warmup when lr_period_updates unset
+    sched2 = build_lr_schedule({
+        "_name": "cosine", "lr": 1e-4, "max_lr": 1e-3,
+        "warmup_updates": 10, "max_update": 110,
+    })
+    assert float(sched2(10)) == pytest.approx(1e-3, rel=1e-4)
+    with pytest.raises(ValueError, match="cosine"):
+        build_lr_schedule({"_name": "cosine", "lr": 1e-4, "max_lr": 1e-3})
+
+
+@pytest.mark.quick
+def test_weight_decay_reaches_every_optimizer():
+    """--weight-decay must change the update for EVERY optimizer family the
+    reference regularizes, not just adam/lamb (review fix)."""
+    import jax.numpy as jnp
+
+    from chimera_st_tpu.optim.optimizers import build_optimizer
+
+    for name in ("sgd", "nag", "adagrad", "adadelta", "adamax",
+                 "adafactor", "adam", "lamb"):
+        p = {"w": jnp.ones(4)}
+        g = {"w": jnp.zeros(4)}  # zero grad isolates the decay term
+        u_wd, _ = (lambda tx: tx.update(g, tx.init(p), p))(
+            build_optimizer({"_name": name, "weight_decay": 0.01},
+                            lambda s: 1e-2))
+        u_no, _ = (lambda tx: tx.update(g, tx.init(p), p))(
+            build_optimizer({"_name": name, "weight_decay": 0.0},
+                            lambda s: 1e-2))
+        assert abs(float(u_wd["w"][0]) - float(u_no["w"][0])) > 0, name
+
+
+@pytest.mark.quick
 def test_load_state_restores_template_placement(tmp_path):
     """load_state re-applies the template's device placement (review fix:
     host numpy leaves dropped ZeRO/TP shardings on resume)."""
