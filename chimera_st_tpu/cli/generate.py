@@ -296,8 +296,10 @@ def main(argv=None) -> None:
         min_len_b = getattr(args, "min_len_b", 0)
         if getattr(args, "match_source_len", False):
             # pin hypothesis length to source length (reference
-            # sequence_generator.py match_source_len)
-            max_len_a, max_len_b = 1.0, 0
+            # sequence_generator.py match_source_len). max_lens now budget
+            # REAL tokens (reference `step >= max_len` convention), so the
+            # source's eos is excluded via b=-1 on both bounds
+            max_len_a, max_len_b = 1.0, -1
             min_len_a, min_len_b = 1.0, -1
         lenpen = args.lenpen
         if getattr(args, "unnormalized", False):
@@ -409,23 +411,41 @@ def main(argv=None) -> None:
         if args.results_path else sys.stdout
     strip = task.lang_tag_indices() if hasattr(task, "lang_tag_indices") else set()
 
+    prefix_size = int(getattr(args, "prefix_size", 0) or 0)
+    if prefix_size > 0 and not getattr(generator, "supports_prefix", False):
+        raise NotImplementedError(
+            "--prefix-size is only supported for the single-model beam "
+            "decode (NAT refinement and ensemble decoding have no prefix "
+            "forcing here)")
+
     n_sent = 0
     n_tokens = 0
     t0 = time.time()
     for batch in itr:
         ids = batch["id"]
+        prefix = None
+        if prefix_size > 0 and batch.get("target") is not None:
+            # force each hypothesis to start with the reference's first
+            # prefix_size tokens (reference generate.py:181-186
+            # prefix_tokens = target[:, :prefix_size]); pad rows force
+            # nothing
+            prefix = maybe_shard(
+                np.asarray(batch["target"])[:, :prefix_size].astype(np.int32)
+            )
         if "audio" in batch:
             tokens, scores, lens = generator.generate_audio(
                 params,
                 maybe_shard(batch["audio"]),
                 maybe_shard(batch["audio_padding_mask"]),
                 src_lengths=maybe_shard(batch["audio_lengths"]),
+                **({"prefix_tokens": prefix} if prefix is not None else {}),
             )
         else:
             tokens, scores, lens = generator.generate_text(
                 params,
                 maybe_shard(batch["src_tokens"]),
                 src_lengths=maybe_shard(batch["src_lengths"]),
+                **({"prefix_tokens": prefix} if prefix is not None else {}),
             )
         tokens, scores, lens = map(np.asarray, (tokens, scores, lens))
         alignments = None

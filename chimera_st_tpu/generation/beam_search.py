@@ -194,7 +194,11 @@ def beam_search(
         bos = eos
     if max_lens is None:
         max_lens = jnp.full((B,), max_len, jnp.int32)
-    max_lens = jnp.minimum(max_lens, max_len).astype(jnp.int32)
+    # reference convention (sequence_generator.py:331 `step >= max_len`):
+    # a hypothesis may carry max_lens REAL tokens, with eos forced at step
+    # max_lens — so clamp to the buffer budget minus the eos slot (the
+    # reference clamps to max_positions - 1 the same way, :228-230)
+    max_lens = jnp.minimum(max_lens, max_len - 1).astype(jnp.int32)
 
     # only beam 0 live initially so the first expansion is not K duplicates;
     # with diverse groups, the first beam of EACH group is live (groups run
@@ -219,10 +223,12 @@ def beam_search(
         return jnp.power(jnp.maximum(length, 1).astype(jnp.float32), len_penalty)
 
     def cond(state: BeamState) -> jax.Array:
-        not_at_end = state.cur_index < jnp.max(max_lens)
+        not_at_end = state.cur_index < jnp.max(max_lens) + 1  # eos-forcing step
         # best possible score any alive hypo could still reach (max over
         # beams: strategy-ordered alive sets are not score-sorted)
-        best_possible = jnp.max(state.alive_scores, axis=1) / length_norm(max_lens)
+        best_possible = jnp.max(state.alive_scores, axis=1) / length_norm(
+            max_lens + 1  # longest achievable finished length (incl. eos)
+        )
         worst_finished = jnp.min(
             jnp.where(state.finished_flags, state.finished_scores, NEG_INF), axis=1
         )
@@ -255,9 +261,12 @@ def beam_search(
         if unk is not None and unk_penalty != 0.0:
             logprobs = logprobs.at[:, :, unk].add(-unk_penalty)
         logprobs = logprobs.at[:, :, pad].set(NEG_INF)
-        # force eos at per-sentence max length, keeping the model's true eos
-        # score (reference: sequence_generator.py:360-364 masks all-but-eos)
-        at_max = (gen_len >= max_lens)[:, None, None]
+        # force eos once max_lens REAL tokens were emitted, keeping the
+        # model's true eos score (reference: sequence_generator.py:330-333
+        # `step >= max_len` masks all-but-eos; review fix — `gen_len >=
+        # max_lens` forced eos one token early, so --max-len-b N produced
+        # at most N-1 real tokens)
+        at_max = (gen_len > max_lens)[:, None, None]
         eos_only = jnp.full_like(logprobs, NEG_INF).at[:, :, eos].set(
             logprobs[:, :, eos]
         )
@@ -477,7 +486,7 @@ def beam_search(
     none_finished = jnp.logical_not(jnp.any(final.finished_flags, axis=1))
     # per-sentence max_lens, not the global max (review fix: short sentences
     # falling back were normalized/reported with the batch-wide maximum)
-    own_max = max_lens.astype(jnp.int32)  # [B]
+    own_max = (max_lens + 1).astype(jnp.int32)  # [B] incl. the eos slot
     alive_norm = final.alive_scores / length_norm(own_max)[:, None]
     out_seq = jnp.where(
         none_finished[:, None, None], final.alive_seq, final.finished_seq

@@ -108,14 +108,24 @@ def ctc_beam_search(
     beams: Dict[Tuple[int, ...], Tuple[float, float]] = {(): (0.0, LOG0)}
     topk = min(beam_size * 4, V)
 
+    # hoisted out of the per-(frame x beam x candidate) inner loop: building
+    # the V-element name list (and the prefix context) per call dominated
+    # host-side decode cost (review fix)
+    names = token_strings if lm is not None and token_strings is not None \
+        else ([str(i) for i in range(V)] if lm is not None else None)
+    ctx_cache: Dict[Tuple[int, ...], List[str]] = {}
+
     def lm_score(prefix: Tuple[int, ...], tok: int) -> float:
         if lm is None:
             return 0.0
-        names = token_strings or [str(i) for i in range(V)]
-        ctx = [names[t] for t in prefix]
+        ctx = ctx_cache.get(prefix)
+        if ctx is None:
+            ctx = [names[t] for t in prefix]
+            ctx_cache[prefix] = ctx
         return lm_weight * lm.score(ctx, names[tok]) + word_score
 
     for t in range(T):
+        ctx_cache.clear()  # only this frame's beam prefixes recur
         frame = log_probs[t]
         cand = np.argpartition(-frame, topk - 1)[:topk]
         if blank not in cand:

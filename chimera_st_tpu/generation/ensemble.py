@@ -164,21 +164,24 @@ class EnsembleSequenceGenerator:
         )
 
     def _max_lens(self, src_lengths):
+        # shared with SequenceGenerator so the length convention cannot
+        # drift between the single-model and ensemble paths (review fix:
+        # the formula was duplicated verbatim here)
         if src_lengths is None:
             return None
-        ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
-        return jnp.minimum(ml, self.s.max_decode_len)
+        from .generator import max_lens_from_settings
+
+        return max_lens_from_settings(self.s, src_lengths)
 
     def _min_lens(self, src_lengths):
         """Per-sentence minimums (--min-len-a/b, --match-source-len) — the
         single-model generator honored these but the ensemble path silently
         dropped them (review fix)."""
-        if src_lengths is None or (
-            self.s.min_len_a == 0.0 and self.s.min_len_b == 0
-        ):
+        if src_lengths is None:
             return None
-        ml = (self.s.min_len_a * src_lengths + self.s.min_len_b).astype(jnp.int32)
-        return jnp.minimum(ml, self.s.max_decode_len - 1)
+        from .generator import min_lens_from_settings
+
+        return min_lens_from_settings(self.s, src_lengths)
 
     def generate_audio(self, source, padding_mask, src_lengths=None):
         encoder_outs = self.encode_audio(source, padding_mask)

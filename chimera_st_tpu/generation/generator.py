@@ -66,7 +66,29 @@ class GeneratorSettings:
     kv_cache_int8: bool = False
 
 
+def max_lens_from_settings(s: "GeneratorSettings", src_lengths):
+    """Per-sentence max REAL-token budgets: a*src_len + b, clamped to the
+    decode buffer minus the eos slot (reference: sequence_generator.py:226-230
+    min(a*src+b, max_positions - 1)). Shared by the single-model and
+    ensemble generators so the length convention cannot drift between them."""
+    ml = (s.max_len_a * src_lengths + s.max_len_b).astype(jnp.int32)
+    return jnp.minimum(ml, s.max_decode_len - 1)
+
+
+def min_lens_from_settings(s: "GeneratorSettings", src_lengths):
+    """Per-sentence minimums (reference: search.py:526
+    LengthConstrainedBeamSearch min_len_a/b); None when disabled."""
+    if s.min_len_a == 0.0 and s.min_len_b == 0:
+        return None
+    ml = (s.min_len_a * src_lengths + s.min_len_b).astype(jnp.int32)
+    return jnp.minimum(ml, s.max_decode_len - 1)
+
+
 class SequenceGenerator:
+    # --prefix-size plumbing marker: the generate CLI forces reference
+    # hypotheses' first tokens only through generators that implement it
+    supports_prefix = True
+
     def __init__(
         self,
         model: ChimeraInterlinguaModel,
@@ -81,6 +103,28 @@ class SequenceGenerator:
         self.s = settings
         self.pad, self.eos, self.unk = pad, eos, unk
         self.bos = eos if bos is None else bos
+        if settings.sampling:
+            # mutually exclusive search modes raise like the reference
+            # (search.py 'Provided Search parameters are mutually
+            # exclusive'); review fix — sampling used to win silently
+            conflicts = []
+            if settings.diversity_rate > 0:
+                conflicts.append("--diversity-rate")
+            if settings.diverse_beam_groups > 0:
+                conflicts.append("--diverse-beam-groups")
+            if settings.no_repeat_ngram_size > 0:
+                # the jit sampling loop has no n-gram ban (beam only)
+                conflicts.append("--no-repeat-ngram-size")
+            if strategy is not None:
+                conflicts.append(f"search strategy {type(strategy).__name__}")
+            if conflicts:
+                raise ValueError(
+                    "--sampling is mutually exclusive with: "
+                    + ", ".join(conflicts))
+        if settings.diversity_rate > 0 and settings.diverse_beam_groups > 0:
+            raise ValueError(
+                "--diversity-rate (diverse siblings) and "
+                "--diverse-beam-groups are mutually exclusive search modes")
         if strategy is None and settings.diversity_rate > 0:
             from .search_strategies import DiverseSiblingsSearch
 
@@ -116,6 +160,7 @@ class SequenceGenerator:
         beam_size: int,
         rng: Optional[jax.Array] = None,
         min_lens: Optional[jax.Array] = None,  # [B] or None
+        prefix_tokens: Optional[jax.Array] = None,  # [B, P] forced prefix
     ):
         B, S, _ = encoder_out.shape
         K = beam_size
@@ -190,7 +235,7 @@ class SequenceGenerator:
             }
             for _ in range(c.decoder_layers)
         ]
-        lazy = self.s.lazy_beam_reorder and not self.s.sampling
+        lazy = lazy_mode  # single definition (review fix: was recomputed)
         reorder_fn = None
         if lazy:
             # ancestry rows cover one position past the kv length so the
@@ -247,6 +292,10 @@ class SequenceGenerator:
         if self.s.sampling:
             from .sampling import sample_decode
 
+            if prefix_tokens is not None:
+                raise NotImplementedError(
+                    "--prefix-size with --sampling is not supported here "
+                    "(prefix forcing is a beam-decode feature)")
             return sample_decode(
                 step_fn,
                 init_caches,
@@ -263,6 +312,8 @@ class SequenceGenerator:
                 max_lens=max_lens,
                 min_lens=min_lens,
                 len_penalty=self.s.len_penalty,
+                unk=self.unk,
+                unk_penalty=self.s.unk_penalty,
             )
         return beam_search(
             step_fn,
@@ -286,22 +337,16 @@ class SequenceGenerator:
             cache_segment=self.s.cache_segment,
             beam_minor_caches=True,  # [L, H, D, B*K] time-major caches
             reorder_fn=reorder_fn,
+            prefix_tokens=prefix_tokens,
         )
 
     # ----------------------------------------------------------- public API
 
     def max_lens_for_src(self, src_lengths: jax.Array) -> jax.Array:
-        """reference: max_len = a * src_len + b (sequence_generator.py:247)."""
-        ml = (self.s.max_len_a * src_lengths + self.s.max_len_b).astype(jnp.int32)
-        return jnp.minimum(ml, self.s.max_decode_len)
+        return max_lens_from_settings(self.s, src_lengths)
 
     def min_lens_for_src(self, src_lengths: jax.Array) -> Optional[jax.Array]:
-        """Per-sentence minimums (reference: search.py:526
-        LengthConstrainedBeamSearch min_len_a/b); None when disabled."""
-        if self.s.min_len_a == 0.0 and self.s.min_len_b == 0:
-            return None
-        ml = (self.s.min_len_a * src_lengths + self.s.min_len_b).astype(jnp.int32)
-        return jnp.minimum(ml, self.s.max_decode_len - 1)
+        return min_lens_from_settings(self.s, src_lengths)
 
     def generate_audio(
         self,
@@ -309,6 +354,7 @@ class SequenceGenerator:
         source: jax.Array,  # [B, T] waveform
         padding_mask: jax.Array,
         src_lengths: Optional[jax.Array] = None,
+        prefix_tokens: Optional[jax.Array] = None,
     ):
         enc, enc_mask = self._jit_encode_audio(params, source, padding_mask)
         max_lens = (
@@ -324,7 +370,7 @@ class SequenceGenerator:
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
-            min_lens=min_lens,
+            min_lens=min_lens, prefix_tokens=prefix_tokens,
         )
 
     def generate_text(
@@ -332,6 +378,7 @@ class SequenceGenerator:
         params,
         src_tokens: jax.Array,
         src_lengths: Optional[jax.Array] = None,
+        prefix_tokens: Optional[jax.Array] = None,
     ):
         enc, enc_mask = self._jit_encode_text(params, src_tokens)
         max_lens = (
@@ -347,7 +394,7 @@ class SequenceGenerator:
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
-            min_lens=min_lens,
+            min_lens=min_lens, prefix_tokens=prefix_tokens,
         )
 
     @staticmethod

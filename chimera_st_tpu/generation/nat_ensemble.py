@@ -125,7 +125,8 @@ def build_nat_ensemble_generator(models, params_list, gen_cfg, tgt_dict):
         )
     if not all(isinstance(m, LevenshteinTransformer) for m in models):
         raise NotImplementedError("all ensemble members must be Levenshtein models")
-    if getattr(gen_cfg, "retain_iter_history", False):
+    if getattr(gen_cfg, "retain_iter_history", False) \
+            or getattr(gen_cfg, "print_step", False):
         raise NotImplementedError(
             "--retain-iter-history/--print-step are not supported for NAT "
             "ensemble decoding; use a single checkpoint")

@@ -143,7 +143,13 @@ def build_nat_generator(model, gen_cfg, tgt_dict, bos: Optional[int] = None,
     elif hasattr(cls, "mask_predict"):
         iterations = req_iters if req_iters is not None else 10
 
-        if length_beam > 1 and hasattr(cls, "mask_predict_with_length_beam"):
+        if length_beam > 1 and not hasattr(cls, "mask_predict_with_length_beam"):
+            # symmetric with the translate family's guard (review fix: a
+            # model without the beam method silently decoded a single
+            # canvas, and with reranking died on an unbound closure)
+            raise NotImplementedError(
+                f"--iter-decode-with-beam is not supported for {cls.__name__}")
+        if length_beam > 1:
             @jax.jit
             def _run(params, src_tokens):
                 return model.apply(

@@ -49,6 +49,8 @@ def sample_decode(
     max_lens: Optional[jax.Array] = None,
     min_lens: Optional[jax.Array] = None,  # [B] per-sentence eos floor
     len_penalty: float = 1.0,
+    unk: Optional[int] = None,
+    unk_penalty: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (tokens [B, K, L], scores [B, K], lengths [B, K]).
 
@@ -62,7 +64,10 @@ def sample_decode(
         bos = eos
     if max_lens is None:
         max_lens = jnp.full((B,), max_len, jnp.int32)
-    max_lens = jnp.minimum(max_lens, max_len)
+    # reference convention: up to max_lens REAL tokens, eos forced at step
+    # max_lens (matches the beam core; the -1 leaves the eos slot in the
+    # fixed buffer)
+    max_lens = jnp.minimum(max_lens, max_len - 1)
 
     seq = jnp.full((B * K, max_len + 1), pad, jnp.int32).at[:, 0].set(bos)
     scores = jnp.zeros((B * K,), jnp.float32)
@@ -71,7 +76,7 @@ def sample_decode(
 
     def cond(state):
         i, seq, scores, lens, done, caches, rng = state
-        return (i < jnp.max(max_lens)) & jnp.logical_not(jnp.all(done))
+        return (i < jnp.max(max_lens) + 1) & jnp.logical_not(jnp.all(done))
 
     def body(state):
         i, seq, scores, lens, done, caches, rng = state
@@ -80,6 +85,10 @@ def sample_decode(
         logprobs = logprobs.astype(jnp.float32)
         gen_len = i + 1
         logprobs = logprobs.at[:, pad].set(NEG_INF)
+        if unk is not None and unk_penalty != 0.0:
+            # reference applies --unkpen before ANY search strategy,
+            # sampling included (sequence_generator.py:324)
+            logprobs = logprobs.at[:, unk].add(-unk_penalty)
         # per-sentence minimum wins over the scalar floor (--min-len-a/b,
         # --match-source-len)
         if min_lens is not None:
@@ -90,7 +99,7 @@ def sample_decode(
         logprobs = jnp.where(
             ban_eos[:, None], logprobs.at[:, eos].set(NEG_INF), logprobs
         )
-        at_max = gen_len >= jnp.repeat(max_lens, K)
+        at_max = gen_len > jnp.repeat(max_lens, K)
         eos_only = jnp.full_like(logprobs, NEG_INF).at[:, eos].set(logprobs[:, eos])
         logprobs = jnp.where(at_max[:, None], eos_only, logprobs)
 
@@ -111,7 +120,7 @@ def sample_decode(
     i, seq, scores, lens, done, caches, rng = jax.lax.while_loop(
         cond, body, (i0, seq, scores, lens, done, init_caches, rng)
     )
-    lens = jnp.where(done, lens, jnp.repeat(max_lens, K))
+    lens = jnp.where(done, lens, jnp.repeat(max_lens, K) + 1)
     tokens = seq[:, 1:].reshape(B, K, max_len)
     lens = lens.reshape(B, K)
     divisor = jnp.power(

@@ -69,14 +69,20 @@ def test_min_len_blocks_early_eos():
 
 
 def test_max_lens_forces_eos():
+    """Reference convention (sequence_generator.py:331 `step >= max_len`):
+    max_lens budgets REAL tokens; eos is forced as token number max_lens, so
+    the reported length is max_lens + 1 (review fix: eos used to be forced
+    one token early)."""
     rows = _logp([[0.9, 0.01, 0.001, 0.01, 0.08]] * 20)  # never wants eos
     tokens, scores, lens = beam_search(
         _const_step(rows), {}, batch_size=2, beam_size=2, max_len=16,
         eos=EOS, pad=PAD, max_lens=jnp.asarray([4, 6]),
     )
-    assert int(lens[0, 0]) == 4 and int(lens[1, 0]) == 6
+    assert int(lens[0, 0]) == 5 and int(lens[1, 0]) == 7
     toks = np.asarray(tokens)
-    assert toks[0, 0, 3] == EOS and (toks[0, 0, 4:] == PAD).all()
+    assert (toks[0, 0, :4] != EOS).all()  # the full 4-real-token budget
+    assert toks[0, 0, 4] == EOS and (toks[0, 0, 5:] == PAD).all()
+    assert toks[1, 0, 6] == EOS
 
 
 def test_len_penalty_prefers_longer():

@@ -582,3 +582,24 @@ def test_generate_match_source_len_and_unnormalized(tmp_path):
     assert hyp and len(hyp) == len(src)
     for sid, (_, _score, words) in hyp.items():
         assert len(words.split()) == len(src[sid].split()), (sid, words, src[sid])
+
+    # --prefix-size 1: every hypothesis must START with the reference's
+    # first token (review fix: the flag was parsed but never forwarded)
+    pfx_dir = tmp_path / "pfx"
+    pfx_dir.mkdir()
+    generate.main([
+        bin_dir, "--task", "translation", "-s", "de", "-t", "en",
+        "--path", str(Path(save_dir) / "checkpoint_last.ckpt"),
+        "--gen-subset", "valid", "--batch-size", "8", "--dtype", "float32",
+        "--beam", "2", "--max-decode-len", "24", "--prefix-size", "1",
+        "--results-path", str(pfx_dir), "--num-length-buckets", "2",
+    ])
+    lines = (pfx_dir / "generate-valid.txt").read_text().splitlines()
+    refs = {l.split("\t")[0][2:]: l.split("\t", 1)[1] for l in lines
+            if l.startswith("T-")}
+    hyps = {l.split("\t")[0][2:]: l.split("\t")[2] for l in lines
+            if l.startswith("H-")}
+    assert hyps and len(hyps) == len(refs)
+    for sid, words in hyps.items():
+        ref_first = refs[sid].split()[0]
+        assert words.split()[0] == ref_first, (sid, words, refs[sid])

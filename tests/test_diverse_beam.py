@@ -21,9 +21,14 @@ def test_diverse_groups_produce_different_first_tokens():
     def step_fn(tokens_t, index, caches):
         return jnp.tile(jnp.asarray(rows[0], jnp.float32)[None, :], (tokens_t.shape[0], 1)), caches
 
+    # pin every hypothesis to the same length (min_len == max_lens) so the
+    # final K is exactly one full-length hypothesis per group — without the
+    # pin, early-eos hypos from one group can outrank other groups in the
+    # final sort and the first-token set becomes ranking-noise-dependent
     tokens_d, scores_d, lens_d = beam_search(
-        step_fn, {}, batch_size=1, beam_size=4, max_len=6, eos=EOS, pad=PAD,
-        max_lens=jnp.asarray([3]), diverse_beam_groups=4, diverse_beam_strength=10.0,
+        step_fn, {}, batch_size=1, beam_size=4, max_len=8, eos=EOS, pad=PAD,
+        min_len=3, max_lens=jnp.asarray([3]),
+        diverse_beam_groups=4, diverse_beam_strength=10.0,
     )
     first_d = set(np.asarray(tokens_d)[0, :, 0].tolist())
     # reference semantics penalize ALL 2k' candidates of each group
