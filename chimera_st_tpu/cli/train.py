@@ -462,6 +462,14 @@ def init_params_for_task(model, task, args):
     if isinstance(model, NATransformer):
         return model.init(jax.random.PRNGKey(seed), src, prev,
                           method=NATransformer.init_everything)
+    from ..models.nat_cmlm import CMLMTransformer
+
+    if isinstance(model, CMLMTransformer):
+        # __call__(src, prev) materializes both the token decoder and the
+        # length head (review fix: CMLM fell through to the interlingua
+        # audio init and crashed — the --noise random_mask training path
+        # was unreachable)
+        return model.init(jax.random.PRNGKey(seed), src, prev)
     if isinstance(model, TransformerModel):
         return model.init(jax.random.PRNGKey(seed), src, prev)
     params = model.init(

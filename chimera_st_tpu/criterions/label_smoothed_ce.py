@@ -143,6 +143,17 @@ def make_label_smoothed_ce_with_alignment(cfg: dict):
                 axis=2,
             )[..., 0]
             align_nll = -jnp.log(jnp.clip(p, 1e-9, 1.0))
+            # reference align_weights (label_smoothed_cross_entropy_with_
+            # alignment.py:73-80): each link weighs 1/(number of links
+            # sharing its target position), so a multiply-aligned target
+            # token does not dominate the gradient (review fix: raw sums
+            # over-weighted one-to-many alignments)
+            same_tgt = (
+                (at[:, :, None] == at[:, None, :])
+                & valid[:, :, None] & valid[:, None, :]
+            )
+            link_counts = jnp.maximum(same_tgt.sum(axis=-1), 1)
+            align_nll = align_nll / link_counts.astype(align_nll.dtype)
             align_loss = jnp.sum(jnp.where(valid, align_nll, 0.0))
             loss = loss + align_lambda * align_loss
             logging = dict(logging)

@@ -87,6 +87,18 @@ def quantile_buckets(lengths: Sequence[int], n_buckets: int = 10) -> np.ndarray:
     return edges
 
 
+def round16(n: int) -> int:
+    """Round a batch's pad length up to a multiple of 16 (fewer distinct
+    compiled step shapes; one definition — review fix: 15 task-local copies
+    of the same lambda)."""
+    return ((int(n) + 15) // 16) * 16
+
+
+def round16_or_none(n):
+    """round16 that passes None through (optional pad targets)."""
+    return round16(n) if n else None
+
+
 def pad_to_bucket(length: int, edges: np.ndarray) -> int:
     """Smallest bucket edge >= length (static-shape padding target)."""
     i = int(np.searchsorted(edges, length, side="left"))

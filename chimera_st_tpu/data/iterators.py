@@ -184,7 +184,15 @@ class EpochBatchIterator:
         """``batches`` may be a callable epoch -> batch list for datasets that
         re-sample per epoch (ResamplingDataset; the callable must also call
         the dataset's set_epoch — see ChimeraTask.make_batch_iterator)."""
+        import inspect
+
         self.collate = dataset_collate
+        try:
+            self._collate_takes_epoch = (
+                "epoch" in inspect.signature(dataset_collate).parameters
+            )
+        except (TypeError, ValueError):
+            self._collate_takes_epoch = False
         if callable(batches):
             self._batches_fn = batches
             self._batches_cache = (None, None)  # (epoch, list)
@@ -214,6 +222,8 @@ class EpochBatchIterator:
     def first_batch(self):
         if not self.frozen_batches:
             return None
+        if self._collate_takes_epoch:
+            return self.collate(self.frozen_batches[0], epoch=self.epoch)
         return self.collate(self.frozen_batches[0])
 
     def __len__(self):
@@ -263,7 +273,11 @@ class EpochBatchIterator:
                 # skipped batch — audio reads included — through the
                 # prefetcher); the counter still starts at `offset`
                 batches = batches[offset:]
-            gen = (self.collate(b) for b in batches)
+            if self._collate_takes_epoch:
+                ep = self.epoch
+                gen = (self.collate(b, epoch=ep) for b in batches)
+            else:
+                gen = (self.collate(b) for b in batches)
             source = BackgroundPrefetcher(
                 _SizedGenerator(gen, len(batches)), self.buffer_size
             ) if self.buffer_size > 0 else _SizedGenerator(gen, len(batches))

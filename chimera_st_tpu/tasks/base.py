@@ -140,17 +140,11 @@ class ChimeraTask:
 
     # ------------------------------------------------------------ batching
 
-    def filtered_indices(
-        self, dataset, max_positions: Optional[int] = None
-    ) -> np.ndarray:
-        order = np.argsort(
-            [-dataset.num_tokens(i) for i in range(len(dataset))], kind="stable"
-        )
-        if max_positions is not None:
-            order = np.asarray(
-                [i for i in order if dataset.num_tokens(int(i)) <= max_positions]
-            )
-        return order
+    def batch_groups(self, dataset) -> Optional[np.ndarray]:
+        """Optional [len(dataset)] group ids; when given, batches are packed
+        group-pure (no batch straddles two groups). Multilingual tasks use
+        this to keep every batch a single language pair."""
+        return None
 
     def make_batch_iterator(
         self,
@@ -182,13 +176,32 @@ class ChimeraTask:
             order = np.argsort(-sizes, kind="stable")
             if max_positions is not None:
                 order = order[sizes[order] <= max_positions]
-            return batch_by_size(
-                order,
-                sizes,
-                max_tokens=max_tokens,
-                max_sentences=max_sentences,
-                required_batch_size_multiple=required_batch_size_multiple,
-            )
+            groups = self.batch_groups(dataset)
+            if groups is None:
+                return batch_by_size(
+                    order,
+                    sizes,
+                    max_tokens=max_tokens,
+                    max_sentences=max_sentences,
+                    required_batch_size_multiple=required_batch_size_multiple,
+                )
+            # group-pure batching (e.g. one language pair per batch): pack
+            # each group independently so no sample is ever dropped for
+            # landing in a straddling batch (review fix: the multilingual
+            # task used to keep only a mixed batch's majority pair, so
+            # minority-pair rows were silently never trained on)
+            groups = np.asarray(groups)
+            batches = []
+            for g in np.unique(groups[order]):
+                sel = order[groups[order] == g]
+                batches.extend(batch_by_size(
+                    sel,
+                    sizes,
+                    max_tokens=max_tokens,
+                    max_sentences=max_sentences,
+                    required_batch_size_multiple=required_batch_size_multiple,
+                ))
+            return batches
 
         sizes0 = np.asarray([dataset.num_tokens(int(i)) for i in range(len(dataset))])
         # bucket edges frozen at epoch 1 so padded shapes (and compiled
@@ -197,9 +210,20 @@ class ChimeraTask:
             sizes0[sizes0 > 0] if (sizes0 > 0).any() else sizes0, num_length_buckets
         )
 
-        def collate(idx: np.ndarray):
+        import inspect
+
+        collate_takes_epoch = "epoch" in inspect.signature(
+            self.collate_indices
+        ).parameters
+
+        def collate(idx: np.ndarray, epoch: int = 1):
             batch_max = max(dataset.num_tokens(int(i)) for i in idx)
             target = pad_to_bucket(batch_max, edges)
+            if collate_takes_epoch:
+                # tasks with host-side per-batch corruption (translation_lev)
+                # re-roll noise per epoch like the reference's
+                # (seed, epoch, index) keying
+                return self.collate_indices(dataset, idx, target, epoch=epoch)
             return self.collate_indices(dataset, idx, target)
 
         return EpochBatchIterator(

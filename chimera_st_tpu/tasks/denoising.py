@@ -20,7 +20,9 @@ from ..data.denoising_dataset import DenoisingDataset
 from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.token_block_dataset import TokenBlockDataset
+from ..data.wrappers import IdStampedConcat
 from .base import ChimeraTask
+from ..data.batching import round16
 
 logger = logging.getLogger(__name__)
 
@@ -85,10 +87,9 @@ class DenoisingTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        src_max = r16(max(len(s["source"]) for s in samples))
-        tgt_max = r16(max(len(s["target"]) for s in samples))
+        src_max = round16(max(len(s["source"]) for s in samples))
+        tgt_max = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(
             samples, src_target_len=src_max, tgt_target_len=tgt_max
         )
@@ -116,11 +117,16 @@ class MultilingualDenoisingTask(DenoisingTask):
             )
         if not langs:
             raise FileNotFoundError(f"no language subdirectories under {root}")
-        task = cls(cfg, d)
-        task.langs = langs
+        # symbol order matters for checkpoint/data interop: the reference
+        # adds the [lang] tokens FIRST (multilingual_denoising.py:74, in
+        # setup_task) and <mask> LAST (:87, in __init__) — constructing the
+        # task first used to reverse that, shifting every lang-tag id vs
+        # reference-built vocabularies (review fix)
         if bool(cfg.get("add_lang_token", True)):
             for lang in langs:
                 d.add_symbol(f"[{lang}]")
+        task = cls(cfg, d)
+        task.langs = langs
         return task
 
     def lang_tag_indices(self):
@@ -166,37 +172,9 @@ class MultilingualDenoisingTask(DenoisingTask):
         return DenoisingTask.collate_indices(self, dataset, idx, target_len)
 
 
-class _MultilingualView:
+class _MultilingualView(IdStampedConcat):
     """Concat of per-language denoising datasets sharing one collater."""
 
     def __init__(self, datasets: List, task):
-        self.datasets = datasets
-        self.offsets = np.cumsum([0] + [len(d) for d in datasets])
+        super().__init__(datasets)
         self.task = task
-
-    def __len__(self):
-        return int(self.offsets[-1])
-
-    def _locate(self, i: int):
-        k = int(np.searchsorted(self.offsets, i, side="right") - 1)
-        return self.datasets[k], i - int(self.offsets[k])
-
-    def num_tokens(self, i: int) -> int:
-        ds, j = self._locate(i)
-        return ds.num_tokens(j)
-
-    def __getitem__(self, i: int):
-        ds, j = self._locate(i)
-        item = dict(ds[j])
-        item["id"] = i
-        return item
-
-    def collater(self, samples, src_target_len=None, tgt_target_len=None):
-        return self.datasets[0].collater(
-            samples, src_target_len=src_target_len, tgt_target_len=tgt_target_len
-        )
-
-    def set_epoch(self, epoch: int):
-        for d in self.datasets:
-            if hasattr(d, "set_epoch"):
-                d.set_epoch(epoch)

@@ -9,7 +9,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..config.registry import register_criterion, register_task
-from ..data.batching import collate_tokens
+from ..data.batching import collate_tokens, round16
 from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.token_block_dataset import TokenBlockDataset
@@ -60,6 +60,9 @@ class ShortenedDataset:
     TruncateDataset/RandomCropDataset): "truncate" keeps the prefix,
     "random_crop" takes a deterministic per-(seed, index) window."""
 
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
     def __init__(self, base, max_len: int, method: str, seed: int = 1):
         assert method in ("truncate", "random_crop"), method
         self.base = base
@@ -78,7 +81,8 @@ class ShortenedDataset:
             return item
         if self.method == "truncate":
             return item[: self.max_len]
-        rng = np.random.default_rng((self.seed, int(i)))
+        rng = np.random.default_rng(
+            (self.seed, getattr(self, "epoch", 1), int(i)))
         start = int(rng.integers(0, n - self.max_len + 1))
         return item[start : start + self.max_len]
 
@@ -127,9 +131,8 @@ class LanguageModelingTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["target"]) for s in samples))
+        tl = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(samples, tl)
 
 

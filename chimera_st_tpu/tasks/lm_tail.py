@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config.registry import register_criterion, register_task
-from ..data.batching import collate_tokens
+from ..data.batching import collate_tokens, round16
 from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.token_block_dataset import TokenBlockDataset
@@ -71,35 +71,7 @@ class _LangTaggedMasked:
         return batch
 
 
-class _MultiLangConcat:
-    def __init__(self, parts: List):
-        self.parts = parts
-        self.offsets = np.cumsum([0] + [len(p) for p in parts])
-
-    def __len__(self):
-        return int(self.offsets[-1])
-
-    def _locate(self, i):
-        k = int(np.searchsorted(self.offsets, i, side="right") - 1)
-        return self.parts[k], i - int(self.offsets[k])
-
-    def num_tokens(self, i):
-        ds, j = self._locate(i)
-        return ds.num_tokens(j)
-
-    def __getitem__(self, i):
-        ds, j = self._locate(i)
-        item = dict(ds[j])
-        item["id"] = i
-        return item
-
-    def collater(self, samples, target_len=None):
-        return self.parts[0].collater(samples, target_len=target_len)
-
-    def set_epoch(self, epoch):
-        for p in self.parts:
-            if hasattr(p, "set_epoch"):
-                p.set_epoch(epoch)
+from ..data.wrappers import IdStampedConcat as _MultiLangConcat  # noqa: E402
 
 
 @register_task("cross_lingual_lm")
@@ -168,10 +140,11 @@ class CrossLingualLMTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["target"]) for s in samples))
-        return dataset.collater(samples, tl)
+        tl = round16(max(len(s["target"]) for s in samples))
+        # keyword so wrapper collaters (Resampling/IdStampedConcat) that only
+        # forward **kwargs accept it
+        return dataset.collater(samples, target_len=tl)
 
 
 # --------------------------------------------------------- legacy masked LM
@@ -180,6 +153,9 @@ class CrossLingualLMTask(ChimeraTask):
 class _SentencePairBlocks:
     """BERT-style (sentence A, sentence B, is-next) samples with MLM masking
     (reference: data/legacy/block_pair_dataset.py + masked_lm_dataset.py)."""
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __init__(self, sentences: List[np.ndarray], dictionary: Dictionary,
                  mask_idx: int, sep_idx: int, mask_prob: float = 0.15,
@@ -201,7 +177,7 @@ class _SentencePairBlocks:
     def __getitem__(self, i):
         from ..criterions.masked_lm import apply_bert_masking
 
-        rng = np.random.default_rng([self.seed, i])
+        rng = np.random.default_rng([self.seed, getattr(self, "epoch", 1), i])
         a = self.sentences[i]
         is_next = bool(rng.random() < 0.5)
         if is_next:
@@ -277,9 +253,8 @@ class LegacyMaskedLMTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["net_tokens"]) for s in samples))
+        tl = round16(max(len(s["net_tokens"]) for s in samples))
         return dataset.collater(samples, tl)
 
 
@@ -424,9 +399,8 @@ class SimpleClassificationTask(ChimeraTask):
         return self.label_vocab
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["tokens"]) for s in samples))
+        tl = round16(max(len(s["tokens"]) for s in samples))
         return dataset.collater(samples, tl)
 
 

@@ -10,7 +10,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..config.registry import register_task
-from ..data.batching import collate_tokens
+from ..data.batching import collate_tokens, round16
 from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.token_block_dataset import TokenBlockDataset
@@ -39,10 +39,16 @@ class MaskedTokensDataset:
     def num_tokens(self, i: int) -> int:
         return self.blocks.num_tokens(i)
 
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
     def __getitem__(self, i: int):
         from ..criterions.masked_lm import apply_bert_masking
 
-        rng = np.random.default_rng([self.seed, i])
+        # (seed, epoch, index) like the reference's numpy_seed(seed, epoch,
+        # index): masks re-roll every epoch but stay resumable (review fix:
+        # (seed, index) alone replayed identical masks every epoch)
+        rng = np.random.default_rng([self.seed, getattr(self, "epoch", 1), i])
         tokens = self.blocks[i]
         net, target = apply_bert_masking(
             tokens, self.mask_idx, self.vocab_size,
@@ -99,7 +105,6 @@ class MaskedLMTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["target"]) for s in samples))
+        tl = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(samples, tl)

@@ -20,6 +20,7 @@ from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.language_pair import LanguagePairDataset
 from .base import ChimeraTask
+from ..data.batching import round16
 
 logger = logging.getLogger(__name__)
 
@@ -83,17 +84,28 @@ class MultilingualTranslationTask(ChimeraTask):
         ds = parts[0] if len(parts) == 1 else ConcatDataset(parts)
         self.datasets[split] = ds
 
+    def batch_groups(self, dataset):
+        # pair-pure batches come from the batch BUILDER now (base
+        # make_batch_iterator packs each group independently); review fix —
+        # trimming mixed batches to their majority pair silently dropped
+        # the same minority-pair rows every epoch
+        import numpy as np
+
+        from ..data.wrappers import ConcatDataset
+
+        if not isinstance(dataset, ConcatDataset):
+            return None
+        bounds = np.asarray([0] + list(dataset.cumulative_sizes))
+        return np.searchsorted(bounds, np.arange(len(dataset)), side="right") - 1
+
     def collate_indices(self, dataset, idx, target_len: Optional[int] = None):
         samples = [dataset[int(i)] for i in idx]
-        # batches must be pair-pure: the iterator packs by size order, so a
-        # batch can straddle pairs — keep the majority pair only (reference
-        # trains per-pair batches round-robin)
         pairs = [s[0] for s in samples]
-        major = max(set(pairs), key=pairs.count)
-        samples = [s for s in samples if s[0] == major]
-        r16 = lambda n: ((n + 15) // 16) * 16
-        src_max = r16(max(len(s["source"]) for _, s in samples))
-        tgt_max = r16(max(len(s["target"]) for _, s in samples))
+        if len(set(pairs)) > 1:  # the group-pure batching guarantees this
+            raise AssertionError(
+                f"mixed language pairs in one batch: {sorted(set(pairs))}")
+        src_max = round16(max(len(s["source"]) for _, s in samples))
+        tgt_max = round16(max(len(s["target"]) for _, s in samples))
         return dataset.collater(
             samples, src_target_len=src_max, tgt_target_len=tgt_max
         )

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config.registry import register_task
-from ..data.batching import collate_tokens
+from ..data.batching import collate_tokens, round16
 from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from .base import ChimeraTask
@@ -108,12 +108,24 @@ class SentencePredictionTask(ChimeraTask):
         num_classes = int(cfg.get("num_classes", 0))
         mapping = None
         if not cfg.get("regression_target"):
-            # the CANONICAL mapping comes from the train labels and is
-            # reused for every split
-            train_labels = root / "label" / "train.label"
-            if train_labels.exists():
-                _, mapping = _read_labels(train_labels, False)
-                num_classes = num_classes or len(mapping)
+            label_dir = root / "label"
+            if (label_dir / "dict.txt").exists():
+                # fairseq-preprocess binarized labels: class count and ids
+                # come from the label dictionary (reference
+                # sentence_prediction.py label_dictionary; ids are offset by
+                # its specials) — review fix: this documented layout was
+                # unsupported
+                ldict = cls.load_dictionary(str(label_dir / "dict.txt"))
+                num_classes = num_classes or (len(ldict) - ldict.nspecial)
+            else:
+                # text labels: the CANONICAL mapping comes from the TRAIN
+                # split's labels (probed by the configured train subset, not
+                # a hard-coded name — review fix) and is reused everywhere
+                train_subset = str(cfg.get("train_subset", "train"))
+                train_labels = label_dir / f"{train_subset}.label"
+                if train_labels.exists():
+                    _, mapping = _read_labels(train_labels, False)
+                    num_classes = num_classes or len(mapping)
         task = cls(cfg, d, max(num_classes, 1))
         task.label_mapping = mapping
         return task
@@ -133,11 +145,33 @@ class SentencePredictionTask(ChimeraTask):
         inputs = [MMapIndexedDataset(str(root / "input0" / split))]
         if (root / "input1" / f"{split}.idx").exists():
             inputs.append(MMapIndexedDataset(str(root / "input1" / split)))
-        labels, _ = _read_labels(
-            root / "label" / f"{split}.label",
-            bool(self.cfg.get("regression_target", False)),
-            mapping=getattr(self, "label_mapping", None),
-        )
+        label_dir = root / "label"
+        if (label_dir / f"{split}.idx").exists():
+            # binarized label rows: one label token per row, offset by the
+            # label dict's special symbols (reference OffsetTokensDataset)
+            ldict = self.load_dictionary(str(label_dir / "dict.txt"))
+            lds = MMapIndexedDataset(str(label_dir / split))
+            labels = np.asarray(
+                [int(np.asarray(lds[i])[0]) - ldict.nspecial
+                 for i in range(len(lds))], np.int64)
+            if bool(self.cfg.get("regression_target", False)):
+                raise ValueError(
+                    "regression targets must use the text label layout "
+                    "(label/{split}.label)")
+        else:
+            mapping = getattr(self, "label_mapping", None)
+            if mapping is None and not self.cfg.get("regression_target"):
+                raise FileNotFoundError(
+                    f"no canonical label mapping: expected "
+                    f"{label_dir}/{self.cfg.get('train_subset', 'train')}"
+                    f".label (text layout) or {label_dir}/dict.txt + "
+                    f"{split}.bin/idx (binarized layout); refusing to build "
+                    "a per-split mapping (silently shifted class ids)")
+            labels, _ = _read_labels(
+                label_dir / f"{split}.label",
+                bool(self.cfg.get("regression_target", False)),
+                mapping=mapping,
+            )
         self.datasets[split] = _SentencePairs(
             inputs, labels, self.dictionary,
             max_positions=int(self.cfg.get("max_positions", 512)),
@@ -152,9 +186,8 @@ class SentencePredictionTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(len(s["tokens"]) for s in samples))
+        tl = round16(max(len(s["tokens"]) for s in samples))
         return dataset.collater(samples, tl)
 
 
@@ -267,9 +300,8 @@ class SentenceRankingTask(ChimeraTask):
         return self.dictionary
 
     def collate_indices(self, dataset, idx, target_len=None):
-        r16 = lambda n: ((n + 15) // 16) * 16
         samples = [dataset[int(i)] for i in idx]
-        tl = r16(max(max(len(c) for c in s["candidates"]) for s in samples))
+        tl = round16(max(max(len(c) for c in s["candidates"]) for s in samples))
         return dataset.collater(samples, tl)
 
 

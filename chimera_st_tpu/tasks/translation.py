@@ -18,6 +18,7 @@ from ..data.dictionary import Dictionary
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.language_pair import LanguagePairDataset
 from .base import ChimeraTask
+from ..data.batching import round16
 
 logger = logging.getLogger(__name__)
 
@@ -72,9 +73,8 @@ class TranslationTask(ChimeraTask):
 
     def collate_indices(self, dataset, idx, target_len: Optional[int] = None):
         samples = [dataset[int(i)] for i in idx]
-        r16 = lambda n: ((n + 15) // 16) * 16
-        src_max = r16(max(len(s["source"]) for s in samples))
-        tgt_max = r16(max(len(s["target"]) for s in samples))
+        src_max = round16(max(len(s["source"]) for s in samples))
+        tgt_max = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(
             samples, src_target_len=src_max, tgt_target_len=tgt_max
         )

@@ -37,6 +37,7 @@ from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.language_pair import LanguagePairDataset
 from .base import ChimeraTask
 from .translation import TranslationTask
+from ..data.batching import round16
 
 logger = logging.getLogger(__name__)
 
@@ -190,45 +191,14 @@ class TranslationMultiSimpleEpochTask(ChimeraTask):
 
     def collate_indices(self, dataset, idx, target_len=None):
         samples = [dataset[int(i)] for i in idx]
-        r16 = lambda n: ((n + 15) // 16) * 16
-        src_max = r16(max(len(s["source"]) for s in samples))
-        tgt_max = r16(max(len(s["target"]) for s in samples))
+        src_max = round16(max(len(s["source"]) for s in samples))
+        tgt_max = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(
             samples, src_target_len=src_max, tgt_target_len=tgt_max
         )
 
 
-class _SharedCollateConcat:
-    """Concat of datasets that share one collater implementation."""
-
-    def __init__(self, parts: List):
-        self.parts = parts
-        self.offsets = np.cumsum([0] + [len(p) for p in parts])
-
-    def __len__(self):
-        return int(self.offsets[-1])
-
-    def _locate(self, i: int):
-        k = int(np.searchsorted(self.offsets, i, side="right") - 1)
-        return self.parts[k], i - int(self.offsets[k])
-
-    def num_tokens(self, i: int) -> int:
-        ds, j = self._locate(i)
-        return ds.num_tokens(j)
-
-    def __getitem__(self, i: int):
-        ds, j = self._locate(i)
-        item = dict(ds[j])
-        item["id"] = i
-        return item
-
-    def collater(self, samples, **kwargs):
-        return self.parts[0].collater(samples, **kwargs)
-
-    def set_epoch(self, epoch: int):
-        for p in self.parts:
-            if hasattr(p, "set_epoch"):
-                p.set_epoch(epoch)
+from ..data.wrappers import IdStampedConcat as _SharedCollateConcat  # noqa: E402
 
 
 @register_task("translation_from_pretrained_bart")
@@ -245,6 +215,12 @@ class TranslationFromPretrainedBARTTask(TranslationTask):
         for l in task.langs:
             task.src_dict.add_symbol(f"[{l}]")
             task.tgt_dict.add_symbol(f"[{l}]")
+        # the (m)BART pretraining vocabulary ends with <mask> AFTER the lang
+        # tags (reference translation_from_pretrained_bart.py:57-58); without
+        # it the fine-tune vocab is one smaller and misaligned with the
+        # pretrained embedding table (review fix)
+        task.src_dict.add_symbol("<mask>")
+        task.tgt_dict.add_symbol("<mask>")
         return task
 
     def lang_tag_indices(self):
@@ -392,9 +368,8 @@ class SemisupervisedTranslationTask(ChimeraTask):
 
     def collate_indices(self, dataset, idx, target_len=None):
         samples = [dataset[int(i)] for i in idx]
-        r16 = lambda n: ((n + 15) // 16) * 16
-        src_max = r16(max(len(s["source"]) for s in samples))
-        tgt_max = r16(max(len(s["target"]) for s in samples))
+        src_max = round16(max(len(s["source"]) for s in samples))
+        tgt_max = round16(max(len(s["target"]) for s in samples))
         return dataset.collater(
             samples, src_target_len=src_max, tgt_target_len=tgt_max
         )
@@ -411,6 +386,12 @@ class _PairedView:
         return len(self.clean)
 
     def num_tokens(self, i: int) -> int:
+        # O(1) from the mmap index — materializing the row per size query
+        # re-read the whole corpus every epoch's batch-building scan
+        # (review fix)
+        sizes = getattr(self.clean, "sizes", None)
+        if sizes is not None:
+            return int(sizes[i])
         return len(self.clean[i])
 
     def __getitem__(self, i: int):

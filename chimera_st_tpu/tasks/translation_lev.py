@@ -26,7 +26,7 @@ import numpy as np
 
 from ..clib import suggested_edit_ops
 from ..config.registry import register_task
-from ..data.batching import collate_tokens
+from ..data.batching import collate_tokens, round16
 from .translation import TranslationTask
 
 logger = logging.getLogger(__name__)
@@ -43,6 +43,17 @@ class TranslationLevenshteinTask(TranslationTask):
         self.delete_prob_max = float(cfg.get("random_delete_max", 0.5))
         self.insert_frac_max = float(cfg.get("random_insert_max", 0.3))
         self.max_ins = int(cfg.get("max_ins", 64))
+        # reference --noise (translation_lev.py inject_noise): `levenshtein`
+        # (default; builds the three lev-head targets), `random_mask` (CMLM
+        # mask-predict training: a uniform fraction of target positions
+        # masked), `full_mask` (vanilla/iterative NAT: every non-special
+        # position masked). The mask modes emit masked_target +
+        # target_lengths, the batch keys --criterion nat_loss/nacrf_loss
+        # consume (review fix: nat_loss was unreachable from the CLI —
+        # nothing produced masked_target).
+        self.noise = str(cfg.get("noise", "levenshtein"))
+        if self.noise not in ("levenshtein", "random_mask", "full_mask"):
+            raise ValueError(f"unknown --noise {self.noise!r}")
 
     def _frame(self, target: np.ndarray) -> np.ndarray:
         """[tokens..., eos] -> [bos, tokens..., eos] (bos/eos anchor the edit
@@ -72,28 +83,53 @@ class TranslationLevenshteinTask(TranslationTask):
             out.insert(int(slots[j]) + off, int(noise[j]))
         return np.asarray(out, np.int32)
 
-    def collate_indices(self, dataset, idx, target_len: Optional[int] = None):
+    def collate_indices(self, dataset, idx, target_len: Optional[int] = None,
+                        epoch: int = 1):
         batch = super().collate_indices(dataset, idx, target_len)
         if not batch or "target" not in batch:
             return batch
         pad = self.tgt_dict.pad()
         vocab = len(self.tgt_dict)
-        r16 = lambda n: ((n + 15) // 16) * 16
+
+        # per-(seed, epoch, sample-id) rngs: corruption is a pure function of
+        # the sample AND the epoch, so mid-epoch resume replays identical
+        # noise while fresh epochs re-roll it (reference numpy_seed(seed,
+        # epoch, index); review fix — the epoch was missing, so every epoch
+        # trained on identical corruptions)
+        ids = (np.asarray(batch["id"]) if "id" in batch
+               else np.arange(len(np.asarray(batch["target"]))))
+        rngs = [np.random.default_rng((self.seed, int(epoch), int(i)))
+                for i in ids]
+
+        if self.noise in ("random_mask", "full_mask"):
+            from ..criterions.nat_loss import cmlm_mask_target
+
+            tgts = np.asarray(batch["target"])
+            eos = self.tgt_dict.eos()
+            if self.noise == "random_mask":
+                masked = np.stack([
+                    cmlm_mask_target(t, self.UNK, pad_idx=pad, rng=r)
+                    for t, r in zip(tgts, rngs)
+                ])
+                # the canvas keeps eos visible like the reference's
+                # _random_mask (it never masks specials)
+                masked = np.where(tgts == eos, tgts, masked)
+            else:  # full_mask: everything but pad/eos becomes the mask token
+                masked = np.where(
+                    (tgts == pad) | (tgts == eos), tgts,
+                    np.full_like(tgts, self.UNK),
+                )
+            batch["masked_target"] = masked.astype(np.int32)
+            batch["target_lengths"] = (tgts != pad).sum(axis=1).astype(np.int32)
+            return batch
 
         ys = [self._frame(t[t != pad]) for t in np.asarray(batch["target"])]
-        # per-(seed, sample-id) rngs: corruption is a pure function of the
-        # sample, so mid-epoch resume replays identical noise (review fix —
-        # one mutable task-level rng desynced resumed runs; same pattern as
-        # MaskedTokensDataset/ShortenedDataset)
-        ids = (np.asarray(batch["id"]) if "id" in batch
-               else np.arange(len(ys)))
-        rngs = [np.random.default_rng((self.seed, int(i))) for i in ids]
         y_dels = [self._random_delete(y, r) for y, r in zip(ys, rngs)]
         y_inss = [self._random_insert(y, vocab, r) for y, r in zip(ys, rngs)]
 
-        Ly = r16(max(len(y) for y in ys))
-        Ld = r16(max(len(y) for y in y_dels))
-        Li = r16(max(len(y) for y in y_inss))
+        Ly = round16(max(len(y) for y in ys))
+        Ld = round16(max(len(y) for y in y_dels))
+        Li = round16(max(len(y) for y in y_inss))
         y_pad = collate_tokens(ys, pad, target_len=Ly, dtype=np.int32)
         ydel_pad = collate_tokens(y_dels, pad, target_len=Ld, dtype=np.int32)
         yins_pad = collate_tokens(y_inss, pad, target_len=Li, dtype=np.int32)

@@ -15,6 +15,7 @@ from ..config.registry import register_task
 from ..data.indexed_dataset import MMapIndexedDataset
 from ..data.language_pair_tts import LanguagePairTTSDataset
 from .translation import TranslationTask
+from ..data.batching import round16
 
 logger = logging.getLogger(__name__)
 
@@ -40,9 +41,8 @@ class TranslationTTSTask(TranslationTask):
 
     def collate_indices(self, dataset, idx, target_len: Optional[int] = None):
         samples = [dataset[int(i)] for i in idx]
-        r16 = lambda n: ((n + 15) // 16) * 16
-        src_max = r16(max(len(s["source"]) for s in samples))
-        tgt_max = r16(max(len(s["target"]) for s in samples))
+        src_max = round16(max(len(s["source"]) for s in samples))
+        tgt_max = round16(max(len(s["target"]) for s in samples))
         audio_max = None
         if all("wave" in s for s in samples):
             audio_max = ((max(len(s["wave"]) for s in samples) + 1279) // 1280) * 1280

@@ -20,6 +20,7 @@ from ..data.audio import read_wav
 from ..data.dictionary import Dictionary
 from ..data.manifests import TripletDataConfig, make_dataset_from_tsv
 from .base import ChimeraTask
+from ..data.batching import round16, round16_or_none
 
 logger = logging.getLogger(__name__)
 
@@ -73,12 +74,11 @@ class TripletTask(ChimeraTask):
             if samples[0].source_text is not None
             else 0
         )
-        r16 = lambda n: ((n + 15) // 16) * 16 if n else None
         return dataset.collater(
             samples,
             audio_target_len=audio_target_len,
-            text_target_len=r16(tgt_max),
-            src_target_len=r16(src_max),
+            text_target_len=round16_or_none(tgt_max),
+            src_target_len=round16_or_none(src_max),
         )
 
     # ------------------------------------------------------- interactive

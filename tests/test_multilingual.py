@@ -72,6 +72,46 @@ def test_share_encoders_flag():
 
 
 @pytest.mark.slow
+def test_group_pure_batches_cover_every_sample(tmp_path):
+    """Pair-pure batching must come from the batch builder: with two pairs
+    interleaved in size order, every index appears in exactly one batch and
+    every batch is a single pair (review fix: mixed batches used to be
+    trimmed to the majority pair, silently dropping the same minority rows
+    every epoch)."""
+    from chimera_st_tpu.cli import preprocess
+    from chimera_st_tpu.tasks import setup_task
+    from tests.synthetic_data import make_parallel_text
+
+    raw = make_parallel_text(str(tmp_path / "raw"))
+    bin_dir = str(tmp_path / "bin")
+    preprocess.main([
+        "-s", "de", "-t", "en",
+        "--trainpref", f"{raw}/train", "--validpref", f"{raw}/valid",
+        "--destdir", bin_dir, "--joined-dictionary",
+    ])
+    import shutil
+
+    for split in ("train", "valid"):
+        for ext in ("bin", "idx"):
+            shutil.copy(Path(bin_dir) / f"{split}.de-en.de.{ext}",
+                        Path(bin_dir) / f"{split}.en-de.en.{ext}")
+            shutil.copy(Path(bin_dir) / f"{split}.de-en.en.{ext}",
+                        Path(bin_dir) / f"{split}.en-de.de.{ext}")
+    task = setup_task({"_name": "multilingual_translation", "data": bin_dir,
+                       "lang_pairs": "de-en,en-de"})
+    task.load_dataset("train")
+    ds = task.dataset("train")
+    itr = task.make_batch_iterator(ds, max_sentences=4, seed=1,
+                                   num_length_buckets=2)
+    per_pair = {}
+    for batch in itr.next_epoch_itr(shuffle=False):
+        n = int(np.asarray(batch["target"]).shape[0])
+        per_pair[batch["task_name"]] = per_pair.get(batch["task_name"], 0) + n
+    # every sample of BOTH pairs reaches a batch (each pair holds half the
+    # concat dataset here); collate_indices raises on any mixed batch
+    assert per_pair == {"de-en": len(ds) // 2, "en-de": len(ds) // 2}, per_pair
+
+
 def test_multilingual_task_e2e(tmp_path):
     from chimera_st_tpu.cli import preprocess, train
     from tests.synthetic_data import make_parallel_text
