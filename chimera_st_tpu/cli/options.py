@@ -35,6 +35,17 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                    help="number of devices to use (-1: all visible devices); "
                         "under SPMD this bounds the mesh size rather than "
                         "spawning processes")
+    p.add_argument("--distributed-init-method", default=None,
+                   help="multi-host coordinator, reference-style "
+                        "'tcp://HOST:PORT' (or bare HOST:PORT); passed to "
+                        "jax.distributed.initialize on every participating "
+                        "process (reference: distributed_utils.py:91-151)")
+    p.add_argument("--distributed-rank", type=int, default=None,
+                   help="this process's id in the multi-host job (auto-"
+                        "detected on TPU pods when omitted)")
+    p.add_argument("--distributed-num-procs", type=int, default=None,
+                   help="total number of processes in the multi-host job "
+                        "(auto-detected on TPU pods when omitted)")
     p.add_argument("--zero-sharding", default="none", choices=["none", "os"],
                    help="'os': shard optimizer state over the data axis "
                         "(ZeRO-1; reference: fairseq/optim/shard.py)")

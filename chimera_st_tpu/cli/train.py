@@ -47,6 +47,20 @@ def main(argv=None) -> None:
 
     np.random.seed(args.seed)
 
+    if args.distributed_init_method:
+        # multi-host: every process runs this same program; jax.devices()
+        # below then spans the whole job (reference: distributed_utils.py
+        # init-method path). tcp:// prefix accepted for recipe compat.
+        from ..parallel import initialize_distributed
+
+        coord = args.distributed_init_method
+        coord = coord[len("tcp://"):] if coord.startswith("tcp://") else coord
+        initialize_distributed(
+            coordinator_address=coord,
+            num_processes=args.distributed_num_procs,
+            process_id=args.distributed_rank,
+        )
+
     # ----------------------------------------------------------- components
     task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
                 "source_lang": args.source_lang, "target_lang": args.target_lang,

@@ -84,3 +84,37 @@ def test_wer_tokenizer_validates_and_supports_zh():
 
     with pytest.raises(ValueError):
         EvaluationTokenizer(tokenizer_type="klingon")
+
+
+@pytest.mark.quick
+def test_train_cli_threads_distributed_init_method(monkeypatch):
+    """--distributed-init-method reaches jax.distributed.initialize (via
+    parallel.initialize_distributed) with the tcp:// prefix stripped and the
+    rank/nprocs flags threaded (reference: distributed_utils.py:91-151)."""
+    import chimera_st_tpu.parallel as par
+    from chimera_st_tpu.cli import train as train_cli
+
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        seen.update(coord=coordinator_address, nprocs=num_processes,
+                    rank=process_id)
+        raise _Stop  # called before any task/model setup — keep the test cheap
+
+    monkeypatch.setattr(par, "initialize_distributed", fake_init)
+    try:
+        train_cli.main([
+            "dummy", "--task", "dummy_lm", "--arch", "transformer_lm",
+            "--criterion", "cross_entropy", "--optimizer", "adam",
+            "--lr", "1e-3", "--lr-scheduler", "fixed",
+            "--distributed-init-method", "tcp://10.0.0.1:1234",
+            "--distributed-rank", "1", "--distributed-num-procs", "2",
+        ])
+        raise AssertionError("initialize_distributed never called")
+    except _Stop:
+        pass
+    assert seen == {"coord": "10.0.0.1:1234", "nprocs": 2, "rank": 1}
