@@ -175,6 +175,12 @@ def build_fconv(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
     return FConvModel(cfg, dtype=dtype, param_dtype=param_dtype)
 
 
+@register_model_architecture("fconv", "fconv")
+def fconv_base(cfg: Dict) -> Dict:
+    """Base preset = FConvConfig defaults (reference: fconv.py:699-716)."""
+    return dict(cfg)
+
+
 @register_model_architecture("fconv", "fconv_iwslt_de_en")
 def fconv_iwslt(cfg: Dict) -> Dict:
     d = dict(cfg)

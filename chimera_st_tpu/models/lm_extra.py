@@ -330,3 +330,61 @@ def pytorch_tutorial_rnn(cfg: Dict) -> Dict:
 def tutorial_simple_lstm(cfg: Dict) -> Dict:
     """reference arch name (models/simple_lstm.py)."""
     return dict(cfg)
+
+
+# ------------------------------------------------------------- dummy_model
+
+
+@dataclass(frozen=True)
+class DummyModelConfig:
+    vocab_size: int = 8
+    padding_idx: int = 1
+    embed_dim: int = 1024
+    layers: int = 24
+    dropout: float = 0.1
+
+
+class DummyModel(nn.Module):
+    """Throughput-benchmark LM with transformer-shaped FLOPs but no attention
+    (reference: fairseq/benchmark/dummy_model.py:17-91 — per layer, a residual
+    qkv/out-projection stack and a residual 4x FFN; paired with the dummy_*
+    tasks it measures the compiled step in isolation)."""
+
+    cfg: DummyModelConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, deterministic: bool = True):
+        c = self.cfg
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = Embed(c.vocab_size, c.embed_dim, padding_idx=c.padding_idx,
+                  name="embed", **common)(tokens)
+        for i in range(c.layers):
+            h = LayerNorm(c.embed_dim, dtype=self.dtype, name=f"attn_ln_{i}")(x)
+            h = nn.Dense(3 * c.embed_dim, name=f"qkv_{i}", **common)(h)
+            h = nn.Dense(c.embed_dim, name=f"attn_skip_{i}", **common)(h)
+            h = nn.Dense(c.embed_dim, name=f"attn_out_{i}", **common)(h)
+            h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+            x = x + h
+            h = LayerNorm(c.embed_dim, dtype=self.dtype, name=f"ffn_ln_{i}")(x)
+            h = nn.relu(nn.Dense(4 * c.embed_dim, name=f"ffn_up_{i}", **common)(h))
+            h = nn.Dense(c.embed_dim, name=f"ffn_down_{i}", **common)(h)
+            h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+            x = x + h
+        logits = nn.Dense(c.vocab_size, name="out_proj", **common)(x)
+        return logits.astype(jnp.float32)
+
+
+@register_model("dummy_model")
+def build_dummy_model(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.float32):
+    known = {f.name for f in dataclasses.fields(DummyModelConfig)}
+    d = dict(cfg_dict)
+    d.setdefault("vocab_size", d.pop("tgt_vocab_size", 8))
+    cfg = DummyModelConfig(**{k: v for k, v in d.items() if k in known})
+    return DummyModel(cfg, dtype=dtype, param_dtype=param_dtype)
+
+
+@register_model_architecture("dummy_model", "dummy_model")
+def dummy_model_arch(cfg: Dict) -> Dict:
+    return dict(cfg)

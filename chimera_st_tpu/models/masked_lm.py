@@ -179,6 +179,35 @@ def xlmr_arch(cfg: Dict) -> Dict:
     return roberta_large(cfg)
 
 
+@register_model_architecture("roberta", "xlm")
+def xlm_arch(cfg: Dict) -> Dict:
+    """XLM-style sizing (reference: fairseq/models/roberta/model.py:517-524)."""
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1280)
+    d.setdefault("ffn_dim", 1280 * 4)
+    d.setdefault("layers", 16)
+    d.setdefault("heads", 16)
+    return d
+
+
+# the reference registers camembert/xlmr as *model* names too
+# (model_camembert.py:15, model_xlmr.py:15) so task configs naming them as
+# models resolve here as well
+register_model("camembert")(build_masked_lm)
+register_model("xlmr")(build_masked_lm)
+
+
+@register_model_architecture("masked_lm", "masked_lm")
+def masked_lm_base(cfg: Dict) -> Dict:
+    """Base preset (reference: fairseq/models/masked_lm.py:313-341)."""
+    d = dict(cfg)
+    d.setdefault("embed_dim", 1024)
+    d.setdefault("ffn_dim", 4096)
+    d.setdefault("layers", 6)
+    d.setdefault("heads", 8)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # reference arch-name parity (fairseq/models/masked_lm.py:344-403)
 

@@ -421,7 +421,14 @@ def transformer_big(cfg: Dict) -> Dict:
     return transformer_vaswani_big(d)
 
 
-@register_model_architecture("transformer", "transformer_align")
+# the reference also registers transformer_align as a *model* name
+# (fairseq/models/transformer_align.py:14); here it is the plain transformer
+# trained with label_smoothed_cross_entropy_with_alignment, so the model name
+# resolves to the same builder
+register_model("transformer_align")(build_transformer)
+
+
+@register_model_architecture("transformer_align", "transformer_align")
 def transformer_align(cfg):
     """Alignment-supervised MT (reference: fairseq/models/transformer_align.py
     — a plain transformer trained with

@@ -25,7 +25,12 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
-from ..config.registry import CRITERIONS, register_task
+from ..config.registry import (
+    CRITERIONS,
+    register_criterion,
+    register_model,
+    register_task,
+)
 from ..data.joint_dataset import JointBatchSchedule
 from .base import ChimeraTask
 
@@ -194,3 +199,32 @@ class JointTrainingMTSTTask(JointTrainingTask):
             "a joint target vocabulary (the Chimera recipes use a joint SPM)"
         )
         return task
+
+
+# --------------------------------------------------------------------------
+# reference-name compat: the reference wraps per-task sub-models in a
+# JointModel (models/joint_model.py:20-133) and dispatches losses through a
+# registered joint_criterion (criterions/joint_criterion.py:13-86). Here the
+# joint framework IS the task: joint_task builds one shared parameter tree
+# and dispatches criterions per sub-task batch, so there is no separate model
+# or criterion object to construct. A reference task-config naming them gets
+# a migration pointer instead of an unknown-name error.
+
+_JOINT_MIGRATION = (
+    "the reference's {kind} `{name}` is superseded here: `--task joint_task` "
+    "(or joint_task_mtst) owns the shared parameter tree and dispatches the "
+    "per-sub-task criterions itself — configure the sub-task's own model/"
+    "criterion names in the task-config JSON instead "
+    "(see tasks/joint_task.py; reference models/joint_model.py:20, "
+    "criterions/joint_criterion.py:13)"
+)
+
+
+@register_model("joint_model")
+def _joint_model_shim(cfg_dict, dtype=None, param_dtype=None):
+    raise SystemExit(_JOINT_MIGRATION.format(kind="model", name="joint_model"))
+
+
+@register_criterion("joint_criterion")
+def _joint_criterion_shim(cfg):
+    raise SystemExit(_JOINT_MIGRATION.format(kind="criterion", name="joint_criterion"))

@@ -26,6 +26,12 @@ ALIASES = {
     "wav2vec2_quasiwave": "bimodal_pretraining",
     # reference registry-name alias for the same criterion factory
     "legacy_masked_lm_loss": "legacy_masked_lm",
+    # reference *model*-name aliases for builders exercised under their
+    # canonical names (model_camembert.py:15, model_xlmr.py:15,
+    # transformer_align.py:14)
+    "camembert": "roberta",
+    "xlmr": "roberta",
+    "transformer_align": "transformer",
 }
 
 
