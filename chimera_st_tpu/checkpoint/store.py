@@ -130,9 +130,16 @@ class CheckpointManager:
         save_optimizer_state: bool = True,
         no_epoch: bool = False,
         no_save: bool = False,
+        write: bool = True,
     ):
+        # write=False: track best/patience state but never touch the
+        # filesystem — non-lead processes of a multi-host job (every process
+        # must keep identical best-tracking or patience early-stop desyncs
+        # the hosts; only process 0 may write to a shared save_dir)
+        self.write = write
         self.save_dir = Path(save_dir)
-        self.save_dir.mkdir(parents=True, exist_ok=True)
+        if write:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
         self.best_metric = best_metric
         self.maximize_best = maximize_best
         self.keep_last_epochs = keep_last_epochs
@@ -143,7 +150,8 @@ class CheckpointManager:
         self.no_save = no_save
         self.save_optimizer_state = save_optimizer_state
         self.best: Optional[float] = None
-        self.verify_writable()
+        if write:
+            self.verify_writable()
 
     def verify_writable(self):
         """reference: checkpoint_utils.py:600 verify_checkpoint_directory."""
@@ -169,7 +177,13 @@ class CheckpointManager:
         end_of_epoch: bool = True,
         save_interval_updates: int = 0,
     ):
-        if self.no_save:
+        # best is tracked BEFORE any early-return: patience early-stop reads
+        # is_better()/best, which must advance even under --no-save and on
+        # non-writing (non-lead multi-host) processes
+        is_best = val_metric is not None and self.is_better(val_metric)
+        if is_best:
+            self.best = val_metric
+        if self.no_save or not self.write:
             return
         extra = dict(extra)
         extra["best"] = self.best
@@ -180,11 +194,6 @@ class CheckpointManager:
             save_state(str(self.save_dir / name), state, extra,
                        save_optimizer=self.save_optimizer_state)
             wrote.append(name)
-
-        is_best = val_metric is not None and self.is_better(val_metric)
-        if is_best:
-            self.best = val_metric
-            extra["best"] = self.best
 
         # write once, then copy (reference: copy-first-then-replicate)
         primary = None

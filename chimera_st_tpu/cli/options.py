@@ -311,6 +311,39 @@ def add_generation_args(p: argparse.ArgumentParser):
     return p
 
 
+def initialize_distributed_from_args(args) -> None:
+    """Multi-host runtime init from the --distributed-* flags.
+
+    Accepts the reference recipes' ``tcp://HOST:PORT`` (or bare HOST:PORT)
+    and rejects every other init-method scheme up front — the reference's
+    ``env://``/SLURM paths (distributed_utils.py:52-90) are deliberately
+    unsupported under SPMD, where one coordinator address covers the job.
+    """
+    init = getattr(args, "distributed_init_method", None)
+    rank = getattr(args, "distributed_rank", None)
+    nprocs = getattr(args, "distributed_num_procs", None)
+    if init is None:
+        if rank is not None or nprocs is not None:
+            raise SystemExit(
+                "--distributed-rank/--distributed-num-procs have no effect "
+                "without --distributed-init-method tcp://HOST:PORT"
+            )
+        return
+    coord = init[len("tcp://"):] if init.startswith("tcp://") else init
+    host, sep, port = coord.rpartition(":")
+    if "://" in coord or not sep or not host or not port.isdigit():
+        raise SystemExit(
+            "--distributed-init-method must be tcp://HOST:PORT or bare "
+            "HOST:PORT (the reference's env://- and file://-style init "
+            f"methods are deliberately unsupported under SPMD); got {init!r}"
+        )
+    from .. import parallel as _parallel
+
+    _parallel.initialize_distributed(
+        coordinator_address=coord, num_processes=nprocs, process_id=rank
+    )
+
+
 def parse_with_model_overrides(
     p: argparse.ArgumentParser, argv=None
 ) -> Tuple[argparse.Namespace, Dict[str, Any]]:
@@ -324,6 +357,11 @@ def parse_with_model_overrides(
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "user_dir", None):
         import_user_module(args.user_dir)
+    # multi-host init is shared by EVERY entry point (the reference's
+    # distributed init also covers validation/generation); doing it here —
+    # before any jax device use in the mains — means no CLI silently ignores
+    # the flags
+    initialize_distributed_from_args(args)
     extra: Dict[str, Any] = {}
     i = 0
     while i < len(leftover):

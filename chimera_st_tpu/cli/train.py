@@ -47,19 +47,16 @@ def main(argv=None) -> None:
 
     np.random.seed(args.seed)
 
-    if args.distributed_init_method:
-        # multi-host: every process runs this same program; jax.devices()
-        # below then spans the whole job (reference: distributed_utils.py
-        # init-method path). tcp:// prefix accepted for recipe compat.
-        from ..parallel import initialize_distributed
-
-        coord = args.distributed_init_method
-        coord = coord[len("tcp://"):] if coord.startswith("tcp://") else coord
-        initialize_distributed(
-            coordinator_address=coord,
-            num_processes=args.distributed_num_procs,
-            process_id=args.distributed_rank,
-        )
+    # multi-host init already ran in parse_with_model_overrides (shared by
+    # every entry point); from here jax.devices() spans the whole job. Every
+    # process runs this same program: the data pipeline is seeded identically
+    # and each host reads the full dataset, so all hosts construct
+    # bit-identical global batches — the invariant shard_batch relies on when
+    # it device_puts the host-local batch onto the global mesh. Only the lead
+    # process writes checkpoints/logs (shared save_dir).
+    lead_process = jax.process_index() == 0
+    if not lead_process:
+        logging.getLogger("chimera_st_tpu").setLevel(logging.WARNING)
 
     # ----------------------------------------------------------- components
     task_cfg = {"_name": args.task, "data": args.data, "config_yaml": args.config_yaml,
@@ -213,6 +210,10 @@ def main(argv=None) -> None:
         no_epoch=args.no_epoch_checkpoints,
         no_save=args.no_save,
         save_optimizer_state=not args.no_save_optimizer_state,
+        # multi-host: best/patience tracking runs on every process (identical
+        # val metrics keep the early-stop decision in lockstep) but only the
+        # lead touches the shared save_dir
+        write=lead_process,
     )
 
     # ----------------------------------------------------------- batch iters

@@ -71,6 +71,21 @@ def initialize_distributed(
     """Multi-host runtime init (no-op on single host)."""
     if coordinator_address is None:
         return
+    if (num_processes is None) != (process_id is None):
+        raise RuntimeError(
+            "give --distributed-rank and --distributed-num-procs together, "
+            "or neither (both are auto-detected on TPU pods); got "
+            f"rank={process_id} num_procs={num_processes}"
+        )
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        raise RuntimeError(
+            "the JAX backend is already initialized — "
+            "initialize_distributed() must run before the first "
+            "jax.devices()/computation in the process (the CLIs do this "
+            "during argument parsing; a custom harness must call it first)"
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -118,3 +118,59 @@ def test_train_cli_threads_distributed_init_method(monkeypatch):
     except _Stop:
         pass
     assert seen == {"coord": "10.0.0.1:1234", "nprocs": 2, "rank": 1}
+
+
+@pytest.mark.quick
+def test_distributed_init_method_validation():
+    """Malformed init methods fail fast with the supported form named
+    (ADVICE r3: env:///file:// used to reach jax as a bogus coordinator
+    address and die with an obscure connection error)."""
+    from chimera_st_tpu.cli import train as train_cli
+
+    for bad in ("env://", "file:///tmp/sync", "tcp://hostonly", "tcp://:99"):
+        with pytest.raises(SystemExit, match="tcp://HOST:PORT"):
+            train_cli.main([
+                "dummy", "--task", "dummy_lm", "--arch", "transformer_lm",
+                "--criterion", "cross_entropy", "--optimizer", "adam",
+                "--lr", "1e-3", "--lr-scheduler", "fixed",
+                "--distributed-init-method", bad,
+            ])
+    # rank/nprocs without an init method is an error, not a silent no-op
+    with pytest.raises(SystemExit, match="no effect"):
+        train_cli.main([
+            "dummy", "--task", "dummy_lm", "--arch", "transformer_lm",
+            "--criterion", "cross_entropy", "--optimizer", "adam",
+            "--lr", "1e-3", "--lr-scheduler", "fixed",
+            "--distributed-rank", "0",
+        ])
+
+
+@pytest.mark.quick
+def test_initialize_distributed_partial_rank_errors():
+    """Exactly one of rank/nprocs is a descriptive RuntimeError, not a raw
+    jax.distributed failure (ADVICE r3)."""
+    from chimera_st_tpu.parallel import initialize_distributed
+
+    with pytest.raises(RuntimeError, match="together"):
+        initialize_distributed("127.0.0.1:9", num_processes=2, process_id=None)
+
+
+@pytest.mark.quick
+def test_checkpoint_manager_tracks_best_without_writing(tmp_path):
+    """best/patience state advances under --no-save and on non-writing
+    (non-lead multi-host) managers; write=False never touches the fs
+    (previously save() returned before the best update, so patience never
+    decremented under --no-save)."""
+    from chimera_st_tpu.checkpoint.store import CheckpointManager
+
+    non_lead = CheckpointManager(str(tmp_path / "nl"), write=False)
+    non_lead.save({}, {}, epoch=1, updates=10, val_metric=2.0)
+    non_lead.save({}, {}, epoch=2, updates=20, val_metric=3.0)
+    assert non_lead.best == 2.0  # tracked
+    assert not non_lead.is_better(2.5)  # patience would decrement
+    assert not (tmp_path / "nl").exists()  # never created, never wrote
+
+    no_save = CheckpointManager(str(tmp_path / "ns"), no_save=True)
+    no_save.save({}, {}, epoch=1, updates=10, val_metric=1.5)
+    assert no_save.best == 1.5
+    assert list((tmp_path / "ns").glob("*.ckpt")) == []
