@@ -47,9 +47,10 @@ def main(argv=None):
     seen: set = set()
 
     while True:
-        if suicide.exists():
-            logger.info(f"suicide flag {suicide} found; exiting")
-            return
+        # note the flag BEFORE the scan: checkpoints that landed before the
+        # flag was raised (training saves its last/best right before touching
+        # it) still get one final evaluation sweep below
+        stopping = suicide.exists()
         for ckpt in find_new_checkpoints(save_dir, seen):
             seen.add(ckpt.name)
             out_file = results / f"{ckpt.stem}.{args.gen_subset}.txt"
@@ -74,6 +75,9 @@ def main(argv=None):
                         logger.info(f"{ckpt.name}: {score_line[-1]}")
             except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
                 logger.warning(f"eval of {ckpt.name} failed: {e}")
+        if stopping:
+            logger.info(f"suicide flag {suicide} found; exiting")
+            return
         time.sleep(args.poll_interval)
 
 

@@ -12,13 +12,20 @@ W2V2=${W2V2:?path to wav2vec_small.pt}
 MAX_UPDATE=${MAX_UPDATE:-150000}
 
 mkdir -p "$SAVE_DIR"
+# Warm start: MT best -> ST last, training continues with a fresh optimizer
+# (reference train-en2any-ST.sh: cp + reset_optimizer="--reset-optimizer";
+# a genuine resume of an interrupted ST run keeps the optimizer state).
+RESET_OPT=""
 if [[ -n "$MT_CKPT" && ! -f "$SAVE_DIR/checkpoint_last.ckpt" ]]; then
-  cp "$MT_CKPT" "$SAVE_DIR/checkpoint_last.ckpt"   # reference: MT best -> ST last
+  cp "$MT_CKPT" "$SAVE_DIR/checkpoint_last.ckpt"
+  RESET_OPT="--reset-optimizer"
 fi
 
-# background continuous eval (reference: auto-generate.py)
+# background continuous eval (reference: auto-generate.py); GEN_SUBSET /
+# AUTOGEN_EXTRA are overridable so integration tests can drive fixture data
 chimera-auto-generate "$DATA_DIR" --save-dir "$SAVE_DIR" --task triplet \
-  --gen-subset dev_wave --beam 4 --remove-bpe sentencepiece &
+  --gen-subset "${GEN_SUBSET:-dev_wave}" --beam 4 --remove-bpe sentencepiece \
+  ${AUTOGEN_EXTRA:-} &
 AUTOGEN_PID=$!
 trap 'touch "$SAVE_DIR/auto_gen_stop"; wait $AUTOGEN_PID || true' EXIT
 
@@ -35,4 +42,5 @@ chimera-train "$DATA_DIR" \
   --max-update "$MAX_UPDATE" \
   --save-dir "$SAVE_DIR" --keep-last-epochs 10 \
   --best-checkpoint-metric st_loss \
+  $RESET_OPT \
   "$@"

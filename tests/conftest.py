@@ -50,6 +50,7 @@ def pytest_collection_modifyitems(config, items):
         "test_ensemble_text.py",
         "test_generate_golden.py",
         "test_joint_task.py",
+        "test_recipe_chain.py",
         "test_w2v2_warmstart.py",
         "test_resampling.py",
     }
