@@ -1,19 +1,24 @@
 """Training-throughput benchmark: flagship Chimera triplet fine-tune step.
 
-Measures updates/sec, target-tokens(wps) and audio-seconds/sec of the fully
-jitted train step (dual audio+text forward, tri-modal loss, adam +
-inverse-sqrt — the reference ST recipe, train-en2any-ST.sh) on the real
-chip. Complements bench.py's decode number with the training-side figure the
-reference harness logs as wps/ups (trainer metrics, SURVEY.md §6).
+Measures updates/sec, target-tokens/sec (wps) and audio-seconds/sec of the
+fully jitted train step (dual audio+text forward, tri-modal loss, adam +
+inverse-sqrt — the reference ST recipe, train-en2any-ST.sh) on the real chip,
+plus MFU from XLA's exact cost analysis. Sweeps batch size to the knee and
+optionally grad accumulation (--update-freq) and w2v2-trunk remat.
+
+The reference trains ST at --max-tokens 2,000,000 frames/GPU ≈ 125 audio-s
+≈ B=21 at 6 s (train-en2any-ST.sh:33-57), so the sweep brackets that point.
 
 axon timing traps apply (memory: identical dispatches are deduped): every
 iteration gets a distinct target slice and the step is synced by
 materializing the loss on host.
 
-Usage: python benchmarks/train_throughput.py [--batches 8 16] [--seconds 6]
+Usage: python benchmarks/train_throughput.py [--batches 8 16 24 32 48]
+           [--seconds 6] [--update-freq 1] [--remat none|w2v2] [--json out.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -35,9 +40,21 @@ SAMPLE_RATE = 16000
 U = 32  # target length (tokens)
 S = 32  # source text length
 ITERS = 6
+REPEATS = 3
+
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
 
 
-def run(batch: int, seconds: float, dtype):
+def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
+                 update_freq: int = 1):
+    """Build (jitted step, initial state, make_batch) for the flagship
+    triplet fine-tune. With update_freq > 1, batches carry a leading
+    microbatch axis and the step scans over it (grad accumulation)."""
     import chimera_st_tpu.criterions  # noqa: F401 — populate the registry
     from chimera_st_tpu.config.registry import CRITERIONS
     from chimera_st_tpu.models.interlingua import (
@@ -51,12 +68,15 @@ def run(batch: int, seconds: float, dtype):
         make_train_step,
     )
 
-    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    cfg = InterlinguaConfig(
+        tgt_vocab_size=10000, src_vocab_size=10000,
+        w2v2_remat=(remat in ("w2v2", "all")),
+    )
     model = ChimeraInterlinguaModel(cfg, dtype=dtype)
     T = int(seconds * SAMPLE_RATE)
     rng = np.random.default_rng(0)
 
-    def make_batch(i: int):
+    def one_batch(i: int):
         tgt = rng.integers(4, 10000, size=(batch, U)).astype(np.int32)
         tgt[:, -1] = 2
         prev = np.concatenate([np.full((batch, 1), 2, np.int32), tgt[:, :-1]], 1)
@@ -73,7 +93,13 @@ def run(batch: int, seconds: float, dtype):
             "ntokens": jnp.asarray(batch * U, jnp.float32),
         }
 
-    b0 = make_batch(0)
+    def make_batch(i: int):
+        if update_freq == 1:
+            return one_batch(i)
+        micros = [one_batch(i * update_freq + j) for j in range(update_freq)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+
+    b0 = one_batch(0)
     params = model.init(
         jax.random.PRNGKey(0), b0["audio"][:1], b0["audio_padding_mask"][:1],
         b0["src_text"][:1], b0["prev_output_tokens"][:1],
@@ -88,38 +114,104 @@ def run(batch: int, seconds: float, dtype):
     tx = build_optimizer(
         {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched, clip_norm=10.0
     )
-    step = make_train_step(model, crit, tx, lr_schedule=sched)
+    step = make_train_step(model, crit, tx, accum_steps=update_freq,
+                           lr_schedule=sched)
     state = create_train_state(params, tx)
+    return step, state, make_batch
+
+
+def run(batch: int, seconds: float, dtype, remat: str = "none",
+        update_freq: int = 1):
+    step, state, make_batch = make_problem(
+        batch, seconds, dtype, remat=remat, update_freq=update_freq
+    )
 
     # warm (compile)
     t0 = time.perf_counter()
-    state, metrics = step(state, make_batch(0), jax.random.PRNGKey(0))
-    np.asarray(metrics["loss"])
+    try:
+        state, metrics = step(state, make_batch(0), jax.random.PRNGKey(0))
+        np.asarray(metrics["loss"])
+    except Exception as e:  # OOM at this batch — report and move on
+        msg = str(e).splitlines()[0][:160]
+        print(f"B={batch:4d} uf={update_freq} remat={remat}: FAILED ({msg})",
+              flush=True)
+        return None
     compile_s = time.perf_counter() - t0
 
-    batches = [make_batch(i + 1) for i in range(ITERS)]  # distinct inputs
-    t0 = time.perf_counter()
-    for i, b in enumerate(batches):
-        state, metrics = step(state, b, jax.random.PRNGKey(i + 1))
-        np.asarray(metrics["loss"])
-    dt = (time.perf_counter() - t0) / ITERS
+    # exact FLOPs per compiled step for the MFU numerator
+    cost = step.lower(
+        state, make_batch(0), jax.random.PRNGKey(0)
+    ).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0))
 
+    # Timing: dispatch ITERS steps back-to-back (state carries the data
+    # dependency, so they serialize on device) and sync ONCE at the end —
+    # per-step host materialization would add a tunnel round-trip to every
+    # step and swamp the number at small batch. Distinct inputs per step
+    # (axon dedupes identical dispatches); best of REPEATS guards the ~2x
+    # run-to-run tunnel drift.
+    batches = [make_batch(i + 1) for i in range(ITERS)]
+    jax.block_until_ready(batches)
+    dt = float("inf")
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        for i, b in enumerate(batches):
+            state, metrics = step(state, b, jax.random.PRNGKey(r * ITERS + i + 1))
+        np.asarray(metrics["loss"])
+        dt = min(dt, (time.perf_counter() - t0) / ITERS)
+
+    eff_batch = batch * update_freq
     ups = 1.0 / dt
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_FLOPS.get(kind)
+    mfu = flops / dt / peak if peak else None
     print(
-        f"B={batch:4d}  {dt*1e3:8.1f} ms/update  ups={ups:6.2f}  "
-        f"wps={batch*U*ups:9.0f}  audio_s/s={batch*seconds*ups:8.1f}  "
-        f"(first step incl. compile: {compile_s:.1f}s)",
+        f"B={batch:4d} uf={update_freq} remat={remat}: {dt*1e3:8.1f} ms/update"
+        f"  ups={ups:6.2f}  wps={eff_batch*U*ups:9.0f}"
+        f"  audio_s/s={eff_batch*seconds*ups:8.1f}"
+        f"  flops/step={flops/1e12:.2f}TF"
+        + (f"  MFU={100*mfu:.1f}%" if mfu is not None else "")
+        + f"  (first step incl. compile: {compile_s:.1f}s)",
         flush=True,
     )
-    return ups
+    return {
+        "batch": batch, "update_freq": update_freq, "remat": remat,
+        "ms_per_update": round(dt * 1e3, 1),
+        "updates_per_sec": round(ups, 3),
+        "wps": round(eff_batch * U * ups, 0),
+        "audio_s_per_sec": round(eff_batch * seconds * ups, 1),
+        "flops_per_step_tf": round(flops / 1e12, 2),
+        "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
+    }
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--batches", type=int, nargs="+", default=[8, 16])
+    p.add_argument("--batches", type=int, nargs="+", default=[8, 16, 24, 32, 48])
     p.add_argument("--seconds", type=float, default=6.0)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--update-freq", type=int, nargs="+", default=[1])
+    p.add_argument("--remat", default="none", choices=["none", "w2v2"])
+    p.add_argument("--json", default=None, help="write the sweep as JSON here")
     args = p.parse_args()
     dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-    for b in args.batches:
-        run(b, args.seconds, dt)
+    rows = []
+    for uf in args.update_freq:
+        for b in args.batches:
+            r = run(b, args.seconds, dt, remat=args.remat, update_freq=uf)
+            if r:
+                rows.append(r)
+    best = max(rows, key=lambda r: r["audio_s_per_sec"]) if rows else None
+    summary = {
+        "metric": "train_audio_seconds_per_sec_per_chip",
+        "value": best["audio_s_per_sec"] if best else 0.0,
+        "unit": "audio-s/s",
+        "device": jax.devices()[0].device_kind,
+        "best": best,
+        "sweep": rows,
+    }
+    print(json.dumps(summary), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)

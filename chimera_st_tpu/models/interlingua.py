@@ -101,6 +101,9 @@ class InterlinguaConfig:
     w2v2_layer_norm_first: bool = False
     w2v2_conv_pos: int = 128
     w2v2_conv_pos_groups: int = 16
+    # remat the w2v2 context network in the backward pass (activation memory
+    # for throughput at large batch; measured in benchmarks/trace_train.py)
+    w2v2_remat: bool = False
     # wav2vec2 regularization (from the w2v2 checkpoint args in the reference,
     # w2v2_transformer.py:255-267 — independent of the ST model's dropout)
     w2v2_dropout: float = 0.1
@@ -145,6 +148,7 @@ class ChimeraInterlinguaModel(nn.Module):
             attention_dropout=c.w2v2_attention_dropout,
             activation_dropout=c.w2v2_activation_dropout,
             feature_grad_mult=c.feature_grad_mult,
+            remat=c.w2v2_remat,
             name="wav2vec_model",
             **common,
         )

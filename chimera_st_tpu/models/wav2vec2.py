@@ -311,6 +311,12 @@ class Wav2Vec2Encoder(nn.Module):
     # learned masked-frame embedding for fine-tune span masking (reference:
     # wav2vec2.py mask_emb / apply_mask :321-340); indices come from the host
     mask_emb: bool = False
+    # rematerialize each context-network layer in the backward pass
+    # (jax.checkpoint): trades ~1/3 extra forward FLOPs on the trunk for not
+    # stashing its per-layer activations — the trunk runs at the longest
+    # sequence length in the model (299 frames/6 s before subsampling), so
+    # this is where activation memory lives at large batch
+    remat: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -346,8 +352,14 @@ class Wav2Vec2Encoder(nn.Module):
         self.encoder_layer_norm = LayerNorm(
             self.encoder_embed_dim, dtype=self.dtype, name="encoder_layer_norm"
         )
+        layer_cls = (
+            # static_argnums counts self: (self, x, padding_mask, deterministic)
+            nn.remat(W2V2EncoderLayer, static_argnums=(3,))
+            if self.remat
+            else W2V2EncoderLayer
+        )
         self.layers = [
-            W2V2EncoderLayer(
+            layer_cls(
                 self.encoder_embed_dim,
                 self.encoder_ffn_dim,
                 self.encoder_heads,
@@ -413,13 +425,13 @@ class Wav2Vec2Encoder(nn.Module):
 
                 rng = jax.random.fold_in(self.make_rng("dropout"), 1000 + i)
                 x = maybe_layer_drop(
-                    lambda v: layer(
-                        v, padding_mask=padding_mask, deterministic=deterministic
-                    ),
+                    lambda v: layer(v, padding_mask, deterministic),
                     x, self.layerdrop, rng, deterministic=deterministic,
                 )
             else:
-                x = layer(x, padding_mask=padding_mask, deterministic=deterministic)
+                # positional: remat-wrapped layers take `deterministic` as a
+                # static positional arg
+                x = layer(x, padding_mask, deterministic)
         if self.layer_norm_first:
             x = self.encoder_layer_norm(x)
         return x, padding_mask
