@@ -114,6 +114,173 @@ def run_batch(batch: int):
     return dt, t_enc
 
 
+def run_mixed_lengths(batch: int, n_buckets: int = 3, n_utts: int = 192,
+                      budget_s: float = 1500.0, seed: int = 1):
+    """Mixed-length decode through the real quantile-bucketing path.
+
+    tst-COMMON has a wide duration distribution (the uniform-6s sweep above
+    is the synthetic best case); this mode draws a lognormal clipped to
+    [2, 15] s (median ~5.5 s, like MuST-C tst-COMMON), buckets by
+    `data.batching.quantile_buckets` exactly as eval batching does
+    (reference batches by n_frames, fairseq_cli/generate.py:145-160), and
+    reports throughput, bucket padding waste, and the compile count the
+    bucketing costs. Returns None if the compile budget runs out (each
+    bucket edge is a fresh encode+decode shape)."""
+    from chimera_st_tpu.data.batching import pad_to_bucket, quantile_buckets
+    from chimera_st_tpu.generation.generator import (
+        GeneratorSettings,
+        SequenceGenerator,
+    )
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
+    )
+
+    t_start = time.perf_counter()
+    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(seed)
+
+    secs = np.clip(rng.lognormal(np.log(5.5), 0.55, size=n_utts), 2.0, 15.0)
+    lengths = (secs * SAMPLE_RATE).astype(np.int64)
+    edges = quantile_buckets(lengths, n_buckets)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, int(edges[0])), jnp.float32),
+        jnp.zeros((1, int(edges[0])), bool),
+        jnp.full((1, 4), 2, jnp.int32),
+        jnp.full((1, 4), 2, jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    gen = SequenceGenerator(
+        model,
+        GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_DECODE_LEN,
+                          len_penalty=1.5, min_len=30),
+    )
+
+    # group utterances by bucket edge, chunk into fixed-size batches (the
+    # final partial chunk is padded with dummy rows — counted as waste)
+    by_edge = {}
+    for L in lengths:
+        by_edge.setdefault(pad_to_bucket(int(L), edges), []).append(int(L))
+    jobs = []  # (edge, real_lengths_in_this_chunk)
+    for edge in sorted(by_edge):
+        utts = by_edge[edge]
+        for i in range(0, len(utts), batch):
+            jobs.append((edge, utts[i:i + batch]))
+
+    def make_inputs(edge, real_lens, salt):
+        r = np.random.default_rng(hash((edge, salt)) % 2**32)
+        wav = (r.normal(size=(batch, edge)) * 0.1).astype(np.float32)
+        mask = np.zeros((batch, edge), bool)
+        for row, L in enumerate(real_lens):
+            mask[row, L:] = True
+        mask[len(real_lens):] = False  # dummy rows decode at full length
+        return jnp.asarray(wav), jnp.asarray(mask)
+
+    # warm every distinct shape (compile) under the wall-clock budget
+    shapes_done = []
+    for edge in sorted(by_edge):
+        if time.perf_counter() - t_start > budget_s:
+            break
+        w, m = make_inputs(edge, by_edge[edge][:batch], salt=-1)
+        np.asarray(gen.generate_audio(params, w, m)[0])
+        shapes_done.append(edge)
+    jobs = [j for j in jobs if j[0] in shapes_done]
+    if not jobs:
+        return None
+
+    # timed pass: dispatch all batches, sync at the end
+    inputs = [make_inputs(e, ls, salt=i) for i, (e, ls) in enumerate(jobs)]
+    jax.block_until_ready([w for w, _ in inputs])
+    t0 = time.perf_counter()
+    outs = [gen.generate_audio(params, w, m)[0] for w, m in inputs]
+    for o in outs:
+        np.asarray(o)
+    wall = time.perf_counter() - t0
+
+    done_utts = sum(len(ls) for _, ls in jobs)
+    real_audio_s = sum(sum(ls) for _, ls in jobs) / SAMPLE_RATE
+    padded_s = sum(e * batch for e, _ in jobs) / SAMPLE_RATE
+    return {
+        "utt_per_sec": round(done_utts / wall, 2),
+        "rtfx_real_audio": round(real_audio_s / wall, 1),
+        "bucket_fill": round(real_audio_s / padded_s, 3),
+        "n_compiled_shapes": len(shapes_done),
+        "n_buckets_requested": n_buckets,
+        "buckets_skipped": len(by_edge) - len(shapes_done),
+        "n_utts": done_utts,
+        "batch": batch,
+        "edges_sec": [round(e / SAMPLE_RATE, 2) for e in shapes_done],
+        "duration_dist": "lognormal(median 5.5s, sigma 0.55) clip [2, 15]s",
+    }
+
+
+def run_multichip_scaling(batch: int):
+    """Per-chip decode throughput at 1/2/4/.../N chips via data-parallel
+    sharding (the generate CLI's >1-device path, tests/test_multichip_decode):
+    produces the scaling sweep automatically on the first multi-chip
+    environment; returns None on a single chip (today's box)."""
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chimera_st_tpu.generation.generator import (
+        GeneratorSettings,
+        SequenceGenerator,
+    )
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
+    )
+    from chimera_st_tpu.parallel import make_mesh
+
+    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
+    T = int(AUDIO_SECONDS * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T), jnp.float32), jnp.zeros((1, T), bool),
+        jnp.full((1, 4), 2, jnp.int32), jnp.full((1, 4), 2, jnp.int32),
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    gen = SequenceGenerator(
+        model,
+        GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_DECODE_LEN,
+                          len_penalty=1.5, min_len=30),
+    )
+    sweep = {}
+    n = 1
+    while n <= n_dev:
+        mesh = make_mesh(data_parallel=n, model_parallel=1)
+        shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        p = jax.device_put(params, rep)
+        B = batch * n  # same per-chip batch at every width
+        mask = jax.device_put(jnp.zeros((B, T), bool), shard)
+        batches = [
+            jax.device_put(
+                jnp.asarray(rng.normal(size=(B, T)) * 0.1, jnp.float32), shard
+            )
+            for _ in range(ITERS)
+        ]
+        np.asarray(gen.generate_audio(p, batches[0], mask)[0])  # compile
+        t0 = time.perf_counter()
+        outs = [gen.generate_audio(p, b, mask)[0] for b in batches]
+        for o in outs:
+            np.asarray(o)
+        dt = (time.perf_counter() - t0) / ITERS
+        sweep[str(n)] = {
+            "utt_per_sec_per_chip": round(B / dt / n, 2),
+            "utt_per_sec_total": round(B / dt, 2),
+        }
+        n *= 2
+    return sweep
+
+
 def _devices_or_die(timeout_s: int = 240) -> str:
     """Backend init with a watchdog instead of a probe subprocess.
 
@@ -168,6 +335,27 @@ def main():
     best_b = max(results, key=lambda b: results[b]["utt_per_sec"])
     utt_per_sec = results[best_b]["utt_per_sec"]
     rtfx = utt_per_sec * AUDIO_SECONDS
+
+    # mixed-length mode (real bucketing path) — additive, never fatal, and
+    # budget-bounded: each bucket is a fresh compile shape, expensive cold
+    mixed = None
+    if os.environ.get("CHIMERA_BENCH_MIXED", "1") != "0":
+        try:
+            mixed = run_mixed_lengths(
+                batch=64,
+                budget_s=float(os.environ.get("CHIMERA_BENCH_MIXED_BUDGET_S",
+                                              "1500")),
+            )
+        except Exception as e:
+            mixed = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # data-parallel scaling sweep — no-op on today's single-chip box, kicks
+    # in automatically on the first multi-chip environment
+    multichip = None
+    try:
+        multichip = run_multichip_scaling(batch=best_b)
+    except Exception as e:
+        multichip = {"error": f"{type(e).__name__}: {e}"[:200]}
     print(
         json.dumps(
             {
@@ -182,6 +370,8 @@ def main():
                     "audio_seconds": AUDIO_SECONDS,
                     "max_decode_len": MAX_DECODE_LEN,
                     "sweep": {str(b): r for b, r in results.items()},
+                    "mixed_length": mixed,
+                    "multichip_scaling": multichip,
                 },
             }
         )
