@@ -76,14 +76,22 @@ def dot_product_attention(
             key_padding_mask[:, None, None, :], NEG_INF, logits
         )
 
-    probs = jax.nn.softmax(logits, axis=-1)
+    # softmax in f32, result immediately back in the compute dtype — the
+    # reference's exact semantics (fairseq utils.softmax: F.softmax(x.float())
+    # .type_as(x) under fp16). The cast matters for training throughput: the
+    # probs tensor is what autodiff saves for the backward pass, and at
+    # [B, H, T, T] (137 MB per w2v2-trunk layer at B=48/T=299) keeping it
+    # f32 doubled the dominant HBM stream in the train-step trace
+    # (benchmarks/trace_train.py: twelve 2.3 ms f32[48,8,299,299] softmax
+    # fusions + twelve 2.2 ms bf16 converts per step before this change).
+    probs = jax.nn.softmax(logits, axis=-1).astype(orig_dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), jnp.zeros((), orig_dtype))
 
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
-        probs.astype(orig_dtype),
+        probs,
         v,
         preferred_element_type=jnp.float32,
     )
