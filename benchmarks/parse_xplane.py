@@ -23,13 +23,14 @@ import sys
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 # "%fusion.190 = (bf16[...]) fusion(...)" -> "fusion"; "%copy-start.628 ..."
-# -> "copy-start"; names without the HLO text ("fusion.190") -> "fusion"
-_OPCODE = re.compile(r"^%?([a-zA-Z][a-zA-Z0-9_-]*?)[._-]?\d*(?:\s|=|$|\.)")
+# -> "copy-start". Digits are allowed inside the opcode (atan2, log1p) —
+# only a trailing ".<uid>" instance suffix is stripped.
+_OPCODE = re.compile(r"^%?([a-zA-Z][a-zA-Z0-9_-]*?)(?:\.\d+)?(?:[\s=.]|$)")
 
 
 def _opcode(name: str) -> str:
-    m = re.match(r"^%?([a-zA-Z][a-zA-Z_-]*)", name)
-    return m.group(1).rstrip("_.-") if m else name[:24]
+    m = _OPCODE.match(name)
+    return m.group(1) if m else name[:24]
 
 
 def parse(trace_dir: str, topk: int = 40, op_lines=("XLA Ops",)):

@@ -30,18 +30,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_BF16_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5": 459e12,  # v5p
-    "TPU v6 lite": 918e12,  # v6e
-}
-HBM_BYTES_PER_S = {
-    "TPU v4": 1.2e12,
-    "TPU v5 lite": 0.819e12,  # v5e: 819 GB/s
-    "TPU v5": 2.765e12,
-    "TPU v6 lite": 1.64e12,
-}
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from device_peaks import HBM_BYTES_PER_S, PEAK_BF16_FLOPS  # noqa: E402
 
 
 def _cost(compiled):

@@ -30,13 +30,7 @@ import numpy as np
 
 TRACE_DIR = "/tmp/chimera_trace_train"
 
-# bf16 peak matmul throughput per chip (for the MFU denominator)
-PEAK_BF16_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5": 459e12,  # v5p
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-}
+from device_peaks import PEAK_BF16_FLOPS  # noqa: E402 — shared MFU table
 
 
 def build_step(batch: int, seconds: float, remat: str = "none"):

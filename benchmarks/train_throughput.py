@@ -42,12 +42,7 @@ S = 32  # source text length
 ITERS = 6
 REPEATS = 3
 
-PEAK_BF16_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5": 459e12,  # v5p
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-}
+from device_peaks import PEAK_BF16_FLOPS  # noqa: E402 — shared MFU table
 
 
 def make_problem(batch: int, seconds: float, dtype, remat: str = "none",

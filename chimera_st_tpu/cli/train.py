@@ -339,7 +339,10 @@ def main(argv=None) -> None:
             log_format=args.log_format,
             log_interval=args.log_interval,
             epoch=epoch,
-            tensorboard_logdir=args.tensorboard_logdir,
+            # lead-only writes: the TB sink writes event files directly (not
+            # via logging), so non-lead hosts of a multi-host job must not
+            # open one on a shared logdir
+            tensorboard_logdir=args.tensorboard_logdir if lead_process else None,
         )
         with metrics_mod.aggregate("train_inner") as agg:
             for i, microbatches in enumerate(pbar):

@@ -77,9 +77,15 @@ def initialize_distributed(
             "or neither (both are auto-detected on TPU pods); got "
             f"rank={process_id} num_procs={num_processes}"
         )
-    from jax._src import xla_bridge
+    try:  # private probe, best-effort: jax._src has no stability guarantee,
+        # and this fail-fast nicety must never itself break init on a jax
+        # upgrade — fall through to jax.distributed.initialize's own error
+        from jax._src import xla_bridge
 
-    if xla_bridge.backends_are_initialized():
+        already = xla_bridge.backends_are_initialized()
+    except (ImportError, AttributeError):
+        already = False
+    if already:
         raise RuntimeError(
             "the JAX backend is already initialized — "
             "initialize_distributed() must run before the first "

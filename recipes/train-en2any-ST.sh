@@ -12,12 +12,17 @@ W2V2=${W2V2:?path to wav2vec_small.pt}
 MAX_UPDATE=${MAX_UPDATE:-150000}
 
 mkdir -p "$SAVE_DIR"
-# Warm start: MT best -> ST last, training continues with a fresh optimizer
-# (reference train-en2any-ST.sh: cp + reset_optimizer="--reset-optimizer";
-# a genuine resume of an interrupted ST run keeps the optimizer state).
+# Warm start: MT best -> ST last + fresh optimizer, exactly the reference's
+# semantics (train-en2any-ST.sh:11-19: unconditional cp + --reset-optimizer
+# unless $resume == "True"). RESUME=True is the ONLY way to keep going from
+# an interrupted ST run — inferring "resume" from checkpoint_last existing
+# would silently resume the copied MT checkpoint (same arch, loads fine)
+# with MT's optimizer state if the first run died before its first ST save.
 RESET_OPT=""
-if [[ -n "$MT_CKPT" && ! -f "$SAVE_DIR/checkpoint_last.ckpt" ]]; then
-  cp "$MT_CKPT" "$SAVE_DIR/checkpoint_last.ckpt"
+if [[ "${RESUME:-}" != "True" ]]; then
+  if [[ -n "$MT_CKPT" ]]; then
+    cp "$MT_CKPT" "$SAVE_DIR/checkpoint_last.ckpt"
+  fi
   RESET_OPT="--reset-optimizer"
 fi
 
