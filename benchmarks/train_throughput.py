@@ -115,11 +115,82 @@ def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
     return step, state, make_batch
 
 
-def run(batch: int, seconds: float, dtype, remat: str = "none",
-        update_freq: int = 1):
-    step, state, make_batch = make_problem(
-        batch, seconds, dtype, remat=remat, update_freq=update_freq
+def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
+    """MT pre-train stage step: SAME interlingua model, text-branch forward
+    + label-smoothed CE (the reference's 500k-update WMT stage,
+    train-en2any-MT.sh: --task translation --max-tokens 4096 --update-freq 8).
+    Audio trunk params exist but are untouched, exactly as in the real run."""
+    import chimera_st_tpu.criterions  # noqa: F401 — populate the registry
+    from chimera_st_tpu.config.registry import CRITERIONS
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
     )
+    from chimera_st_tpu.optim.lr_schedulers import build_lr_schedule
+    from chimera_st_tpu.optim.optimizers import build_optimizer
+    from chimera_st_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    model = ChimeraInterlinguaModel(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+    S_mt = src_len
+
+    def one_batch(i: int):
+        tgt = rng.integers(4, 10000, size=(batch, S_mt)).astype(np.int32)
+        tgt[:, -1] = 2
+        prev = np.concatenate([np.full((batch, 1), 2, np.int32), tgt[:, :-1]], 1)
+        return {
+            "src_tokens": jnp.asarray(
+                rng.integers(4, 10000, size=(batch, S_mt)), jnp.int32
+            ),
+            "prev_output_tokens": jnp.asarray(prev),
+            "target": jnp.asarray(tgt),
+            "ntokens": jnp.asarray(batch * S_mt, jnp.float32),
+        }
+
+    def make_batch(i: int):
+        if update_freq == 1:
+            return one_batch(i)
+        micros = [one_batch(i * update_freq + j) for j in range(update_freq)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+
+    b0 = one_batch(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), bool),
+        b0["src_tokens"][:1], b0["prev_output_tokens"][:1],
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    crit = CRITERIONS.get("label_smoothed_cross_entropy")(
+        {"label_smoothing": 0.1}
+    )
+    sched = build_lr_schedule(
+        {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000}
+    )
+    tx = build_optimizer(
+        {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched, clip_norm=0.0
+    )
+    step = make_train_step(model, crit, tx, accum_steps=update_freq,
+                           lr_schedule=sched)
+    state = create_train_state(params, tx)
+    return step, state, make_batch
+
+
+def run(batch: int, seconds: float, dtype, remat: str = "none",
+        update_freq: int = 1, workload: str = "st", src_len: int = 32):
+    if workload == "mt":
+        step, state, make_batch = make_problem_mt(
+            batch, src_len, dtype, update_freq=update_freq
+        )
+        tokens_per_sample = src_len
+    else:
+        step, state, make_batch = make_problem(
+            batch, seconds, dtype, remat=remat, update_freq=update_freq
+        )
+        tokens_per_sample = U
 
     # warm (compile)
     t0 = time.perf_counter()
@@ -139,6 +210,13 @@ def run(batch: int, seconds: float, dtype, remat: str = "none",
     ).compile().cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0))
+    if update_freq > 1:
+        # XLA cost analysis counts a scan/while body ONCE regardless of trip
+        # count. The accum step is 1 explicit microbatch + scan(uf-1) + a
+        # (negligible) optimizer apply, so the report covers ~2 microbatches;
+        # scale to the true count (verified: uf=8 then reads ~= the same-
+        # effective-batch uf=1 MFU instead of 4x under it).
+        flops = flops * update_freq / 2.0
 
     # Timing: dispatch ITERS steps back-to-back (state carries the data
     # dependency, so they serialize on device) and sync ONCE at the end —
@@ -161,21 +239,23 @@ def run(batch: int, seconds: float, dtype, remat: str = "none",
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(kind)
     mfu = flops / dt / peak if peak else None
+    audio_s = eff_batch * seconds * ups if workload == "st" else None
     print(
         f"B={batch:4d} uf={update_freq} remat={remat}: {dt*1e3:8.1f} ms/update"
-        f"  ups={ups:6.2f}  wps={eff_batch*U*ups:9.0f}"
-        f"  audio_s/s={eff_batch*seconds*ups:8.1f}"
-        f"  flops/step={flops/1e12:.2f}TF"
+        f"  ups={ups:6.2f}  wps={eff_batch*tokens_per_sample*ups:9.0f}"
+        + (f"  audio_s/s={audio_s:8.1f}" if audio_s is not None else "")
+        + f"  flops/step={flops/1e12:.2f}TF"
         + (f"  MFU={100*mfu:.1f}%" if mfu is not None else "")
         + f"  (first step incl. compile: {compile_s:.1f}s)",
         flush=True,
     )
     return {
         "batch": batch, "update_freq": update_freq, "remat": remat,
+        "workload": workload,
         "ms_per_update": round(dt * 1e3, 1),
         "updates_per_sec": round(ups, 3),
-        "wps": round(eff_batch * U * ups, 0),
-        "audio_s_per_sec": round(eff_batch * seconds * ups, 1),
+        "wps": round(eff_batch * tokens_per_sample * ups, 0),
+        "audio_s_per_sec": round(audio_s, 1) if audio_s is not None else None,
         "flops_per_step_tf": round(flops / 1e12, 2),
         "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
     }
@@ -188,20 +268,29 @@ if __name__ == "__main__":
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--update-freq", type=int, nargs="+", default=[1])
     p.add_argument("--remat", default="none", choices=["none", "w2v2"])
+    p.add_argument("--workload", default="st", choices=["st", "mt"],
+                   help="st = triplet fine-tune step (train-en2any-ST.sh); "
+                        "mt = text-branch pre-train step (train-en2any-MT.sh, "
+                        "tokens = batch * src-len)")
+    p.add_argument("--src-len", type=int, default=32,
+                   help="tokens per sentence for --workload mt")
     p.add_argument("--json", default=None, help="write the sweep as JSON here")
     args = p.parse_args()
     dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     rows = []
     for uf in args.update_freq:
         for b in args.batches:
-            r = run(b, args.seconds, dt, remat=args.remat, update_freq=uf)
+            r = run(b, args.seconds, dt, remat=args.remat, update_freq=uf,
+                    workload=args.workload, src_len=args.src_len)
             if r:
                 rows.append(r)
-    best = max(rows, key=lambda r: r["audio_s_per_sec"]) if rows else None
+    key = "audio_s_per_sec" if args.workload == "st" else "wps"
+    best = max(rows, key=lambda r: r[key]) if rows else None
     summary = {
-        "metric": "train_audio_seconds_per_sec_per_chip",
-        "value": best["audio_s_per_sec"] if best else 0.0,
-        "unit": "audio-s/s",
+        "metric": ("train_audio_seconds_per_sec_per_chip" if args.workload == "st"
+                   else "train_mt_target_tokens_per_sec_per_chip"),
+        "value": best[key] if best else 0.0,
+        "unit": "audio-s/s" if args.workload == "st" else "tokens/s",
         "device": jax.devices()[0].device_kind,
         "best": best,
         "sweep": rows,
