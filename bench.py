@@ -47,7 +47,15 @@ MAX_DECODE_LEN = 64
 ITERS = 6
 
 
-def run_batch(batch: int):
+def build_flagship(probe_len: int):
+    """ONE definition of the bench operating point — flagship interlingua
+    model, bf16, beam 10, len_penalty 1.5, min_len 30 — shared by run_batch,
+    run_mixed_lengths, run_multichip_scaling and benchmarks/roofline_decode
+    so the protocol cannot drift between harnesses. min_len pins the decode
+    loop to a realistic hypothesis length (random params would otherwise
+    emit eos after ~2 steps and measure nothing): tst-COMMON references
+    average ~30 target tokens. `probe_len` only drives init shape tracing
+    (flax param values depend on the rng, not the probe input)."""
     from chimera_st_tpu.generation.generator import (
         GeneratorSettings,
         SequenceGenerator,
@@ -59,24 +67,14 @@ def run_batch(batch: int):
 
     cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
     model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
-
-    T = int(AUDIO_SECONDS * SAMPLE_RATE)
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.normal(size=(batch, T)) * 0.1, jnp.float32)
-    mask = jnp.zeros((batch, T), bool)
-
     params = model.init(
         jax.random.PRNGKey(0),
-        audio[:1],
-        mask[:1],
+        jnp.zeros((1, probe_len), jnp.float32),
+        jnp.zeros((1, probe_len), bool),
         jnp.full((1, 4), 2, jnp.int32),
         jnp.full((1, 4), 2, jnp.int32),
         method=ChimeraInterlinguaModel.init_everything,
     )
-
-    # min_len pins the decode loop to a realistic hypothesis length (random
-    # params would otherwise emit eos after ~2 steps and measure nothing):
-    # tst-COMMON references average ~30 target tokens.
     gen = SequenceGenerator(
         model,
         GeneratorSettings(
@@ -86,6 +84,15 @@ def run_batch(batch: int):
             min_len=30,
         ),
     )
+    return model, params, gen
+
+
+def run_batch(batch: int):
+    T = int(AUDIO_SECONDS * SAMPLE_RATE)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(batch, T)) * 0.1, jnp.float32)
+    mask = jnp.zeros((batch, T), bool)
+    _, params, gen = build_flagship(T)
 
     # distinct input batches: the axon runtime dedupes identical dispatches.
     # Sync via host materialization (np.asarray) — block_until_ready returns
@@ -127,37 +134,15 @@ def run_mixed_lengths(batch: int, n_buckets: int = 3, n_utts: int = 192,
     bucketing costs. Returns None if the compile budget runs out (each
     bucket edge is a fresh encode+decode shape)."""
     from chimera_st_tpu.data.batching import pad_to_bucket, quantile_buckets
-    from chimera_st_tpu.generation.generator import (
-        GeneratorSettings,
-        SequenceGenerator,
-    )
-    from chimera_st_tpu.models.interlingua import (
-        ChimeraInterlinguaModel,
-        InterlinguaConfig,
-    )
 
     t_start = time.perf_counter()
-    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
-    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(seed)
 
     secs = np.clip(rng.lognormal(np.log(5.5), 0.55, size=n_utts), 2.0, 15.0)
     lengths = (secs * SAMPLE_RATE).astype(np.int64)
     edges = quantile_buckets(lengths, n_buckets)
 
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, int(edges[0])), jnp.float32),
-        jnp.zeros((1, int(edges[0])), bool),
-        jnp.full((1, 4), 2, jnp.int32),
-        jnp.full((1, 4), 2, jnp.int32),
-        method=ChimeraInterlinguaModel.init_everything,
-    )
-    gen = SequenceGenerator(
-        model,
-        GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_DECODE_LEN,
-                          len_penalty=1.5, min_len=30),
-    )
+    _, params, gen = build_flagship(int(edges[0]))
 
     # group utterances by bucket edge, chunk into fixed-size batches (the
     # final partial chunk is padded with dummy rows — counted as waste)
@@ -176,7 +161,8 @@ def run_mixed_lengths(batch: int, n_buckets: int = 3, n_utts: int = 192,
         mask = np.zeros((batch, edge), bool)
         for row, L in enumerate(real_lens):
             mask[row, L:] = True
-        mask[len(real_lens):] = False  # dummy rows decode at full length
+        # rows beyond real_lens keep the all-False mask from np.zeros:
+        # dummy padding rows decode at full length (counted as waste)
         return jnp.asarray(wav), jnp.asarray(mask)
 
     # warm every distinct shape (compile) under the wall-clock budget
@@ -227,31 +213,11 @@ def run_multichip_scaling(batch: int):
         return None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from chimera_st_tpu.generation.generator import (
-        GeneratorSettings,
-        SequenceGenerator,
-    )
-    from chimera_st_tpu.models.interlingua import (
-        ChimeraInterlinguaModel,
-        InterlinguaConfig,
-    )
     from chimera_st_tpu.parallel import make_mesh
 
-    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
-    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
     T = int(AUDIO_SECONDS * SAMPLE_RATE)
     rng = np.random.default_rng(0)
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, T), jnp.float32), jnp.zeros((1, T), bool),
-        jnp.full((1, 4), 2, jnp.int32), jnp.full((1, 4), 2, jnp.int32),
-        method=ChimeraInterlinguaModel.init_everything,
-    )
-    gen = SequenceGenerator(
-        model,
-        GeneratorSettings(beam_size=BEAM, max_decode_len=MAX_DECODE_LEN,
-                          len_penalty=1.5, min_len=30),
-    )
+    _, params, gen = build_flagship(T)
     sweep = {}
     n = 1
     while n <= n_dev:

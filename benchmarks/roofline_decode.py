@@ -48,32 +48,12 @@ def main():
 
     import bench  # repo-root bench: reuse its exact problem construction
 
-    from chimera_st_tpu.generation.generator import (
-        GeneratorSettings,
-        SequenceGenerator,
-    )
-    from chimera_st_tpu.models.interlingua import (
-        ChimeraInterlinguaModel,
-        InterlinguaConfig,
-    )
-
     B = args.batch
-    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
-    model = ChimeraInterlinguaModel(cfg, dtype=jnp.bfloat16)
     T = int(args.seconds * bench.SAMPLE_RATE)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.normal(size=(B, T)) * 0.1, jnp.float32)
     mask = jnp.zeros((B, T), bool)
-    params = model.init(
-        jax.random.PRNGKey(0), audio[:1], mask[:1],
-        jnp.full((1, 4), 2, jnp.int32), jnp.full((1, 4), 2, jnp.int32),
-        method=ChimeraInterlinguaModel.init_everything,
-    )
-    gen = SequenceGenerator(
-        model,
-        GeneratorSettings(beam_size=bench.BEAM, max_decode_len=bench.MAX_DECODE_LEN,
-                          len_penalty=1.5, min_len=30),
-    )
+    _, params, gen = bench.build_flagship(T)
 
     # ---- exact costs off the compiled programs
     enc_lowered = gen._jit_encode_audio.lower(params, audio, mask)

@@ -43,7 +43,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=int(os.environ.get("TRACE_BATCH", 16)))
     p.add_argument("--seconds", type=float, default=6.0)
-    p.add_argument("--remat", default="none", choices=["none", "w2v2", "all"])
+    p.add_argument("--remat", default="none", choices=["none", "w2v2"])
     p.add_argument("--no-trace", action="store_true",
                    help="just time + cost-analysis MFU, skip xplane capture")
     p.add_argument("--topk", type=int, default=40)

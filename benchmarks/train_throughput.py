@@ -45,17 +45,14 @@ REPEATS = 3
 from device_peaks import PEAK_BF16_FLOPS  # noqa: E402 — shared MFU table
 
 
-def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
-                 update_freq: int = 1):
-    """Build (jitted step, initial state, make_batch) for the flagship
-    triplet fine-tune. With update_freq > 1, batches carry a leading
-    microbatch axis and the step scans over it (grad accumulation)."""
+def _assemble(model, init_args, crit_name, crit_cfg, lr_cfg, clip_norm,
+              one_batch, update_freq):
+    """Shared scaffold for both workloads: init, criterion, schedule,
+    optimizer, jitted step, and the update_freq > 1 microbatch stacking —
+    one definition so the ST and MT sweeps measure the same protocol."""
     import chimera_st_tpu.criterions  # noqa: F401 — populate the registry
     from chimera_st_tpu.config.registry import CRITERIONS
-    from chimera_st_tpu.models.interlingua import (
-        ChimeraInterlinguaModel,
-        InterlinguaConfig,
-    )
+    from chimera_st_tpu.models.interlingua import ChimeraInterlinguaModel
     from chimera_st_tpu.optim.lr_schedulers import build_lr_schedule
     from chimera_st_tpu.optim.optimizers import build_optimizer
     from chimera_st_tpu.train.train_step import (
@@ -63,9 +60,41 @@ def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
         make_train_step,
     )
 
+    def make_batch(i: int):
+        if update_freq == 1:
+            return one_batch(i)
+        micros = [one_batch(i * update_freq + j) for j in range(update_freq)]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
+
+    params = model.init(
+        jax.random.PRNGKey(0), *init_args,
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+    crit = CRITERIONS.get(crit_name)(crit_cfg)
+    sched = build_lr_schedule(lr_cfg)
+    tx = build_optimizer(
+        {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched,
+        clip_norm=clip_norm,
+    )
+    step = make_train_step(model, crit, tx, accum_steps=update_freq,
+                           lr_schedule=sched)
+    state = create_train_state(params, tx)
+    return step, state, make_batch
+
+
+def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
+                 update_freq: int = 1):
+    """Build (jitted step, initial state, make_batch) for the flagship
+    triplet fine-tune. With update_freq > 1, batches carry a leading
+    microbatch axis and the step scans over it (grad accumulation)."""
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
+    )
+
     cfg = InterlinguaConfig(
         tgt_vocab_size=10000, src_vocab_size=10000,
-        w2v2_remat=(remat in ("w2v2", "all")),
+        w2v2_remat=(remat == "w2v2"),
     )
     model = ChimeraInterlinguaModel(cfg, dtype=dtype)
     T = int(seconds * SAMPLE_RATE)
@@ -88,31 +117,16 @@ def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
             "ntokens": jnp.asarray(batch * U, jnp.float32),
         }
 
-    def make_batch(i: int):
-        if update_freq == 1:
-            return one_batch(i)
-        micros = [one_batch(i * update_freq + j) for j in range(update_freq)]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
-
     b0 = one_batch(0)
-    params = model.init(
-        jax.random.PRNGKey(0), b0["audio"][:1], b0["audio_padding_mask"][:1],
-        b0["src_text"][:1], b0["prev_output_tokens"][:1],
-        method=ChimeraInterlinguaModel.init_everything,
+    return _assemble(
+        model,
+        (b0["audio"][:1], b0["audio_padding_mask"][:1],
+         b0["src_text"][:1], b0["prev_output_tokens"][:1]),
+        "triplet_st_mt_contrastive",
+        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)},
+        {"_name": "inverse_sqrt", "lr": 1e-4, "warmup_updates": 1000},
+        10.0, one_batch, update_freq,
     )
-    crit = CRITERIONS.get("triplet_st_mt_contrastive")(
-        {"label_smoothing": 0.1, "loss_ratio": (1.0, 1.0, 1.0)}
-    )
-    sched = build_lr_schedule(
-        {"_name": "inverse_sqrt", "lr": 1e-4, "warmup_updates": 1000}
-    )
-    tx = build_optimizer(
-        {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched, clip_norm=10.0
-    )
-    step = make_train_step(model, crit, tx, accum_steps=update_freq,
-                           lr_schedule=sched)
-    state = create_train_state(params, tx)
-    return step, state, make_batch
 
 
 def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
@@ -120,17 +134,9 @@ def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
     + label-smoothed CE (the reference's 500k-update WMT stage,
     train-en2any-MT.sh: --task translation --max-tokens 4096 --update-freq 8).
     Audio trunk params exist but are untouched, exactly as in the real run."""
-    import chimera_st_tpu.criterions  # noqa: F401 — populate the registry
-    from chimera_st_tpu.config.registry import CRITERIONS
     from chimera_st_tpu.models.interlingua import (
         ChimeraInterlinguaModel,
         InterlinguaConfig,
-    )
-    from chimera_st_tpu.optim.lr_schedulers import build_lr_schedule
-    from chimera_st_tpu.optim.optimizers import build_optimizer
-    from chimera_st_tpu.train.train_step import (
-        create_train_state,
-        make_train_step,
     )
 
     cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
@@ -151,32 +157,15 @@ def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
             "ntokens": jnp.asarray(batch * S_mt, jnp.float32),
         }
 
-    def make_batch(i: int):
-        if update_freq == 1:
-            return one_batch(i)
-        micros = [one_batch(i * update_freq + j) for j in range(update_freq)]
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *micros)
-
     b0 = one_batch(0)
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), bool),
-        b0["src_tokens"][:1], b0["prev_output_tokens"][:1],
-        method=ChimeraInterlinguaModel.init_everything,
+    return _assemble(
+        model,
+        (jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), bool),
+         b0["src_tokens"][:1], b0["prev_output_tokens"][:1]),
+        "label_smoothed_cross_entropy", {"label_smoothing": 0.1},
+        {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000},
+        0.0, one_batch, update_freq,
     )
-    crit = CRITERIONS.get("label_smoothed_cross_entropy")(
-        {"label_smoothing": 0.1}
-    )
-    sched = build_lr_schedule(
-        {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000}
-    )
-    tx = build_optimizer(
-        {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched, clip_norm=0.0
-    )
-    step = make_train_step(model, crit, tx, accum_steps=update_freq,
-                           lr_schedule=sched)
-    state = create_train_state(params, tx)
-    return step, state, make_batch
 
 
 def run(batch: int, seconds: float, dtype, remat: str = "none",

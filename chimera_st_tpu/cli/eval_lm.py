@@ -24,6 +24,7 @@ def main(argv=None) -> None:
                         "counted (reference: fairseq_cli/eval_lm.py "
                         "--context-window + LMContextWindowDataset)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
+    options.require_single_host("chimera-eval-lm")
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s | %(message)s")
 

@@ -212,6 +212,7 @@ def main(argv=None) -> None:
     p = options.base_parser("chimera-generate")
     options.add_generation_args(p)
     args, model_overrides = options.parse_with_model_overrides(p, argv)
+    options.require_single_host("chimera-generate")
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s | %(message)s")
 

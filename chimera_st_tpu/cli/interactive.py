@@ -40,6 +40,7 @@ def main(argv=None) -> None:
                         "lines are 'source\\tphrase1\\tphrase2...' (reference: "
                         "fairseq-interactive --constraints)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
+    options.require_single_host("chimera-interactive")
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s | %(message)s")
 

@@ -132,6 +132,12 @@ def add_train_args(p: argparse.ArgumentParser):
                         "'(0.1,0.4,0.5)'")
     p.add_argument("--stop-min-lr", type=float, default=-1.0)
     p.add_argument("--update-freq", type=str, default="1")
+    p.add_argument("--async-dispatch", type=int, default=3,
+                   help="max updates kept in flight before the host blocks; "
+                        "metrics materialize in batches at log/save/stop "
+                        "boundaries instead of per update (overlaps batch "
+                        "prep with device compute). 0 = synchronous per-"
+                        "update reads (the reference trainer's behavior)")
     p.add_argument("--max-update", type=int, default=0)
     p.add_argument("--max-epoch", type=int, default=0)
     p.add_argument("--stop-time-hours", type=float, default=0)
@@ -342,6 +348,27 @@ def initialize_distributed_from_args(args) -> None:
     _parallel.initialize_distributed(
         coordinator_address=coord, num_processes=nprocs, process_id=rank
     )
+
+
+def require_single_host(entry_point: str) -> None:
+    """Fail fast when a decode-side CLI runs inside a multi-host job.
+
+    These entry points gather mesh-sharded device arrays to host with
+    ``np.asarray`` (not fully-addressable under multi-host) and write one
+    results file — neither is defined for >1 process. Multi-host decode =
+    shard the INPUT instead: run one single-process job per host on a slice
+    of the data (the reference's sharded-generate pattern,
+    fairseq_cli/generate.py --shard-id/--num-shards).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        raise SystemExit(
+            f"{entry_point} does not support multi-host execution: it "
+            "gathers decode outputs to one host and writes a single results "
+            "file. Run one single-host job per data shard instead "
+            "(multi-host --distributed-init-method is for chimera-train)."
+        )
 
 
 def parse_with_model_overrides(

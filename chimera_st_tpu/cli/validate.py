@@ -21,6 +21,7 @@ def main(argv=None) -> None:
                         "to a pickle (reference: tasks/triplet.py:196-232 "
                         "valid_step feature dumping)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
+    options.require_single_host("chimera-validate")
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(asctime)s | %(message)s")
 
