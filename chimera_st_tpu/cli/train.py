@@ -195,6 +195,7 @@ def main(argv=None) -> None:
         lr_schedule=lr_schedule,
         mesh=mesh,
         zero_sharding=None if args.zero_sharding == "none" else args.zero_sharding,
+        async_depth=max(args.async_dispatch, 0),
     )
     # persisted so generate/validate can rebuild the model from the checkpoint
     run_cfg = {"model_cfg": model_cfg, "task_cfg": task_cfg, "criterion_cfg": crit_cfg}
@@ -309,7 +310,13 @@ def main(argv=None) -> None:
             load_meters=not args.reset_meters,
             load_lr_scheduler=not args.reset_lr_scheduler,
         )
-        ckpt_mgr.best = extra.get("best")
+        # reference guards the best-metric restore on BOTH reset flags
+        # (checkpoint_utils.load_checkpoint: restores save_checkpoint.best
+        # only when `not reset_optimizer and not reset_meters`) — the ST
+        # warm start from an MT checkpoint passes --reset-optimizer and must
+        # NOT import the MT stage's best CE into ST best-tracking/patience
+        if not args.reset_optimizer and not args.reset_meters:
+            ckpt_mgr.best = extra.get("best")
         epoch = extra.get("train_iterator", {}).get("epoch", 1)
         logger.info(
             f"restored {restore} (epoch {epoch}, {trainer.num_updates} updates)"
@@ -347,8 +354,13 @@ def main(argv=None) -> None:
         with metrics_mod.aggregate("train_inner") as agg:
             for i, microbatches in enumerate(pbar):
                 trainer.train_step(microbatches, seed=args.seed + trainer.num_updates)
+                # num_updates is the optimistic host mirror under async
+                # dispatch — every block below that ACTS on it drains first
+                # (one batched transfer) and re-reads the exact counter
                 num_updates = trainer.num_updates
                 if num_updates % args.log_interval == 0:
+                    trainer.drain_metrics()
+                    num_updates = trainer.num_updates
                     pbar.log(agg.get_smoothed_values(), step=num_updates)
                     metrics_mod.reset_meters("train_inner")
                 if (
@@ -356,6 +368,8 @@ def main(argv=None) -> None:
                     and num_updates % args.save_interval_updates == 0
                     and num_updates != last_interval_validated
                 ):
+                    trainer.drain_metrics()
+                    num_updates = trainer.num_updates
                     last_interval_validated = num_updates
                     val = None
                     if num_updates >= args.validate_after_updates:
@@ -372,11 +386,16 @@ def main(argv=None) -> None:
                         save_interval_updates=args.save_interval_updates,
                     )
                 if args.max_update and num_updates >= args.max_update:
-                    stop = True
-                    break
+                    trainer.drain_metrics()
+                    if trainer.num_updates >= args.max_update:
+                        stop = True
+                        break
                 if args.stop_time_hours and (time.time() - start) / 3600 > args.stop_time_hours:
                     stop = True
                     break
+            # flush deferred metrics INSIDE the aggregation context so the
+            # epoch tail lands in train_inner/train/TB like every update
+            trainer.drain_metrics()
         train_itr.next_epoch()
 
         val = None

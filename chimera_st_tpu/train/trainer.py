@@ -75,7 +75,19 @@ class Trainer:
         skip_nonfinite: bool = True,
         mesh=None,
         zero_sharding: Optional[str] = None,
+        async_depth: int = 0,
     ):
+        # async_depth > 0 enables deferred-metrics dispatch: train_step
+        # buffers per-update device outputs (returning None) and keeps at
+        # most `async_depth` updates in flight; drain_metrics() replays
+        # them. This overlaps host-side batch prep with device compute —
+        # a synchronous host read per update otherwise serializes the two
+        # (the reference syncs per update because co-located CUDA reads are
+        # ~free; a TPU dispatch queue — let alone a remote one — is not).
+        self.async_depth = int(async_depth)
+        self._deferred: List[Dict[str, Any]] = []
+        self._drained_upto = 0
+        self._base_updates = 0
         self.model = model
         self.criterion = criterion
         self.tx = tx
@@ -149,6 +161,14 @@ class Trainer:
 
     @property
     def num_updates(self) -> int:
+        if self.async_depth > 0:
+            if self._deferred:
+                # optimistic host mirror — exact unless a non-finite skip
+                # happened since the last drain (reconciled at drain; the
+                # CLI drains before acting on any boundary decision)
+                return self._base_updates + len(self._deferred)
+            self._base_updates = int(self.state.step)
+            return self._base_updates
         return int(self.state.step)
 
     def to_device(self, batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -160,8 +180,15 @@ class Trainer:
         }
 
     def train_step(self, microbatches: List[Dict[str, Any]], seed: int = 0):
-        """One optimizer update over `update_freq` microbatches."""
+        """One optimizer update over `update_freq` microbatches.
+
+        With async_depth > 0 this only DISPATCHES the update (returns None);
+        outputs are buffered and replayed by drain_metrics()."""
         t0 = time.time()
+        if self.async_depth > 0 and not self._deferred:
+            # buffer-start: pin the exact counter for the optimistic mirror
+            # (cheap — nothing is in flight when the buffer is empty)
+            self._base_updates = int(self.state.step)
         rng = jax.random.PRNGKey(seed)
         grads = None
         total_ss = jnp.zeros((), jnp.float32)
@@ -207,16 +234,77 @@ class Trainer:
         )
         self.cumulative_training_time += time.time() - t0
 
-        out = {k: np.asarray(v) for k, v in logging_sum.items()}
-        out["gnorm"] = float(gnorm)
-        if not bool(finite):
+        if self.async_depth > 0:
+            # ASYNC DISPATCH: do not materialize anything — every host read
+            # of a device scalar here blocks until the step completes, which
+            # serializes host and device (and on a remote-TPU link each read
+            # is a full round trip). Buffer the device handles; metrics are
+            # replayed in order by drain_metrics() at log/save/stop
+            # boundaries. Backpressure: once more than `async_depth` updates
+            # are in flight, block on the oldest one's gnorm so dispatch
+            # stays a bounded window ahead (device queue + batch spool).
+            self._deferred.append({
+                "logging": logging_sum, "gnorm": gnorm, "finite": finite,
+                "leaf_finite": leaf_finite, "total_ss": total_ss,
+                # +0 copy: the state tree (incl. .step) is DONATED to the
+                # next update's apply — holding the raw buffer would read
+                # 'Array has been deleted' at drain
+                "step_after": self.state.step + 0,
+            })
+            if len(self._deferred) - self._drained_upto > self.async_depth:
+                np.asarray(self._deferred[self._drained_upto]["gnorm"])
+                self._drained_upto += 1
+            return None
+
+        out = self._record_update(
+            {k: np.asarray(v) for k, v in logging_sum.items()},
+            float(gnorm), bool(finite), leaf_finite, float(total_ss),
+            self.num_updates,
+        )
+        return out
+
+    def drain_metrics(self):
+        """Materialize every deferred update's outputs in ONE batched
+        transfer and replay them through the metrics system in dispatch
+        order. Returns the last update's logging dict (or None if nothing
+        was pending). Also re-synchronizes the exact host-side update
+        counter (a non-finite skip keeps the device counter unchanged, so
+        the optimistic mirror can run ahead until the next drain)."""
+        if not self._deferred:
+            return None
+        entries, self._deferred = self._deferred, []
+        self._drained_upto = 0
+        got = jax.device_get([
+            (e["logging"], e["gnorm"], e["finite"], e["total_ss"],
+             e["step_after"])
+            for e in entries
+        ])
+        out = None
+        for e, (logging_sum, gnorm, finite, total_ss, step_after) in zip(
+                entries, got):
+            out = self._record_update(
+                logging_sum, float(gnorm), bool(finite), e["leaf_finite"],
+                float(total_ss), int(step_after),
+            )
+        self._base_updates = int(entries[-1]["step_after"])
+        return out
+
+    def _record_update(self, out, gnorm, finite, leaf_finite, total_ss,
+                       num_updates):
+        """Host-side bookkeeping for one completed update: non-finite
+        diagnosis, LR reporting, metrics aggregation. `out` holds
+        materialized (numpy) logging values; `num_updates` is the update
+        counter AFTER this update."""
+        out = dict(out)
+        out["gnorm"] = gnorm
+        if not finite:
             # locate the offending subtrees (reference: NanDetector's
             # module-naming re-run, trainer.py:629-641 — here the grads are
             # already materialized, so the diagnosis is a host reduction on
             # the skip path only)
             bad = nonfinite_paths_from_flags(leaf_finite)
             logger.warning(
-                f"non-finite gradient norm at update {self.num_updates}; "
+                f"non-finite gradient norm at update {num_updates}; "
                 f"update skipped; non-finite leaves: {bad[:8]}"
                 + (f" (+{len(bad) - 8} more)" if len(bad) > 8 else "")
             )
@@ -226,8 +314,8 @@ class Trainer:
             # (optax scale_by_schedule evaluated the pre-increment count) —
             # review fix: logging schedule(step) was one step ahead, so TB
             # warmup curves never showed schedule(0)
-            out["lr"] = float(self.lr_schedule(max(self.num_updates - 1, 0)))
-        ss = max(float(total_ss), 1.0)
+            out["lr"] = float(self.lr_schedule(max(num_updates - 1, 0)))
+        ss = max(total_ss, 1.0)
         # every criterion's loss-like keys reach the metrics system — new
         # criterions must not silently skip progress/TB aggregation
         skip_keys = {"gnorm", "lr", "nonfinite_grad", "sample_size",

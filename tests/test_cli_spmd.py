@@ -24,6 +24,9 @@ def _train_args(data_dir, save_dir, world_size, extra=None):
         "--num-length-buckets", "1",
         "--save-dir", save_dir, "--log-interval", "1",
         "--dtype", "float32",
+        # sync per-update reads: RecordingTrainer inspects train_step's
+        # return value, which async dispatch defers to drain_metrics()
+        "--async-dispatch", "0",
         "--disable-validation", "--no-save",
         "--max-update", "3",
         "--distributed-world-size", str(world_size),

@@ -174,3 +174,58 @@ def test_checkpoint_manager_tracks_best_without_writing(tmp_path):
     no_save.save({}, {}, epoch=1, updates=10, val_metric=1.5)
     assert no_save.best == 1.5
     assert list((tmp_path / "ns").glob("*.ckpt")) == []
+
+
+@pytest.mark.heavy
+def test_reset_optimizer_does_not_import_stale_best(tmp_path):
+    """r4 review fix: the reference restores save_checkpoint.best only when
+    `not reset_optimizer and not reset_meters` (checkpoint_utils
+    load_checkpoint) — the ST warm start from an MT checkpoint_best passes
+    --reset-optimizer and must NOT inherit the MT stage's best metric, or
+    checkpoint_best is never written and --patience fires immediately."""
+    import pickle
+    from pathlib import Path
+
+    from tests.synthetic_data import make_triplet_dir
+    from tests.test_cli_e2e import _train_args
+    from chimera_st_tpu.cli import train
+
+    data = make_triplet_dir(str(tmp_path / "data"))
+    save_dir = str(tmp_path / "ckpt")
+    train.main(_train_args(data, save_dir, ["--max-update", "2"]))
+    last = Path(save_dir) / "checkpoint_last.ckpt"
+    assert last.is_file()
+
+    # poison the stored best with an unbeatable value (lower-is-better)
+    with open(last, "rb") as f:
+        payload = pickle.load(f)
+    payload["extra"]["best"] = 0.0
+    with open(last, "wb") as f:
+        pickle.dump(payload, f)
+
+    # plain resume keeps restoring it: no new checkpoint_best appears
+    (Path(save_dir) / "checkpoint_best.ckpt").unlink()
+    train.main(_train_args(data, save_dir, ["--max-update", "3"]))
+    assert not (Path(save_dir) / "checkpoint_best.ckpt").is_file()
+
+    # warm start with --reset-optimizer discards it: best tracking starts
+    # fresh and checkpoint_best is written on the first validation
+    train.main(_train_args(
+        data, save_dir, ["--max-update", "4", "--reset-optimizer"]
+    ))
+    assert (Path(save_dir) / "checkpoint_best.ckpt").is_file()
+
+
+@pytest.mark.quick
+def test_decode_clis_reject_multihost(monkeypatch):
+    """r4 review fix: decode-side CLIs gather sharded outputs to one host
+    and write a single results file — under a multi-host job they must fail
+    fast instead of racing on the shared path."""
+    import jax
+
+    from chimera_st_tpu.cli import options
+
+    options.require_single_host("chimera-generate")  # 1 process: no-op
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(SystemExit, match="multi-host"):
+        options.require_single_host("chimera-generate")
