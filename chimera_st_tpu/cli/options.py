@@ -193,6 +193,10 @@ def add_train_args(p: argparse.ArgumentParser):
                         "reference patches the pickled optimizer config "
                         "on load; moments restore unchanged either way)")
     p.add_argument("--data-buffer-size", type=int, default=4)
+    p.add_argument("--no-host-wire", action="store_true",
+                   help="disable the train-split host-wire economy mode "
+                        "(int16 PCM over the wire + device-side padding-mask "
+                        "rebuild; see data/manifests.py set_wire_format)")
     p.add_argument("--ddp-backend", default=None,
                    help="accepted for recipe compat; SPMD mesh is always used")
     # fine-tune freeze controls (reference: chimera

@@ -255,7 +255,23 @@ def main(argv=None) -> None:
             shard_id=args.shard_id,
             num_length_buckets=args.num_length_buckets,
             buffer_size=args.data_buffer_size,
+            num_workers=args.num_workers,
         )
+        if not getattr(args, "no_host_wire", False):
+            # host-wire economy mode on the TRAIN split: PCM16 waveforms stay
+            # int16 over the host->device wire and the [B,T] bool padding
+            # mask is rebuilt on device from audio_lengths — the jitted
+            # step's prepare_batch undoes both (train/train_step.py). The
+            # decode/validate iterators never enable it.
+            from ..data.manifests import set_wire_format
+
+            set_wire_format(task.dataset(args.train_subset))
+
+    # host->device transfer dispatched from the prefetch/stager thread so it
+    # double-buffers behind device compute (reference analog: DataLoader
+    # pin_memory + non_blocking copies); Trainer.to_device is idempotent for
+    # batches that arrive already placed
+    train_itr.device_put_fn = trainer.to_device
 
     # ----------------------------------------------------------- restore
     epoch = 1
@@ -582,6 +598,22 @@ def validate_and_metric(args, task, trainer, criterion) -> Optional[float]:
     return stats.get("loss")
 
 
+def _audio_and_mask(batch):
+    """Host-side undo of the train-split wire format for eval helpers that
+    read batch['audio'] / ['audio_padding_mask'] directly (only reachable
+    when --valid-subset aliases the train split)."""
+    import numpy as np
+
+    audio = np.asarray(batch["audio"])
+    if audio.dtype == np.int16:
+        audio = audio.astype(np.float32) / 32768.0
+    mask = batch.get("audio_padding_mask")
+    if mask is None:
+        pos = np.arange(audio.shape[1])[None, :]
+        mask = pos >= np.asarray(batch["audio_lengths"])[:, None]
+    return audio, mask
+
+
 def validate_bleu(args, task, trainer, beam: int = 4, max_decode_len: int = 64) -> float:
     import jax.numpy as jnp
     import numpy as np
@@ -605,10 +637,9 @@ def validate_bleu(args, task, trainer, beam: int = 4, max_decode_len: int = 64) 
     hyps, refs = [], []
     for batch in itr:
         if "audio" in batch:
+            audio, mask = _audio_and_mask(batch)
             tokens, _, lens = generator.generate_audio(
-                trainer.state.params,
-                jnp.asarray(batch["audio"]),
-                jnp.asarray(batch["audio_padding_mask"]),
+                trainer.state.params, jnp.asarray(audio), jnp.asarray(mask)
             )
         else:
             tokens, _, lens = generator.generate_text(
@@ -663,10 +694,9 @@ def validate_wer(args, task, trainer) -> float:
     ).next_epoch_itr(shuffle=False)
     errs, total = 0, 0
     for batch in itr:
+        audio, mask = _audio_and_mask(batch)
         logits, frame_pad = logits_fn(
-            trainer.state.params,
-            jnp.asarray(batch["audio"]),
-            jnp.asarray(batch["audio_padding_mask"]),
+            trainer.state.params, jnp.asarray(audio), jnp.asarray(mask)
         )
         logits = np.asarray(logits)
         frame_pad = None if frame_pad is None else np.asarray(frame_pad)

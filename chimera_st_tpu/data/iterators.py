@@ -11,6 +11,7 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterable, Iterator, List, Optional
 
 import numpy as np
@@ -163,6 +164,89 @@ class BackgroundPrefetcher:
         return x
 
 
+class ParallelPrefetcher:
+    """Multi-worker ordered collation pipeline (the TPU-host answer to torch
+    DataLoader workers + BufferedIterator, reference
+    fairseq/data/iterators.py:503-566).
+
+    Three stages, all off the consumer thread:
+
+    1. a ``ThreadPoolExecutor(num_workers)`` runs ``work_fn(item)`` for up to
+       ``num_workers + buffer_size`` items concurrently (wav read, feature
+       prep and the numpy pad copy all release the GIL, so threads scale
+       without the fork cost and batch-pickle wire of process workers),
+    2. a single *stager* thread consumes completed futures IN SUBMIT ORDER —
+       the output stream is bit-identical to serial iteration whenever
+       ``work_fn`` is per-item deterministic — and applies the optional
+       ``post_fn`` (the Trainer's device_put: dispatching the host->device
+       transfer here double-buffers it behind device compute),
+    3. a bounded queue hands finished batches to the consumer.
+
+    Worker exceptions propagate to the consumer at the failing item's
+    position; later items are dropped."""
+
+    _SENTINEL = object()
+
+    def __init__(self, items, work_fn, num_workers: int = 4,
+                 buffer_size: int = 4, post_fn=None):
+        items = list(items)
+        self._len = len(items)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(buffer_size, 1))
+        self._error = None
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(num_workers, 1),
+            thread_name_prefix="chimera-collate",
+        )
+        self._stager = threading.Thread(
+            target=self._stage,
+            args=(items, work_fn, max(num_workers, 1) + max(buffer_size, 1),
+                  post_fn),
+            daemon=True,
+        )
+        self._stager.start()
+
+    def _stage(self, items, work_fn, max_in_flight, post_fn):
+        import collections
+
+        pending: "collections.deque" = collections.deque()
+        it = iter(items)
+        try:
+            for item in itertools.islice(it, max_in_flight):
+                pending.append(self._pool.submit(work_fn, item))
+            while pending:
+                x = pending.popleft().result()
+                nxt = next(it, self._SENTINEL)
+                if nxt is not self._SENTINEL:
+                    pending.append(self._pool.submit(work_fn, nxt))
+                if post_fn is not None:
+                    x = post_fn(x)
+                self._queue.put(x)
+        except BaseException as e:  # re-raised on the consumer side
+            self._error = e
+            for f in pending:
+                f.cancel()
+        finally:
+            self._pool.shutdown(wait=False)
+            self._queue.put(self._SENTINEL)
+
+    def __len__(self):
+        return self._len
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if getattr(self, "_done", False):
+            raise StopIteration
+        x = self._queue.get()
+        if x is self._SENTINEL:
+            self._done = True
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return x
+
+
 class EpochBatchIterator:
     """reference: iterators.py:195-437.
 
@@ -180,10 +264,17 @@ class EpochBatchIterator:
         shard_id: int = 0,
         buffer_size: int = 4,
         skip_remainder_batch: bool = False,
+        num_workers: int = 1,
     ):
         """``batches`` may be a callable epoch -> batch list for datasets that
         re-sample per epoch (ResamplingDataset; the callable must also call
-        the dataset's set_epoch — see ChimeraTask.make_batch_iterator)."""
+        the dataset's set_epoch — see ChimeraTask.make_batch_iterator).
+
+        ``num_workers > 1`` collates batches on a thread pool
+        (ParallelPrefetcher; reference --num-workers DataLoader semantics).
+        ``device_put_fn`` — settable attribute, applied to each collated
+        batch on the stager thread (the Trainer sets it to its to_device so
+        host->device transfers overlap device compute)."""
         import inspect
 
         self.collate = dataset_collate
@@ -204,6 +295,8 @@ class EpochBatchIterator:
         self.shard_id = shard_id
         self.buffer_size = buffer_size
         self.skip_remainder_batch = skip_remainder_batch
+        self.num_workers = max(int(num_workers), 1)
+        self.device_put_fn: Optional[Callable[[Any], Any]] = None
         self.epoch = 1
         self._cur: Optional[CountingIterator] = None
         self._next_epoch_itr: Optional[CountingIterator] = None
@@ -275,12 +368,22 @@ class EpochBatchIterator:
                 batches = batches[offset:]
             if self._collate_takes_epoch:
                 ep = self.epoch
-                gen = (self.collate(b, epoch=ep) for b in batches)
+                work = lambda b: self.collate(b, epoch=ep)  # noqa: E731
             else:
-                gen = (self.collate(b) for b in batches)
-            source = BackgroundPrefetcher(
-                _SizedGenerator(gen, len(batches)), self.buffer_size
-            ) if self.buffer_size > 0 else _SizedGenerator(gen, len(batches))
+                work = self.collate
+            put = self.device_put_fn
+            if self.num_workers > 1 and self.buffer_size > 0:
+                source: Any = ParallelPrefetcher(
+                    batches, work, num_workers=self.num_workers,
+                    buffer_size=self.buffer_size, post_fn=put,
+                )
+            else:
+                gen = (work(b) for b in batches)
+                if put is not None:
+                    gen = (put(x) for x in gen)
+                source = BackgroundPrefetcher(
+                    _SizedGenerator(gen, len(batches)), self.buffer_size
+                ) if self.buffer_size > 0 else _SizedGenerator(gen, len(batches))
             itr = CountingIterator(source, total=total, start=offset)
         self.shuffle = shuffle
         self._cur = itr
@@ -344,6 +447,9 @@ class StreamingEpochBatchIterator:
         self.num_shards = int(num_shards)
         self.shard_id = int(shard_id)
         self.buffer_size = int(buffer_size)
+        # settable, like EpochBatchIterator: applied to each yielded batch
+        # (on the prefetch thread when buffer_size > 0)
+        self.device_put_fn: Optional[Callable[[Any], Any]] = None
         self._cur: Optional[CountingIterator] = None
 
     @property
@@ -361,6 +467,9 @@ class StreamingEpochBatchIterator:
             source = itertools.islice(
                 iter(source), self.shard_id, None, self.num_shards
             )
+        if self.device_put_fn is not None:
+            put = self.device_put_fn
+            source = (put(x) for x in iter(source))
         if self.buffer_size > 0:
             source = BackgroundPrefetcher(source, self.buffer_size)
         self._cur = CountingIterator(source, total=None)

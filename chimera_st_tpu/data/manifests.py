@@ -209,6 +209,15 @@ class SpeechToTextDataset:
         )
         self.pad = tgt_dict.pad() if tgt_dict else 1
         self.eos = tgt_dict.eos() if tgt_dict else 2
+        # host-wire economy mode (train path only; see set_wire_format):
+        # wire_int16 keeps PCM16 waveforms in their lossless 2-byte form end
+        # to end (decode cache -> pad copy -> host->device transfer) and
+        # device_mask omits the [B, T] bool padding mask from the batch — the
+        # jitted step rebuilds both from audio_lengths on device
+        # (train/train_step.py prepare_batch). Decode/validate paths never
+        # set these, so their batch schema is unchanged.
+        self.wire_int16 = False
+        self.device_mask = False
         if data_cfg.prepend_tgt_lang_tag and tgt_dict is not None and tgt_langs:
             for lang in sorted(set(tgt_langs)):
                 tag = self.LANG_TAG_TEMPLATE.format(lang)
@@ -240,13 +249,21 @@ class SpeechToTextDataset:
         return ids
 
     def __getitem__(self, index: int) -> S2TExample:
+        want_int16 = (
+            self.wire_int16
+            and self.cfg.use_audio_input
+            and self.feature_transforms is None
+        )
         audio = get_features_or_waveform(
             self.audio_paths[index],
             use_audio_input=self.cfg.use_audio_input,
             audio_root=self.cfg.audio_root,
-        ).astype(np.float32)
-        if self.feature_transforms is not None:
-            audio = self.feature_transforms(audio)
+            int16=want_int16,
+        )
+        if audio.dtype != np.int16:  # f32 path (features / non-PCM16 wavs)
+            audio = audio.astype(np.float32)
+            if self.feature_transforms is not None:
+                audio = self.feature_transforms(audio)
         return S2TExample(index, audio, self._get_tgt_tokens(index))
 
     # --------------------------------------------------------------- collate
@@ -268,20 +285,30 @@ class SpeechToTextDataset:
             return {}
         # sort by descending n-frames (reference collater order)
         samples = self._collate_order(samples)
-        audio = collate_tokens(
-            [s.audio for s in samples], 0.0, target_len=audio_target_len,
-            dtype=np.float32,
-        )
+        if all(s.audio.dtype == np.int16 for s in samples):
+            audio = collate_tokens(
+                [s.audio for s in samples], 0, target_len=audio_target_len,
+                dtype=np.int16,
+            )
+        else:
+            audio = collate_tokens(
+                [
+                    s.audio.astype(np.float32) / 32768.0
+                    if s.audio.dtype == np.int16 else s.audio
+                    for s in samples
+                ],
+                0.0, target_len=audio_target_len, dtype=np.float32,
+            )
         lengths = np.asarray([len(s.audio) for s in samples], np.int32)
-        pos = np.arange(audio.shape[1])[None, :]
-        padding_mask = pos >= lengths[:, None]
         batch = {
             "id": np.asarray([s.index for s in samples], np.int64),
             "audio": audio,
-            "audio_padding_mask": padding_mask,
             "audio_lengths": lengths,
             "nsentences": len(samples),
         }
+        if not self.device_mask:
+            pos = np.arange(audio.shape[1])[None, :]
+            batch["audio_padding_mask"] = pos >= lengths[:, None]
         if samples[0].target is not None:
             tgt = collate_tokens(
                 [s.target for s in samples], self.pad, target_len=text_target_len,
@@ -447,6 +474,34 @@ def make_dataset_from_tsv(
         tgt_langs=tgt_langs,
         ids=ids,
     )
+
+
+def set_wire_format(dataset, int16: bool = True, device_mask: bool = True):
+    """Enable the host-wire economy mode on every SpeechToTextDataset under
+    ``dataset`` (recursing through Concat/Resampling/joint wrappers). Called
+    by chimera-train on the TRAIN split only; the jitted step's
+    prepare_batch (train/train_step.py) undoes both transforms on device."""
+    seen = set()
+
+    def walk(ds):
+        if id(ds) in seen or ds is None:
+            return
+        seen.add(id(ds))
+        if isinstance(ds, SpeechToTextDataset):
+            ds.wire_int16 = bool(int16)
+            ds.device_mask = bool(device_mask)
+        subs = getattr(ds, "datasets", None)
+        if isinstance(subs, dict):
+            for sub in subs.values():
+                walk(sub)
+        elif isinstance(subs, (list, tuple)):
+            for sub in subs:
+                walk(sub)
+        inner = getattr(ds, "dataset", None)
+        if inner is not None and not callable(inner):
+            walk(inner)
+
+    walk(dataset)
 
 
 def resample_sizes(

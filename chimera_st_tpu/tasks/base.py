@@ -158,6 +158,7 @@ class ChimeraTask:
         num_length_buckets: int = 10,
         max_positions: Optional[int] = None,
         buffer_size: int = 4,
+        num_workers: int = 1,
     ) -> EpochBatchIterator:
         if len(dataset) == 0:
             raise ValueError(
@@ -233,6 +234,7 @@ class ChimeraTask:
             num_shards=num_shards,
             shard_id=shard_id,
             buffer_size=buffer_size,
+            num_workers=num_workers,
         )
 
     def collate_indices(self, dataset, idx: np.ndarray, audio_target_len: int):

@@ -85,6 +85,34 @@ def global_norm(tree) -> jax.Array:
     )
 
 
+def prepare_batch(batch: Dict) -> Dict:
+    """Undo the host-wire economy format ON DEVICE (free: both ops fuse into
+    the first consumer). Counterpart of data/manifests.py set_wire_format:
+
+    - int16 waveforms -> float32 / 32768 (the exact normalization
+      data/audio.py read_wav applies on the float path — lossless for the
+      PCM16 sources MuST-C ships),
+    - a missing ``audio_padding_mask`` is rebuilt from ``audio_lengths``
+      (pos >= length), sparing the host a [B, T] bool build + transfer.
+
+    Batches that never went through the wire format pass through unchanged,
+    so validate/decode paths can share the same jitted functions."""
+    b = dict(batch)
+    a = b.get("audio")
+    if a is not None and a.dtype == jnp.int16:
+        b["audio"] = a.astype(jnp.float32) / 32768.0
+    if (
+        a is not None
+        and b.get("audio_padding_mask") is None
+        and b.get("audio_lengths") is not None
+    ):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, a.shape[1]), 1)
+        b["audio_padding_mask"] = pos >= b["audio_lengths"][:, None].astype(
+            jnp.int32
+        )
+    return b
+
+
 def make_microbatch_grad_fn(model, criterion: Callable, task_name=None):
     """(params, batch, rng, step) -> (grads, sample_size fp32, logging dict).
 
@@ -93,6 +121,8 @@ def make_microbatch_grad_fn(model, criterion: Callable, task_name=None):
     """
 
     def grad_fn(params, batch, rng, step):
+        batch = prepare_batch(batch)
+
         def loss_for_grad(p):
             b = dict(batch)
             if task_name is not None:
@@ -219,7 +249,8 @@ def make_train_step(
 def make_valid_step(model, criterion: Callable):
     def step_fn(params, batch):
         loss, sample_size, logging = criterion(
-            model, params, batch, rngs=None, num_updates=None, train=False
+            model, params, prepare_batch(batch), rngs=None, num_updates=None,
+            train=False,
         )
         return logging
 

@@ -130,8 +130,10 @@ class Trainer:
         self._seen_shapes: set = set()
 
         def make_valid_fn(task_name: Optional[str]):
+            from .train_step import prepare_batch
+
             def valid_fn(params, batch):
-                b = dict(batch)
+                b = prepare_batch(batch)
                 if task_name is not None:
                     b["task_name"] = task_name
                 _, _, logging = criterion(
@@ -172,11 +174,26 @@ class Trainer:
         return int(self.state.step)
 
     def to_device(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        # idempotent: batches device_put inside the prefetch thread (the
+        # EpochBatchIterator device_put_fn double-buffering path) pass
+        # through untouched — placement is all-or-nothing per batch
+        if any(isinstance(v, jax.Array) for v in batch.values()):
+            return batch
+        # non-numeric metadata (joint-task "task_name" tags) stays host-side:
+        # the prefetch thread calls this BEFORE train_step pops those keys
+        host = {k: v for k, v in batch.items()
+                if isinstance(v, str) or v is None}
+        rest = {k: v for k, v in batch.items() if k not in host}
         if self.mesh is not None and self.mesh.devices.size > 1:
-            return shard_batch(batch, self.mesh)
+            return {**shard_batch(rest, self.mesh), **host}
         return {
-            k: jnp.asarray(v) if isinstance(v, (np.ndarray, float, int)) else v
-            for k, v in batch.items()
+            **{
+                k: jnp.asarray(v)
+                if isinstance(v, (np.ndarray, float, int))
+                and not isinstance(v, jax.Array) else v
+                for k, v in rest.items()
+            },
+            **host,
         }
 
     def train_step(self, microbatches: List[Dict[str, Any]], seed: int = 0):
