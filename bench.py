@@ -87,7 +87,13 @@ def build_flagship(probe_len: int):
     return model, params, gen
 
 
-def run_batch(batch: int):
+def run_batch(batch: int, blocks: int = 3):
+    """Returns (median secs/batch, encode secs/batch, [per-block secs/batch]).
+
+    The ITERS timed dispatches are split into `blocks` separately-timed
+    groups and the MEDIAN block drives the headline — this tunnel drifts up
+    to 2x run-to-run, so a single pooled pass made round-over-round deltas
+    uninterpretable; the block spread is reported in extras."""
     T = int(AUDIO_SECONDS * SAMPLE_RATE)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.normal(size=(batch, T)) * 0.1, jnp.float32)
@@ -113,92 +119,147 @@ def run_batch(batch: int):
     t_enc = (time.perf_counter() - t0) / ITERS
 
     np.asarray(gen.generate_audio(params, audio, mask)[0])  # compile + sync
-    t0 = time.perf_counter()
-    outs = [gen.generate_audio(params, b, mask)[0] for b in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / ITERS
-    return dt, t_enc
+    per_block = max(1, ITERS // blocks)
+    block_dts = []
+    for i in range(0, len(batches), per_block):
+        group = batches[i:i + per_block]
+        t0 = time.perf_counter()
+        outs = [gen.generate_audio(params, b, mask)[0] for b in group]
+        for o in outs:
+            np.asarray(o)
+        block_dts.append((time.perf_counter() - t0) / len(group))
+    return float(np.median(block_dts)), t_enc, block_dts
 
 
-def run_mixed_lengths(batch: int, n_buckets: int = 3, n_utts: int = 192,
-                      budget_s: float = 1500.0, seed: int = 1):
-    """Mixed-length decode through the real quantile-bucketing path.
+def run_mixed_lengths(n_buckets: int = 6, n_utts: int = 1024,
+                      work_s: float = 768.0, budget_s: float = 1500.0,
+                      seed: int = 1, passes: int = 3):
+    """Mixed-length decode through the real bucketed eval path (co-headline:
+    the north-star metric is tst-COMMON throughput, and tst-COMMON is
+    mixed-length — reference protocol chimera/generate/
+    generate-mustc-final.sh:5-8, length-sorted batching
+    fairseq/data/audio/speech_to_text_dataset.py:423-557).
 
-    tst-COMMON has a wide duration distribution (the uniform-6s sweep above
-    is the synthetic best case); this mode draws a lognormal clipped to
-    [2, 15] s (median ~5.5 s, like MuST-C tst-COMMON), buckets by
-    `data.batching.quantile_buckets` exactly as eval batching does
-    (reference batches by n_frames, fairseq_cli/generate.py:145-160), and
-    reports throughput, bucket padding waste, and the compile count the
-    bucketing costs. Returns None if the compile budget runs out (each
-    bucket edge is a fresh encode+decode shape)."""
-    from chimera_st_tpu.data.batching import pad_to_bucket, quantile_buckets
+    Draws a lognormal duration distribution clipped to [2, 15] s (median
+    ~5.5 s, like MuST-C tst-COMMON) and decodes it with the three padding
+    levers the round-4 verdict identified:
+
+    - bucket edges minimizing expected pad (`optimal_buckets` DP, not
+      quantiles: 13% vs 16% per-item pad at 6 buckets on this dist),
+    - per-bucket batch sizes equalizing PADDED AUDIO per batch (~`work_s`
+      seconds = the B=128 x 6 s knee), with each bucket's population split
+      into even chunks so round-off dummy rows are < 8 per bucket,
+    - per-bucket decode budgets scaled linearly from the 6 s protocol point
+      (min_len 30, max 64 at 6 s -> 5 and 10.7 tokens/audio-s): a 3 s
+      utterance gets a ~32-step loop, not the 15 s bucket's 160.
+
+    Each (edge, batch, decode_len) triple is one compiled shape = n_buckets
+    compiles, warmed under `budget_s`. `passes` separately-timed full-corpus
+    passes (distinct inputs — the axon runtime dedupes identical dispatches)
+    give a median + spread. Returns None if no shape fits the budget."""
+    from chimera_st_tpu.data.batching import optimal_buckets, pad_to_bucket
+    from chimera_st_tpu.generation.generator import (
+        GeneratorSettings,
+        SequenceGenerator,
+    )
 
     t_start = time.perf_counter()
     rng = np.random.default_rng(seed)
 
     secs = np.clip(rng.lognormal(np.log(5.5), 0.55, size=n_utts), 2.0, 15.0)
     lengths = (secs * SAMPLE_RATE).astype(np.int64)
-    edges = quantile_buckets(lengths, n_buckets)
+    edges = optimal_buckets(lengths, n_buckets)
 
-    _, params, gen = build_flagship(int(edges[0]))
+    model, params, _ = build_flagship(int(edges[0]))
 
-    # group utterances by bucket edge, chunk into fixed-size batches (the
-    # final partial chunk is padded with dummy rows — counted as waste)
+    # group by covering edge (descending length within, like the real eval
+    # sort) and split each bucket into even chunks under the work budget
     by_edge = {}
-    for L in lengths:
+    for L in sorted(lengths, reverse=True):
         by_edge.setdefault(pad_to_bucket(int(L), edges), []).append(int(L))
-    jobs = []  # (edge, real_lengths_in_this_chunk)
-    for edge in sorted(by_edge):
-        utts = by_edge[edge]
-        for i in range(0, len(utts), batch):
-            jobs.append((edge, utts[i:i + batch]))
+    jobs = []  # (edge, real_lengths_in_this_chunk, batch)
+    for edge, utts in sorted(by_edge.items()):
+        bmax = int(np.clip(round(work_s * SAMPLE_RATE / edge / 8) * 8,
+                           32, 256))
+        chunks = int(np.ceil(len(utts) / bmax))
+        b = int(np.ceil(len(utts) / chunks / 8) * 8)
+        for i in range(0, len(utts), b):
+            jobs.append((edge, utts[i:i + b], b))
 
-    def make_inputs(edge, real_lens, salt):
+    # one generator per bucket: the 6 s operating point (BEAM/len_penalty/
+    # min 30/max 64 — build_flagship's protocol) scaled by bucket duration
+    def gen_for(edge):
+        e_sec = edge / SAMPLE_RATE
+        min_len = max(6, round(30.0 / AUDIO_SECONDS * e_sec))
+        max_dl = max(min_len + 4,
+                     int(np.ceil(MAX_DECODE_LEN / AUDIO_SECONDS * e_sec)))
+        return SequenceGenerator(
+            model,
+            GeneratorSettings(beam_size=BEAM, max_decode_len=max_dl,
+                              len_penalty=1.5, min_len=min_len),
+        ), min_len, max_dl
+
+    gens = {e: gen_for(e) for e in by_edge}
+
+    def make_inputs(edge, real_lens, batch, salt):
         r = np.random.default_rng(hash((edge, salt)) % 2**32)
         wav = (r.normal(size=(batch, edge)) * 0.1).astype(np.float32)
         mask = np.zeros((batch, edge), bool)
         for row, L in enumerate(real_lens):
             mask[row, L:] = True
         # rows beyond real_lens keep the all-False mask from np.zeros:
-        # dummy padding rows decode at full length (counted as waste)
+        # dummy round-off rows decode at full length (counted as waste)
         return jnp.asarray(wav), jnp.asarray(mask)
 
     # warm every distinct shape (compile) under the wall-clock budget
-    shapes_done = []
-    for edge in sorted(by_edge):
+    shapes_done = set()
+    for edge, utts in sorted(by_edge.items()):
         if time.perf_counter() - t_start > budget_s:
             break
-        w, m = make_inputs(edge, by_edge[edge][:batch], salt=-1)
-        np.asarray(gen.generate_audio(params, w, m)[0])
-        shapes_done.append(edge)
+        b = next(j[2] for j in jobs if j[0] == edge)
+        w, m = make_inputs(edge, utts[:b], b, salt=-1)
+        np.asarray(gens[edge][0].generate_audio(params, w, m)[0])
+        shapes_done.add(edge)
     jobs = [j for j in jobs if j[0] in shapes_done]
     if not jobs:
         return None
 
-    # timed pass: dispatch all batches, sync at the end
-    inputs = [make_inputs(e, ls, salt=i) for i, (e, ls) in enumerate(jobs)]
-    jax.block_until_ready([w for w, _ in inputs])
-    t0 = time.perf_counter()
-    outs = [gen.generate_audio(params, w, m)[0] for w, m in inputs]
-    for o in outs:
-        np.asarray(o)
-    wall = time.perf_counter() - t0
+    # timed passes: place a pass's distinct inputs, sync, dispatch all
+    # batches, sync outputs; median pass is the reported number
+    pass_rates = []
+    done_utts = sum(len(ls) for _, ls, _ in jobs)
+    for p in range(passes):
+        inputs = [make_inputs(e, ls, b, salt=(p, i))
+                  for i, (e, ls, b) in enumerate(jobs)]
+        jax.block_until_ready([w for w, _ in inputs])
+        t0 = time.perf_counter()
+        outs = [gens[e][0].generate_audio(params, w, m)[0]
+                for (e, _, _), (w, m) in zip(jobs, inputs)]
+        for o in outs:
+            np.asarray(o)
+        pass_rates.append(done_utts / (time.perf_counter() - t0))
 
-    done_utts = sum(len(ls) for _, ls in jobs)
-    real_audio_s = sum(sum(ls) for _, ls in jobs) / SAMPLE_RATE
-    padded_s = sum(e * batch for e, _ in jobs) / SAMPLE_RATE
+    utt_per_sec = float(np.median(pass_rates))
+    real_audio_s = sum(sum(ls) for _, ls, _ in jobs) / SAMPLE_RATE
+    padded_s = sum(e * b for e, _, b in jobs) / SAMPLE_RATE
     return {
-        "utt_per_sec": round(done_utts / wall, 2),
-        "rtfx_real_audio": round(real_audio_s / wall, 1),
+        "utt_per_sec": round(utt_per_sec, 2),
+        "utt_per_sec_spread": [round(min(pass_rates), 2),
+                               round(max(pass_rates), 2)],
+        "rtfx_real_audio": round(
+            real_audio_s / done_utts * utt_per_sec, 1),
         "bucket_fill": round(real_audio_s / padded_s, 3),
         "n_compiled_shapes": len(shapes_done),
         "n_buckets_requested": n_buckets,
         "buckets_skipped": len(by_edge) - len(shapes_done),
         "n_utts": done_utts,
-        "batch": batch,
-        "edges_sec": [round(e / SAMPLE_RATE, 2) for e in shapes_done],
+        "batch_per_bucket": {
+            str(round(e / SAMPLE_RATE, 2)): b
+            for e, b in sorted({(e, b) for e, _, b in jobs})},
+        "decode_len_per_bucket": {
+            str(round(e / SAMPLE_RATE, 2)): [gens[e][1], gens[e][2]]
+            for e in sorted(shapes_done)},
+        "edges_sec": [round(e / SAMPLE_RATE, 2) for e in sorted(shapes_done)],
         "duration_dist": "lognormal(median 5.5s, sigma 0.55) clip [2, 15]s",
     }
 
@@ -291,12 +352,14 @@ def main():
     print(f"# devices: {_devices_or_die()}", file=sys.stderr, flush=True)
     results = {}
     for batch in BATCHES:
-        dt, t_enc = run_batch(batch)
+        dt, t_enc, block_dts = run_batch(batch)
         results[batch] = {
             "utt_per_sec": batch / dt,
             "secs_per_batch": round(dt, 3),
             "encode_ms": round(t_enc * 1e3, 1),
             "decode_ms": round((dt - t_enc) * 1e3, 1),
+            "utt_per_sec_spread": [round(batch / max(block_dts), 2),
+                                   round(batch / min(block_dts), 2)],
         }
     best_b = max(results, key=lambda b: results[b]["utt_per_sec"])
     utt_per_sec = results[best_b]["utt_per_sec"]
@@ -308,7 +371,6 @@ def main():
     if os.environ.get("CHIMERA_BENCH_MIXED", "1") != "0":
         try:
             mixed = run_mixed_lengths(
-                batch=64,
                 budget_s=float(os.environ.get("CHIMERA_BENCH_MIXED_BUDGET_S",
                                               "1500")),
             )
@@ -329,6 +391,16 @@ def main():
                 "value": round(utt_per_sec, 2),
                 "unit": "utt/s",
                 "vs_baseline": round(utt_per_sec / REF_A100_UTT_PER_SEC, 2),
+                # co-headline: the north-star protocol (tst-COMMON) is
+                # mixed-length; this is the same metric on the realistic
+                # duration distribution instead of uniform 6 s
+                "mixed_utt_per_sec": (
+                    mixed.get("utt_per_sec") if isinstance(mixed, dict)
+                    else None),
+                "mixed_vs_baseline": (
+                    round(mixed["utt_per_sec"] / REF_A100_UTT_PER_SEC, 2)
+                    if isinstance(mixed, dict) and "utt_per_sec" in mixed
+                    else None),
                 "extras": {
                     "rtfx": round(rtfx, 1),
                     "best_batch": best_b,

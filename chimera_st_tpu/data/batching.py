@@ -87,6 +87,55 @@ def quantile_buckets(lengths: Sequence[int], n_buckets: int = 10) -> np.ndarray:
     return edges
 
 
+def optimal_buckets(lengths: Sequence[int], n_buckets: int = 10) -> np.ndarray:
+    """Bucket edges minimizing TOTAL padded length when every item pads up to
+    its smallest covering edge (exact DP over unique lengths, O(k·n²) via
+    vectorized min; the last edge is always max(lengths)).
+
+    `quantile_buckets` equalizes item COUNT per bucket, which is the wrong
+    objective for padding waste on skewed duration distributions (MuST-C
+    durations are lognormal-ish: the long tail forces a wide top bucket that
+    quantiles place poorly). This minimizes expected pad directly; eval
+    batching uses it to lift bucket fill (bench.py run_mixed_lengths).
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    uniq = np.unique(lengths)
+    if len(uniq) <= n_buckets:
+        return uniq
+    # prefix count/sum of items with length <= uniq[i]
+    order = np.sort(lengths)
+    cnt = np.searchsorted(order, uniq, side="right").astype(np.float64)
+    csum = np.concatenate([[0], np.cumsum(order)])[
+        np.searchsorted(order, uniq, side="right")
+    ].astype(np.float64)
+    n = len(uniq)
+    uf = uniq.astype(np.float64)
+    # dp[k][b] = min cost of covering every item with length <= uniq[b]
+    # using exactly k+1 edges, the topmost being uniq[b]
+    dp = uf * cnt - csum  # k = 0: one edge at uniq[b]
+    parent = np.full((n_buckets, n), -1, dtype=np.int64)
+    for k in range(1, n_buckets):
+        # cost(a, b) = items in (uniq[a], uniq[b]] padded to uniq[b]
+        #            = uniq[b]*(cnt[b]-cnt[a]) - (csum[b]-csum[a])
+        cand = (
+            dp[None, :]
+            + uf[:, None] * (cnt[:, None] - cnt[None, :])
+            - (csum[:, None] - csum[None, :])
+        )  # [b, a]
+        cand[np.triu_indices(n)] = np.inf  # cand[b, a]: require a < b
+        parent[k] = np.argmin(cand, axis=1)
+        dp = cand[np.arange(n), parent[k]]
+    # exactly n_buckets edges is optimal (extra edges never hurt: n > k)
+    edges = []
+    b, k = n - 1, n_buckets - 1
+    while b >= 0:
+        edges.append(uniq[b])
+        if k == 0:
+            break
+        b, k = int(parent[k, b]), k - 1
+    return np.asarray(sorted(edges), dtype=np.int64)
+
+
 def round16(n: int) -> int:
     """Round a batch's pad length up to a multiple of 16 (fewer distinct
     compiled step shapes; one definition — review fix: 15 task-local copies

@@ -125,6 +125,59 @@ def test_quantile_buckets_and_pad():
     assert pad_to_bucket(100, edges) == 100
 
 
+def test_optimal_buckets_exact_vs_bruteforce():
+    """DP edges minimize total padding exactly (checked against exhaustive
+    search over all edge subsets on small inputs)."""
+    import itertools
+
+    from chimera_st_tpu.data.batching import optimal_buckets
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        ls = rng.integers(1, 40, size=12)
+        uniq = np.unique(ls)
+        for k in (2, 3, 4):
+            if len(uniq) <= k:
+                continue
+            edges = optimal_buckets(ls, k)
+            assert len(edges) == k and edges[-1] == uniq[-1]
+            w_dp = sum(pad_to_bucket(int(x), edges) - x for x in ls)
+            w_best = min(
+                sum(
+                    pad_to_bucket(int(x), np.asarray(sorted(c) + [uniq[-1]]))
+                    - x
+                    for x in ls
+                )
+                for c in itertools.combinations(uniq[:-1], k - 1)
+            )
+            assert w_dp == w_best
+
+
+def test_optimal_buckets_beats_quantiles_on_lognormal():
+    from chimera_st_tpu.data.batching import optimal_buckets
+
+    rng = np.random.default_rng(1)
+    ls = (np.clip(rng.lognormal(np.log(5.5), 0.55, 512), 2, 15) * 16000)
+    ls = ls.astype(np.int64)
+
+    def waste(edges):
+        return sum(pad_to_bucket(int(x), edges) - x for x in ls)
+
+    for k in (3, 5):
+        assert waste(optimal_buckets(ls, k)) <= waste(quantile_buckets(ls, k))
+
+
+def test_optimal_buckets_degenerate():
+    from chimera_st_tpu.data.batching import optimal_buckets
+
+    # fewer unique lengths than buckets: every unique value is an edge
+    np.testing.assert_array_equal(
+        optimal_buckets([5, 5, 9], 4), np.asarray([5, 9])
+    )
+    # single bucket: just the max
+    np.testing.assert_array_equal(optimal_buckets([3, 7, 11], 1), [11])
+
+
 def test_collate_tokens_fixed_target():
     seqs = [np.asarray([1, 2, 3]), np.asarray([4])]
     out = collate_tokens(seqs, 0, target_len=6)

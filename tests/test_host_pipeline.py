@@ -277,3 +277,71 @@ def test_to_device_keeps_host_metadata_on_mesh():
     # idempotent second pass
     again = tr.to_device(placed)
     assert again["audio"] is placed["audio"]
+
+
+# ----------------------------------------------- bench mixed-length harness
+
+
+def test_bench_mixed_lengths_smoke(monkeypatch):
+    """run_mixed_lengths end to end on a tiny model/corpus: per-bucket batch
+    sizes, length-scaled decode budgets, fill accounting, pass spread."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import jax.numpy as jnp
+
+    def tiny_flagship(probe_len):
+        import jax
+
+        from chimera_st_tpu.generation.generator import (
+            GeneratorSettings,
+            SequenceGenerator,
+        )
+        from chimera_st_tpu.models.interlingua import (
+            ChimeraInterlinguaModel,
+            InterlinguaConfig,
+        )
+
+        cfg = InterlinguaConfig(
+            tgt_vocab_size=32, src_vocab_size=32,
+            encoder_embed_dim=16, encoder_ffn_dim=32, encoder_layers=1,
+            encoder_heads=2, decoder_embed_dim=16, decoder_ffn_dim=32,
+            decoder_layers=1, decoder_heads=2, interlingua_length=4,
+            interlingua_layers=1, w2v2_embed_dim=16, w2v2_ffn_dim=32,
+            w2v2_layers=1, w2v2_heads=2, conv_channels=16,
+        )
+        model = ChimeraInterlinguaModel(cfg, dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, probe_len), jnp.float32),
+            jnp.zeros((1, probe_len), bool),
+            jnp.full((1, 4), 2, jnp.int32),
+            jnp.full((1, 4), 2, jnp.int32),
+            method=ChimeraInterlinguaModel.init_everything,
+        )
+        gen = SequenceGenerator(
+            model, GeneratorSettings(beam_size=2, max_decode_len=8)
+        )
+        return model, params, gen
+
+    monkeypatch.setattr(bench, "build_flagship", tiny_flagship)
+    monkeypatch.setattr(bench, "BEAM", 2)
+    monkeypatch.setattr(bench, "SAMPLE_RATE", 160)  # "2-15s" = 320-2400 samp
+    r = bench.run_mixed_lengths(
+        n_buckets=3, n_utts=24, work_s=40.0, budget_s=600.0, passes=2
+    )
+    assert r is not None and r["buckets_skipped"] == 0
+    assert r["n_utts"] == 24
+    assert r["utt_per_sec"] > 0
+    assert len(r["utt_per_sec_spread"]) == 2
+    assert 0 < r["bucket_fill"] <= 1
+    assert r["n_compiled_shapes"] == len(r["edges_sec"]) == 3
+    # decode budgets scale with bucket duration
+    dls = [v[1] for _, v in sorted(r["decode_len_per_bucket"].items(),
+                                   key=lambda kv: float(kv[0]))]
+    assert dls == sorted(dls) and dls[0] < dls[-1]
+    # shorter buckets run larger batches
+    bs = [b for _, b in sorted(r["batch_per_bucket"].items(),
+                               key=lambda kv: float(kv[0]))]
+    assert bs == sorted(bs, reverse=True)
