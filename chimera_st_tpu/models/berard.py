@@ -145,3 +145,29 @@ def berard_256(cfg: Dict) -> Dict:
     d.setdefault("encoder_layers", 3)
     d.setdefault("decoder_layers", 3)
     return d
+
+
+def _berard_512(cfg: Dict, encoder_layers: int, decoder_layers: int) -> Dict:
+    """The 512-unit presets (reference berard.py:583-609 s2t_berard_512_3_2 /
+    s2t_berard_512_5_3: lstm 512, dropout 0.3, decoder embed 256 / hidden
+    1024, output dim 256 — the repo's decoder reads output width off
+    decoder_embed_dim)."""
+    d = dict(cfg)
+    d.setdefault("lstm_size", 512)
+    d.setdefault("dropout", 0.3)
+    d.setdefault("decoder_embed_dim", 256)
+    d.setdefault("decoder_hidden", 1024)
+    d.setdefault("attention_dim", 512)
+    d.setdefault("encoder_layers", encoder_layers)
+    d.setdefault("decoder_layers", decoder_layers)
+    return d
+
+
+@register_model_architecture("s2t_berard", "s2t_berard_512_3_2")
+def berard_512_3_2(cfg: Dict) -> Dict:
+    return _berard_512(cfg, encoder_layers=3, decoder_layers=2)
+
+
+@register_model_architecture("s2t_berard", "s2t_berard_512_5_3")
+def berard_512_5_3(cfg: Dict) -> Dict:
+    return _berard_512(cfg, encoder_layers=5, decoder_layers=3)

@@ -172,6 +172,21 @@ def build_s2t_transformer(cfg_dict: Dict, dtype=jnp.float32, param_dtype=jnp.flo
     return S2TTransformerModel(cfg, dtype=dtype, param_dtype=param_dtype)
 
 
+@register_model_architecture("s2t_transformer", "s2t_transformer")
+def s2t_base(cfg: Dict) -> Dict:
+    """Base preset (reference s2t_transformer.py:392 base_architecture:
+    512-d, 2048 ffn, 12+6 layers, 8 heads — the dataclass defaults here are
+    the smaller `_s` values, so the base widths are set explicitly)."""
+    d = dict(cfg)
+    d.setdefault("encoder_embed_dim", 512)
+    d.setdefault("encoder_ffn_dim", 2048)
+    d.setdefault("encoder_heads", 8)
+    d.setdefault("decoder_embed_dim", 512)
+    d.setdefault("decoder_ffn_dim", 2048)
+    d.setdefault("decoder_heads", 8)
+    return d
+
+
 @register_model_architecture("s2t_transformer", "s2t_transformer_s")
 def s2t_s(cfg: Dict) -> Dict:
     d = dict(cfg)

@@ -29,6 +29,7 @@ from ..config.registry import (
     CRITERIONS,
     register_criterion,
     register_model,
+    register_model_architecture,
     register_task,
 )
 from ..data.joint_dataset import JointBatchSchedule
@@ -223,6 +224,13 @@ _JOINT_MIGRATION = (
 @register_model("joint_model")
 def _joint_model_shim(cfg_dict, dtype=None, param_dtype=None):
     raise SystemExit(_JOINT_MIGRATION.format(kind="model", name="joint_model"))
+
+
+@register_model_architecture("joint_model", "joint_model")
+def _joint_model_arch_shim(cfg):
+    """reference models/joint_model.py:130 registers the arch under the same
+    name; resolving it here routes into the model shim's migration pointer."""
+    return dict(cfg)
 
 
 @register_criterion("joint_criterion")

@@ -76,3 +76,35 @@ def test_wav2vec_v1_contrastive():
     np.testing.assert_allclose(
         np.asarray(c1)[:, :10], np.asarray(c2)[:, :10], atol=1e-5
     )
+
+
+def test_berard_512_presets_forward():
+    """The kwarg-form arch presets (reference berard.py:583-609): 512-unit
+    LSTM, decoder embed 256 / hidden 1024, 3+2 and 5+3 layer stacks."""
+    from chimera_st_tpu.config.registry import ARCHITECTURES
+
+    rng = np.random.default_rng(1)
+    for name, enc_l, dec_l in (
+        ("s2t_berard_512_3_2", 3, 2), ("s2t_berard_512_5_3", 5, 3)
+    ):
+        _, preset = ARCHITECTURES.get(name)
+        cfg = preset({
+            "tgt_vocab_size": 20, "input_feat_per_channel": 8,
+            "conv_channels": (4, 4),
+        })
+        assert cfg["lstm_size"] == 512 and cfg["dropout"] == 0.3
+        assert cfg["decoder_embed_dim"] == 256
+        assert cfg["decoder_hidden"] == 1024
+        assert (cfg["encoder_layers"], cfg["decoder_layers"]) == (enc_l, dec_l)
+        model = build_model_from_arch(name, {
+            "tgt_vocab_size": 20, "input_feat_per_channel": 8,
+            "conv_channels": (4, 4), "lstm_size": 16, "decoder_hidden": 16,
+            "decoder_embed_dim": 8, "attention_dim": 8,
+        })
+        feats = jnp.asarray(rng.normal(size=(2, 16, 8)), jnp.float32)
+        pad = jnp.zeros((2, 16), bool)
+        prev = jnp.asarray(rng.integers(4, 20, size=(2, 4)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, pad, prev)
+        logits = model.apply(params, feats, pad, prev)
+        assert logits.shape == (2, 4, 20)
+        assert np.isfinite(np.asarray(logits)).all()

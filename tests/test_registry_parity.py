@@ -1,9 +1,12 @@
 """Registry-name parity vs the reference, enforced.
 
 ``tests/data/reference_registry_names.json`` is a frozen extraction of every
-``@register_*("name")`` literal in the reference tree (fairseq/ + chimera/,
-219 names across model/architecture/task/criterion/optimizer/lr_scheduler/
-bpe/tokenizer/scoring). Every name must either resolve in our registries or
+``@register_*("name")`` / ``@register_*(name=..., arch_name=...)`` literal —
+positional AND keyword decorator forms (the r4 extractor missed kwarg-form
+``register_model_architecture``, dropping the berard 512 presets) — in the
+reference tree (fairseq/ + fairseq_cli/ + chimera/, 226 names across
+model/architecture/task/criterion/optimizer/lr_scheduler/bpe/tokenizer/
+scoring). Every name must either resolve in our registries or
 appear in the documented not-applicable table below with a reason — so the
 PARITY.md claim ("zero unmentioned core reference registry names") cannot
 silently regress.
