@@ -36,9 +36,13 @@ def main(argv=None) -> None:
     p.add_argument("--buffer-size", type=int, default=1)
     p.add_argument("--input", default="-")
     p.add_argument("--constraints", nargs="?", const="ordered", default=None,
+                   choices=["ordered", "unordered"],
                    help="lexically constrained decoding (text tasks): input "
-                        "lines are 'source\\tphrase1\\tphrase2...' (reference: "
-                        "fairseq-interactive --constraints)")
+                        "lines are 'source\\tphrase1\\tphrase2...'; 'ordered' "
+                        "requires phrases in the given order, 'unordered' "
+                        "accepts any order (reference: fairseq-interactive "
+                        "--constraints {ordered,unordered}, "
+                        "token_generation_constraints.py:202)")
     args, model_overrides = options.parse_with_model_overrides(p, argv)
     options.require_single_host("chimera-interactive")
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
@@ -114,23 +118,32 @@ def main(argv=None) -> None:
                 from ..generation.generator import SequenceGenerator
                 from ..generation.search_strategies import (
                     LexicallyConstrainedSearch,
+                    UnorderedLexicallyConstrainedSearch,
+                    pack_constraint_phrases,
                     pack_constraints,
                 )
 
-                packed = pack_constraints(constraints, pad=tgt_dict.pad())
+                if args.constraints == "unordered":
+                    packed = pack_constraint_phrases(
+                        constraints, pad=tgt_dict.pad()
+                    )
+                    make_strategy = UnorderedLexicallyConstrainedSearch
+                else:
+                    packed = pack_constraints(constraints, pad=tgt_dict.pad())
+                    make_strategy = LexicallyConstrainedSearch
                 # the packed constraints are baked into the jitted beam
                 # program as constants, so each DISTINCT constraint set
                 # compiles once; identical sets (repeated lines, re-runs)
                 # reuse the cached generator instead of rebuilding + paying
                 # a fresh trace per batch (review fix). Bounded cache.
-                key = (packed.shape, packed.tobytes())
+                key = (args.constraints, packed.shape, packed.tobytes())
                 gen = _constraint_gen_cache.get(key)
                 if gen is None:
                     gen = SequenceGenerator(
                         model, generator.s,
                         pad=tgt_dict.pad(), eos=tgt_dict.eos(),
                         unk=tgt_dict.unk(),
-                        strategy=LexicallyConstrainedSearch(
+                        strategy=make_strategy(
                             packed, pad=tgt_dict.pad(), eos=tgt_dict.eos()
                         ),
                     )

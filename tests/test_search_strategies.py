@@ -128,3 +128,109 @@ def test_lexically_constrained_no_constraints_matches_plain():
     t0, s0, _ = run()
     t1, s1, _ = run(strategy=LexicallyConstrainedSearch(cons, pad=PAD, eos=EOS))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+# ------------------------------------------------- unordered lexical search
+
+
+def _unordered(phrases):
+    from chimera_st_tpu.generation.search_strategies import (
+        UnorderedLexicallyConstrainedSearch,
+        pack_constraint_phrases,
+    )
+
+    return UnorderedLexicallyConstrainedSearch(
+        pack_constraint_phrases(phrases, pad=PAD), pad=PAD, eos=EOS
+    )
+
+
+def test_unordered_constraints_all_present_any_order():
+    tokens, scores, lens = map(
+        np.asarray, run(strategy=_unordered([[[5, 9]], [[4], [8]]]))
+    )
+    for b, phrases in enumerate([[[5, 9]], [[4], [8]]]):
+        real = 0
+        for k in range(K):
+            if scores[b, k] < -1e5:
+                continue
+            real += 1
+            L = int(lens[b, k])
+            hyp = tokens[b, k, :L].tolist()
+            assert hyp[-1] == EOS
+            for p in phrases:  # each phrase contiguous, any phrase order
+                assert any(
+                    hyp[i:i + len(p)] == p for i in range(len(hyp))
+                ), (b, k, hyp, p)
+        assert real >= 1, f"sentence {b}: no constraint-satisfying hypothesis"
+
+
+def test_unordered_satisfies_in_model_preferred_order():
+    """A model that strongly wants '8 4' with constraints given as ['4','8']:
+    unordered lets the hypothesis emit 8 first; ordered forces 4 first."""
+    from chimera_st_tpu.generation.search_strategies import (
+        LexicallyConstrainedSearch,
+    )
+
+    bias = np.full((MAX_LEN + 1, V), -8.0, np.float32)
+    bias[0, 8] = 8.0   # step 0: token 8
+    bias[1, 4] = 8.0   # step 1: token 4
+    bias[2:, EOS] = 8.0
+    table = jnp.asarray(bias)
+
+    def step_fn(tokens_t, index, caches):
+        logits = jnp.broadcast_to(table[index][None, :], (B * K, V))
+        return jax.nn.log_softmax(logits, -1), caches
+
+    phrases = [[[4], [8]], [[4], [8]]]
+    tu, su, lu = map(np.asarray, run(strategy=_unordered(phrases), step_fn=step_fn))
+    best = tu[0, 0, : int(lu[0, 0])].tolist()
+    assert best[:2] == [8, 4], best  # model order, constraints still met
+
+    cons = pack_constraints(phrases, pad=PAD)
+    to, so, lo = map(
+        np.asarray,
+        run(strategy=LexicallyConstrainedSearch(cons, pad=PAD, eos=EOS),
+            step_fn=step_fn),
+    )
+    # ordered must realize 4 BEFORE 8 (subsequence), which costs it the
+    # model's preferred 2-step path — the best SATISFYING ordered hypothesis
+    # scores strictly below the unordered top ([8, 4, eos])
+    def satisfies(hyp):
+        it = iter(hyp)
+        return all(t in it for t in [4, 8])
+
+    sat_scores = [
+        float(so[0, k]) for k in range(K)
+        if satisfies(to[0, k, : int(lo[0, k])].tolist())
+    ]
+    assert sat_scores, "ordered produced no constraint-satisfying hypothesis"
+    assert float(su[0, 0]) > max(sat_scores)
+
+
+def test_unordered_no_constraints_matches_plain():
+    t0, s0, _ = run()
+    t1, s1, _ = run(strategy=_unordered([[], []]))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_unordered_advance_transitions():
+    """State machine unit: continue/complete/fall-off/start (reference
+    UnorderedConstraintState.advance semantics)."""
+    s = _unordered([[[5, 9], [7]]])  # one sentence: phrases "5 9" and "7"
+    mask = jnp.zeros((1, 4), jnp.int32)
+    cur = jnp.asarray([[-1, 0, 0, -1]], jnp.int32)   # root, mid-0@?, mid-0, root
+    pos = jnp.asarray([[0, 1, 1, 0]], jnp.int32)
+    tok = jnp.asarray([[5, 9, 3, 7]], jnp.int32)
+    nm, nc, np_ = s._advance(mask, cur, pos, tok)
+    nm, nc, np_ = map(np.asarray, (nm, nc, np_))
+    # beam0: starts phrase 0 ("5 9") -> mid-phrase pos 1
+    assert (nm[0, 0], nc[0, 0], np_[0, 0]) == (0, 0, 1)
+    # beam1: completes phrase 0 -> mask bit 0 set, back to root
+    assert (nm[0, 1], nc[0, 1], np_[0, 1]) == (1, -1, 0)
+    # beam2: mismatch mid-phrase -> falls off, progress lost
+    assert (nm[0, 2], nc[0, 2], np_[0, 2]) == (0, -1, 0)
+    # beam3: single-token phrase 1 completes instantly
+    assert (nm[0, 3], nc[0, 3], np_[0, 3]) == (2, -1, 0)
+    # bank accounting: completed tokens + current progress
+    bank = np.asarray(s._bank(jnp.asarray(nm), jnp.asarray(nc), jnp.asarray(np_)))
+    assert bank[0].tolist() == [1, 2, 0, 1]
