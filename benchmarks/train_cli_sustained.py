@@ -67,6 +67,45 @@ def build_corpus(root: Path, n_utts: int, seed: int = 0):
         )
 
 
+def build_mt_corpus(root: Path, n_sents: int, seed: int = 0) -> Path:
+    """Ragged WMT-like parallel corpus (lognormal lengths, the same
+    distribution train_throughput --ragged measures) binarized through the
+    real chimera-preprocess path; returns the data-bin dir."""
+    import subprocess
+
+    import numpy as np
+
+    raw = root / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    words = [f"w{i:05d}" for i in range(VOCAB)]
+    lens = np.clip(
+        rng.lognormal(np.log(24), 0.6, size=n_sents), 4, 128
+    ).astype(int)
+    for lang in ("en", "de"):
+        with open(raw / f"train.{lang}", "w") as f:
+            for L in lens:
+                f.write(" ".join(rng.choice(words, size=L)) + "\n")
+        with open(raw / f"valid.{lang}", "w") as f:
+            for L in lens[:64]:
+                f.write(" ".join(rng.choice(words, size=L)) + "\n")
+    data_bin = root / "bin"
+    r = subprocess.run(
+        [sys.executable, "-m", "chimera_st_tpu.cli.preprocess",
+         "-s", "en", "-t", "de",
+         "--trainpref", str(raw / "train"), "--validpref", str(raw / "valid"),
+         "--destdir", str(data_bin), "--joined-dictionary"],
+        capture_output=True, text=True,
+        env={**os.environ,
+             "PYTHONPATH": str(REPO) + os.pathsep
+             + os.environ.get("PYTHONPATH", "")},
+        timeout=600,
+    )
+    if r.returncode != 0:
+        raise SystemExit(f"preprocess failed:\n{r.stderr[-2000:]}")
+    return data_bin
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--updates", type=int, default=40)
@@ -78,6 +117,14 @@ def main():
                    help="sentences per update (all utterances are 6 s, so "
                         "--max-tokens is derived as batch * 96000 samples)")
     p.add_argument("--n-utts", type=int, default=256)
+    p.add_argument("--workload", default="st", choices=["st", "mt"],
+                   help="st = triplet audio recipe; mt = translation "
+                        "pre-train recipe (train-en2any-MT.sh config) on a "
+                        "ragged WMT-like text corpus")
+    p.add_argument("--max-tokens", type=int, default=16384,
+                   help="--workload mt: padded tokens per update")
+    p.add_argument("--n-sents", type=int, default=16384,
+                   help="--workload mt: corpus size")
     p.add_argument("--keep-dir", action="store_true")
     args, extra = p.parse_known_args()  # extras forwarded to chimera-train
     # (e.g. tiny-arch flags + --cpu for a plumbing smoke off-chip)
@@ -86,6 +133,72 @@ def main():
 
     work = Path(tempfile.mkdtemp(prefix="chimera_cli_bench_"))
     data = work / "corpus"
+
+    if args.workload == "mt":
+        t0 = time.perf_counter()
+        data_bin = build_mt_corpus(data, args.n_sents)
+        print(f"corpus: {args.n_sents} ragged sentences binarized in "
+              f"{time.perf_counter()-t0:.1f}s at {data_bin}", flush=True)
+        cmd = [
+            sys.executable, "-m", "chimera_st_tpu.cli.train", str(data_bin),
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--arch", "s2t_transformer_w2v2_interlingua_base",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--adam-betas", "(0.9, 0.98)",
+            "--clip-norm", "0.0",
+            "--lr", "5e-4", "--lr-scheduler", "inverse_sqrt",
+            "--warmup-updates", "4000",
+            "--max-tokens", str(args.max_tokens),
+            "--max-update", str(args.updates),
+            "--num-length-buckets", "4",
+            "--log-format", "json", "--log-interval", str(args.log_interval),
+            "--disable-validation", "--no-save",
+            "--save-dir", str(work / "ckpt"),
+            *extra,
+        ]
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        t0 = time.perf_counter()
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              cwd=str(REPO), timeout=3600)
+        wall = time.perf_counter() - t0
+        out = proc.stdout + "\n" + proc.stderr
+        if proc.returncode != 0:
+            print(out[-4000:])
+            raise SystemExit(f"chimera-train failed rc={proc.returncode}")
+        stats = None
+        for line in out.splitlines():
+            m = re.search(r"\{.*\"ups\".*\}", line)
+            if m:
+                try:
+                    stats = json.loads(m.group(0))
+                except json.JSONDecodeError:
+                    pass
+        print(f"total wall (incl. compile + corpus build): {wall:.1f}s",
+              flush=True)
+        if not stats:
+            print(out[-3000:])
+            raise SystemExit("no json progress line with ups found")
+        result = {
+            "metric": "train_cli_sustained_mt_wps",
+            "value": float(stats.get("wps", 0.0)),
+            "unit": "target-tokens/s",
+            "max_tokens": args.max_tokens,
+            "updates": args.updates,
+            "harness_logged": {k: stats.get(k) for k in
+                               ("ups", "wps", "loss", "gnorm", "lr")
+                               if k in stats},
+        }
+        print(json.dumps(result), flush=True)
+        if not args.keep_dir:
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+        else:
+            print(f"kept: {work}")
+        return
+
     t0 = time.perf_counter()
     build_corpus(data, args.n_utts)
     print(f"corpus: {args.n_utts} x {AUDIO_SECONDS:.0f}s wavs in "

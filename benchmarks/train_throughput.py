@@ -168,6 +168,127 @@ def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
     )
 
 
+def run_mt_ragged(token_budget: int, n_buckets: int, dtype,
+                  n_sents: int = 8192, seed: int = 0):
+    """MT pre-train throughput on a RAGGED WMT-like length distribution —
+    the real operating point, not the uniform-32-token best case.
+
+    Sentence lengths ~ lognormal(median 24, sigma 0.6) clipped to [4, 128]
+    (WMT14 en-de BPE-ish); batches are built the way the train CLI builds
+    them for XLA: length-sorted, bucketed to `n_buckets` DP-optimal edges
+    (data.batching.optimal_buckets), each bucket split into even chunks
+    under a per-batch token budget (reference packs ragged batches by token
+    budget eagerly, data_utils_fast.pyx:27-123 — here the bucket edge is the
+    compiled shape). Reports wps on REAL tokens, padding fill, and the
+    fill-weighted MFU across all compiled shapes."""
+    from chimera_st_tpu.data.batching import optimal_buckets, pad_to_bucket
+    from chimera_st_tpu.models.interlingua import (
+        ChimeraInterlinguaModel,
+        InterlinguaConfig,
+    )
+
+    cfg = InterlinguaConfig(tgt_vocab_size=10000, src_vocab_size=10000)
+    model = ChimeraInterlinguaModel(cfg, dtype=dtype)
+    rng = np.random.default_rng(seed)
+
+    lens = np.clip(
+        rng.lognormal(np.log(24), 0.6, size=n_sents), 4, 128
+    ).astype(np.int64)
+    edges = optimal_buckets(lens, n_buckets)
+    by_edge = {}
+    for L in sorted(lens, reverse=True):
+        by_edge.setdefault(pad_to_bucket(int(L), edges), []).append(int(L))
+    jobs = []  # (S_edge, batch, real_lens)
+    for e, items in sorted(by_edge.items()):
+        bmax = max(8, int(np.clip(round(token_budget / e / 8) * 8, 8, 1024)))
+        chunks = int(np.ceil(len(items) / bmax))
+        b = int(np.ceil(len(items) / chunks / 8) * 8)
+        for j in range(chunks):
+            jobs.append((e, b, items[j * b:(j + 1) * b]))
+
+    def job_batch(S, B, real_lens, i):
+        r = np.random.default_rng(hash((S, B, i)) % 2**32)
+        tgt = r.integers(4, 10000, size=(B, S)).astype(np.int32)
+        for row, L in enumerate(real_lens):
+            tgt[row, L - 1] = 2
+            tgt[row, L:] = 1  # pad
+        tgt[len(real_lens):] = 1  # dummy round-off rows: all-pad targets
+        prev = np.concatenate([np.full((B, 1), 2, np.int32), tgt[:, :-1]], 1)
+        src = r.integers(4, 10000, size=(B, S)).astype(np.int32)
+        for row in range(B):
+            L = real_lens[row] if row < len(real_lens) else 1
+            src[row, L:] = 1
+        return {
+            "src_tokens": jnp.asarray(src),
+            "prev_output_tokens": jnp.asarray(prev),
+            "target": jnp.asarray(tgt),
+            "ntokens": jnp.asarray(
+                float(sum(real_lens)) or 1.0, jnp.float32),
+        }
+
+    b0 = job_batch(*jobs[0][:2], jobs[0][2], 0)
+    step, state, _ = _assemble(
+        model,
+        (jnp.zeros((1, 8000), jnp.float32), jnp.zeros((1, 8000), bool),
+         b0["src_tokens"][:1], b0["prev_output_tokens"][:1]),
+        "label_smoothed_cross_entropy", {"label_smoothing": 0.1},
+        {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000},
+        0.0, lambda i: None, 1,
+    )
+
+    # compile every distinct (S, B) shape + collect its FLOPs
+    flops_by_shape = {}
+    for S, B, ls in jobs:
+        if (S, B) in flops_by_shape:
+            continue
+        b = job_batch(S, B, ls, -1)
+        state, m = step(state, b, jax.random.PRNGKey(0))
+        np.asarray(m["loss"])
+        cost = step.lower(state, b, jax.random.PRNGKey(0)).compile(
+        ).cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_by_shape[(S, B)] = float(cost.get("flops", 0.0))
+
+    inputs = [job_batch(S, B, ls, i) for i, (S, B, ls) in enumerate(jobs)]
+    jax.block_until_ready(inputs)
+    dt = float("inf")
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        for b, (S, B, ls) in zip(inputs, jobs):
+            state, m = step(state, b, jax.random.PRNGKey(r + 1))
+        np.asarray(m["loss"])
+        dt = min(dt, time.perf_counter() - t0)
+
+    real_tokens = int(sum(sum(ls) for _, _, ls in jobs))
+    padded_tokens = int(sum(S * B for S, B, _ in jobs))
+    total_flops = sum(flops_by_shape[(S, B)] for S, B, _ in jobs)
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_FLOPS.get(kind)
+    mfu = total_flops / dt / peak if peak else None
+    out = {
+        "workload": "mt_ragged",
+        "token_budget": token_budget,
+        "n_buckets": n_buckets,
+        "n_sents": n_sents,
+        "n_batches": len(jobs),
+        "edges": [int(e) for e in edges],
+        "batch_per_edge": {str(S): B for S, B, _ in jobs},
+        "fill": round(real_tokens / padded_tokens, 3),
+        "real_wps": round(real_tokens / dt, 0),
+        "padded_wps": round(padded_tokens / dt, 0),
+        "updates_per_sec": round(len(jobs) / dt, 2),
+        "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
+        "length_dist": "lognormal(median 24, sigma 0.6) clip [4, 128]",
+    }
+    print(
+        f"mt_ragged budget={token_budget} buckets={n_buckets}: "
+        f"real_wps={out['real_wps']:.0f} fill={out['fill']} "
+        f"MFU={out['mfu_pct']}% shapes={len(flops_by_shape)}",
+        flush=True,
+    )
+    return out
+
+
 def run(batch: int, seconds: float, dtype, remat: str = "none",
         update_freq: int = 1, workload: str = "st", src_len: int = 32):
     if workload == "mt":
@@ -263,10 +384,40 @@ if __name__ == "__main__":
                         "tokens = batch * src-len)")
     p.add_argument("--src-len", type=int, default=32,
                    help="tokens per sentence for --workload mt")
+    p.add_argument("--ragged", action="store_true",
+                   help="--workload mt only: ragged WMT-like lengths through "
+                        "the bucketed batching path (reports fill + real-"
+                        "token wps); --token-budget values are swept")
+    p.add_argument("--token-budget", type=int, nargs="+",
+                   default=[4096, 16384],
+                   help="padded tokens per batch for --ragged")
+    p.add_argument("--n-buckets", type=int, default=4)
+    p.add_argument("--n-sents", type=int, default=8192)
     p.add_argument("--json", default=None, help="write the sweep as JSON here")
     args = p.parse_args()
     dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     rows = []
+    if args.ragged:
+        if args.workload != "mt":
+            raise SystemExit("--ragged requires --workload mt")
+        for budget in args.token_budget:
+            r = run_mt_ragged(budget, args.n_buckets, dt, n_sents=args.n_sents)
+            if r:
+                rows.append(r)
+        best = max(rows, key=lambda r: r["real_wps"]) if rows else None
+        summary = {
+            "metric": "train_mt_ragged_real_tokens_per_sec_per_chip",
+            "value": best["real_wps"] if best else 0.0,
+            "unit": "tokens/s",
+            "device": jax.devices()[0].device_kind,
+            "best": best,
+            "sweep": rows,
+        }
+        print(json.dumps(summary), flush=True)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(summary, f, indent=1)
+        raise SystemExit(0)
     for uf in args.update_freq:
         for b in args.batches:
             r = run(b, args.seconds, dt, remat=args.remat, update_freq=uf,

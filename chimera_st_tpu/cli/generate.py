@@ -318,6 +318,7 @@ def main(argv=None) -> None:
         sampling_topp = args.sampling_topp
         seed = args.seed
         kv_cache_int8 = getattr(args, "kv_cache_int8", False)
+        retain_dropout = getattr(args, "retain_dropout", False)
 
     paths = args.path.split(":")
     reranker = None
@@ -370,6 +371,10 @@ def main(argv=None) -> None:
                     "--sampling/--diverse-beam-groups/--diversity-rate are "
                     "single-model features (review fix: these used to be "
                     "silently ignored)")
+            if getattr(args, "retain_dropout", False):
+                raise NotImplementedError(
+                    "--retain-dropout is a single-model decode feature "
+                    "(loud rejection over a silently-deterministic ensemble)")
             settings = GeneratorSettings(
                 beam_size=args.beam,
                 max_len_a=GenCfg.max_len_a, max_len_b=GenCfg.max_len_b,

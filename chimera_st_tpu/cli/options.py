@@ -299,9 +299,10 @@ def add_generation_args(p: argparse.ArgumentParser):
                         "per-row f32 scales (halves the per-step cache HBM "
                         "read; near-lossless per-row symmetric quantization)")
     p.add_argument("--retain-dropout", action="store_true",
-                   help="keep dropout active while scoring gold targets "
-                        "(MC-sampling eval; reference sequence_generator.py "
-                        "retain_dropout — supported on --score-reference)")
+                   help="keep dropout active through encode + the jitted "
+                        "beam decode (and --score-reference scoring): "
+                        "seed-reproducible MC-sampled hypotheses (reference "
+                        "sequence_generator.py retain_dropout)")
     p.add_argument("--score-reference", action="store_true",
                    help="score gold targets instead of searching "
                         "(reference fairseq_cli/generate.py --score-reference)")

@@ -64,6 +64,11 @@ class GeneratorSettings:
     # per-row int8 + f32 scales) — halves the per-step cache HBM read.
     # Lazy-reorder path only; ignored for sampling / the Pallas decode cache.
     kv_cache_int8: bool = False
+    # keep dropout ACTIVE through encode + the jitted decode loop
+    # (--retain-dropout, reference sequence_generator.py retain_dropout):
+    # seed-reproducible MC-sampled hypotheses; per-step keys are folded from
+    # `seed` and the while_loop index inside the compiled program
+    retain_dropout: bool = False
 
 
 def max_lens_from_settings(s: "GeneratorSettings", src_lengths):
@@ -139,12 +144,23 @@ class SequenceGenerator:
 
     # -------------------------------------------------------------- encode
 
-    def _encode_audio(self, params, source, padding_mask):
+    def _encode_audio(self, params, source, padding_mask, rng=None):
+        if rng is not None:  # retain_dropout: stochastic encoder
+            return self.model.apply(
+                params, source, padding_mask, rngs={"dropout": rng},
+                method=lambda m, s, pm: m.encode_audio(
+                    s, pm, deterministic=False),
+            )
         return self.model.apply(
             params, source, padding_mask, method=type(self.model).encode_audio
         )
 
-    def _encode_text(self, params, src_tokens):
+    def _encode_text(self, params, src_tokens, rng=None):
+        if rng is not None:  # retain_dropout: stochastic encoder
+            return self.model.apply(
+                params, src_tokens, rngs={"dropout": rng},
+                method=lambda m, t: m.encode_text(t, deterministic=False),
+            )
         return self.model.apply(
             params, src_tokens, method=type(self.model).encode_text
         )
@@ -262,6 +278,10 @@ class SequenceGenerator:
         else:
             init_caches = layer_caches
 
+        retain_dropout = self.s.retain_dropout
+        if retain_dropout and rng is None:
+            raise ValueError("retain_dropout decode requires an rng")
+
         def step_fn(tokens_t, index, caches):
             if lazy:
                 kv = caches["kv"]
@@ -270,6 +290,12 @@ class SequenceGenerator:
                 anc_view = caches["anc"][:t_len]
             else:
                 kv, anc_view = caches, None
+            # retain_dropout: a fresh per-step dropout key folded from the
+            # loop index INSIDE the compiled program (seed-reproducible)
+            rngs = (
+                {"dropout": jax.random.fold_in(rng, 1_000_000 + index)}
+                if retain_dropout else None
+            )
             logits, new_kv = self.model.apply(
                 params,
                 tokens_t,
@@ -277,10 +303,12 @@ class SequenceGenerator:
                 kv,
                 enc_kv,
                 enc_mask,
+                rngs=rngs,
                 method=lambda m, t, i, c, ekv, em: m.decoder.step(
                     t, i, c, ekv, em,
                     cache_ancestry=anc_view,
                     ancestry_groups=K if lazy else 1,
+                    deterministic=not retain_dropout,
                 ),
             )
             if self.s.temperature != 1.0:
@@ -356,17 +384,20 @@ class SequenceGenerator:
         src_lengths: Optional[jax.Array] = None,
         prefix_tokens: Optional[jax.Array] = None,
     ):
-        enc, enc_mask = self._jit_encode_audio(params, source, padding_mask)
+        self._call_count += 1
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
+            if self.s.sampling or self.s.retain_dropout else None
+        )
+        enc, enc_mask = self._jit_encode_audio(
+            params, source, padding_mask,
+            jax.random.fold_in(rng, 7) if self.s.retain_dropout else None,
+        )
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
         min_lens = (
             self.min_lens_for_src(src_lengths) if src_lengths is not None else None
-        )
-        self._call_count += 1
-        rng = (
-            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
-            if self.s.sampling else None
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,
@@ -380,17 +411,20 @@ class SequenceGenerator:
         src_lengths: Optional[jax.Array] = None,
         prefix_tokens: Optional[jax.Array] = None,
     ):
-        enc, enc_mask = self._jit_encode_text(params, src_tokens)
+        self._call_count += 1
+        rng = (
+            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
+            if self.s.sampling or self.s.retain_dropout else None
+        )
+        enc, enc_mask = self._jit_encode_text(
+            params, src_tokens,
+            jax.random.fold_in(rng, 7) if self.s.retain_dropout else None,
+        )
         max_lens = (
             self.max_lens_for_src(src_lengths) if src_lengths is not None else None
         )
         min_lens = (
             self.min_lens_for_src(src_lengths) if src_lengths is not None else None
-        )
-        self._call_count += 1
-        rng = (
-            jax.random.fold_in(jax.random.PRNGKey(self.s.seed), self._call_count)
-            if self.s.sampling else None
         )
         return self._jit_generate(
             params, enc, enc_mask, max_lens, beam_size=self.s.beam_size, rng=rng,

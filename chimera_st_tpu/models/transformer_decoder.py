@@ -359,8 +359,13 @@ class TransformerDecoder(nn.Module):
         encoder_padding_mask: Optional[jax.Array] = None,
         cache_ancestry: Optional[jax.Array] = None,  # [L, B]: lazy beam reorder
         ancestry_groups: int = 1,
+        deterministic: bool = True,
     ) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
-        """One decode step -> (logits [B, V] fp32, new caches)."""
+        """One decode step -> (logits [B, V] fp32, new caches).
+
+        ``deterministic=False`` keeps dropout active inside the decode loop
+        (--retain-dropout, reference sequence_generator.py retain_dropout);
+        the caller must provide a 'dropout' rng via apply(rngs=...)."""
         x = self.embed_scale * self.embed_tokens(tokens_t)
         if self.learned_pos:
             pos = self.embed_positions(
@@ -374,6 +379,10 @@ class TransformerDecoder(nn.Module):
         x = x + pos[None, None, :].astype(x.dtype)
         if self.layernorm_embedding:
             x = self.layernorm_embedding_mod(x)
+        if not deterministic:
+            # embedding dropout, matching the full forward's placement
+            # (extract_features applies it before the layer stack)
+            x = self.dropout_layer(x, deterministic=False)
 
         if encoder_kv is None:  # decoder-only (LM) stepping
             encoder_kv = [None] * len(self.layers)
@@ -387,7 +396,7 @@ class TransformerDecoder(nn.Module):
                 cache_index=step_index,
                 cache_ancestry=cache_ancestry,
                 ancestry_groups=ancestry_groups,
-                deterministic=True,
+                deterministic=deterministic,
             )
             new_caches.append(new_cache)
         if self.layer_norm is not None:

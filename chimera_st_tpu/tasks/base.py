@@ -109,6 +109,11 @@ class ChimeraTask:
         nat = build_nat_generator(model, gen_cfg, self.target_dictionary,
                                   reranker=reranker)
         if nat is not None:
+            if getattr(gen_cfg, "retain_dropout", False):
+                raise NotImplementedError(
+                    "--retain-dropout is implemented for the beam decode "
+                    "path, not NAT refinement loops (loud rejection over a "
+                    "silently-deterministic decode)")
             return nat
 
         g = gen_cfg
@@ -132,6 +137,7 @@ class ChimeraTask:
             sampling_topp=getattr(g, "sampling_topp", -1.0),
             diversity_rate=getattr(g, "diversity_rate", -1.0),
             kv_cache_int8=getattr(g, "kv_cache_int8", False),
+            retain_dropout=getattr(g, "retain_dropout", False),
         )
         d = self.target_dictionary
         return SequenceGenerator(

@@ -87,3 +87,51 @@ def test_batch_independence(setup):
     tb, sb, lb = gen.generate_audio(params, both, jnp.zeros((2, 400), bool))
     np.testing.assert_allclose(np.asarray(s1)[0], np.asarray(sb)[0], atol=1e-4)
     assert (np.asarray(t1)[0] == np.asarray(tb)[0]).all()
+
+
+def test_retain_dropout_stochastic_and_seed_reproducible(setup):
+    """--retain-dropout in the jitted beam loop (reference
+    sequence_generator.py retain_dropout): same seed -> identical
+    hypotheses; different seeds -> different score streams; deterministic
+    decode unchanged."""
+    model, params, gen = setup
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.normal(size=(2, 400)), jnp.float32)
+    mask = jnp.zeros((2, 400), bool)
+
+    def make(seed):
+        return SequenceGenerator(
+            model,
+            GeneratorSettings(beam_size=3, max_decode_len=12, min_len=1,
+                              retain_dropout=True, seed=seed),
+        )
+
+    t1, s1, l1 = map(np.asarray, make(7).generate_audio(params, wav, mask))
+    t2, s2, l2 = map(np.asarray, make(7).generate_audio(params, wav, mask))
+    np.testing.assert_array_equal(t1, t2)  # seed-reproducible
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    s3 = np.asarray(make(8).generate_audio(params, wav, mask)[1])
+    assert not np.allclose(s1, s3)  # dropout stream actually differs
+
+    # deterministic decode is NOT affected by the flag's existence
+    t0a = np.asarray(gen.generate_audio(params, wav, mask)[0])
+    t0b = np.asarray(gen.generate_audio(params, wav, mask)[0])
+    np.testing.assert_array_equal(t0a, t0b)
+
+
+def test_retain_dropout_text_path(setup):
+    model, params, _ = setup
+    toks = jnp.asarray([[5, 6, 7, 1], [8, 9, 1, 1]], jnp.int32)
+    g = SequenceGenerator(
+        model,
+        GeneratorSettings(beam_size=2, max_decode_len=8, min_len=1,
+                          retain_dropout=True, seed=3),
+    )
+    ta = np.asarray(g.generate_text(params, toks)[0])
+    g2 = SequenceGenerator(
+        model,
+        GeneratorSettings(beam_size=2, max_decode_len=8, min_len=1,
+                          retain_dropout=True, seed=3),
+    )
+    np.testing.assert_array_equal(ta, np.asarray(g2.generate_text(params, toks)[0]))
