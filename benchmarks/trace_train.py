@@ -33,9 +33,12 @@ TRACE_DIR = "/tmp/chimera_trace_train"
 from device_peaks import PEAK_BF16_FLOPS  # noqa: E402 — shared MFU table
 
 
-def build_step(batch: int, seconds: float, remat: str = "none"):
-    from train_throughput import make_problem
+def build_step(batch: int, seconds: float, remat: str = "none",
+               workload: str = "st", src_len: int = 32):
+    from train_throughput import make_problem, make_problem_mt
 
+    if workload == "mt":
+        return make_problem_mt(batch, src_len, jnp.bfloat16)
     return make_problem(batch, seconds, jnp.bfloat16, remat=remat)
 
 
@@ -47,9 +50,13 @@ def main():
     p.add_argument("--no-trace", action="store_true",
                    help="just time + cost-analysis MFU, skip xplane capture")
     p.add_argument("--topk", type=int, default=40)
+    p.add_argument("--workload", default="st", choices=["st", "mt"])
+    p.add_argument("--src-len", type=int, default=32)
     args = p.parse_args()
 
-    step, state, make_batch = build_step(args.batch, args.seconds, args.remat)
+    step, state, make_batch = build_step(args.batch, args.seconds, args.remat,
+                                         workload=args.workload,
+                                         src_len=args.src_len)
 
     # warm/compile, then read exact FLOPs off the compiled step
     t0 = time.perf_counter()
@@ -79,9 +86,12 @@ def main():
     peak = PEAK_BF16_FLOPS.get(kind)
     achieved = flops / dt
     print(
-        f"B={args.batch} remat={args.remat}: {dt*1e3:.1f} ms/update, "
-        f"audio_s/s={args.batch*args.seconds/dt:.1f}, "
-        f"cost-analysis flops/step={flops/1e12:.2f} TF, "
+        f"B={args.batch} remat={args.remat} wl={args.workload}: "
+        f"{dt*1e3:.1f} ms/update, "
+        + (f"audio_s/s={args.batch*args.seconds/dt:.1f}, "
+           if args.workload == "st" else
+           f"wps={args.batch*args.src_len/dt:.0f}, ")
+        + f"cost-analysis flops/step={flops/1e12:.2f} TF, "
         f"achieved={achieved/1e12:.1f} TF/s"
         + (f", MFU={100*achieved/peak:.1f}% of {kind} bf16 peak"
            if peak else f" (no peak table entry for {kind!r})"),

@@ -102,6 +102,15 @@ def optimal_buckets(lengths: Sequence[int], n_buckets: int = 10) -> np.ndarray:
     uniq = np.unique(lengths)
     if len(uniq) <= n_buckets:
         return uniq
+    # cap the candidate-edge set: the DP is O(k·n²) in candidates, and raw
+    # audio corpora have ~one unique sample-length per utterance. 1024
+    # quantile-spaced candidates keep the n² matrices ~8 MB and the result
+    # within a fraction of a percent of the unrestricted optimum (edges are
+    # still evaluated against the FULL length distribution below).
+    if len(uniq) > 1024:
+        qs = np.quantile(uniq, np.linspace(0.0, 1.0, 1024))
+        uniq = np.unique(np.ceil(qs).astype(np.int64))
+        uniq[-1] = lengths.max()
     # prefix count/sum of items with length <= uniq[i]
     order = np.sort(lengths)
     cnt = np.searchsorted(order, uniq, side="right").astype(np.float64)

@@ -144,7 +144,7 @@ class JointTrainingTask(ChimeraTask):
         epoch: int = 1,
     ):
         """Yields task-tagged batches interleaved by sample ratio."""
-        from ..data.batching import batch_by_size, pad_to_bucket, quantile_buckets
+        from ..data.batching import batch_by_size, optimal_buckets, pad_to_bucket
 
         per_task_batches = {}
         collate_fns = {}
@@ -155,7 +155,7 @@ class JointTrainingTask(ChimeraTask):
             batches = batch_by_size(
                 order, sizes, max_tokens=max_tokens, max_sentences=max_sentences
             )
-            edges = quantile_buckets(sizes, num_length_buckets)
+            edges = optimal_buckets(sizes, num_length_buckets)
             per_task_batches[name] = batches
 
             def make_collate(t=t, ds=ds, sizes=sizes, edges=edges):
