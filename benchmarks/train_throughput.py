@@ -46,10 +46,12 @@ from device_peaks import PEAK_BF16_FLOPS  # noqa: E402 — shared MFU table
 
 
 def _assemble(model, init_args, crit_name, crit_cfg, lr_cfg, clip_norm,
-              one_batch, update_freq):
+              one_batch, update_freq, fixes=()):
     """Shared scaffold for both workloads: init, criterion, schedule,
     optimizer, jitted step, and the update_freq > 1 microbatch stacking —
-    one definition so the ST and MT sweeps measure the same protocol."""
+    one definition so the ST and MT sweeps measure the same protocol.
+    ``fixes`` are optim.freeze flag names masked out of the optimizer
+    (the MT stage's torch-parity trunk skip)."""
     import chimera_st_tpu.criterions  # noqa: F401 — populate the registry
     from chimera_st_tpu.config.registry import CRITERIONS
     from chimera_st_tpu.models.interlingua import ChimeraInterlinguaModel
@@ -76,6 +78,10 @@ def _assemble(model, init_args, crit_name, crit_cfg, lr_cfg, clip_norm,
         {"_name": "adam", "adam_betas": "(0.9, 0.98)"}, sched,
         clip_norm=clip_norm,
     )
+    if fixes:
+        from chimera_st_tpu.optim.freeze import wrap_freeze
+
+        tx = wrap_freeze(tx, params, fixes)
     step = make_train_step(model, crit, tx, accum_steps=update_freq,
                            lr_schedule=sched)
     state = create_train_state(params, tx)
@@ -129,7 +135,8 @@ def make_problem(batch: int, seconds: float, dtype, remat: str = "none",
     )
 
 
-def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
+def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1,
+                    freeze_trunk: bool = False):
     """MT pre-train stage step: SAME interlingua model, text-branch forward
     + label-smoothed CE (the reference's 500k-update WMT stage,
     train-en2any-MT.sh: --task translation --max-tokens 4096 --update-freq 8).
@@ -165,11 +172,13 @@ def make_problem_mt(batch: int, src_len: int, dtype, update_freq: int = 1):
         "label_smoothed_cross_entropy", {"label_smoothing": 0.1},
         {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000},
         0.0, one_batch, update_freq,
+        fixes=("fix_audio_trunk",) if freeze_trunk else (),
     )
 
 
 def run_mt_ragged(token_budget: int, n_buckets: int, dtype,
-                  n_sents: int = 8192, seed: int = 0):
+                  n_sents: int = 8192, seed: int = 0,
+                  freeze_trunk: bool = False):
     """MT pre-train throughput on a RAGGED WMT-like length distribution —
     the real operating point, not the uniform-32-token best case.
 
@@ -234,6 +243,7 @@ def run_mt_ragged(token_budget: int, n_buckets: int, dtype,
         "label_smoothed_cross_entropy", {"label_smoothing": 0.1},
         {"_name": "inverse_sqrt", "lr": 5e-4, "warmup_updates": 4000},
         0.0, lambda i: None, 1,
+        fixes=("fix_audio_trunk",) if freeze_trunk else (),
     )
 
     # compile every distinct (S, B) shape + collect its FLOPs
@@ -267,6 +277,7 @@ def run_mt_ragged(token_budget: int, n_buckets: int, dtype,
     mfu = total_flops / dt / peak if peak else None
     out = {
         "workload": "mt_ragged",
+        "freeze_trunk": freeze_trunk,
         "token_budget": token_budget,
         "n_buckets": n_buckets,
         "n_sents": n_sents,
@@ -290,10 +301,12 @@ def run_mt_ragged(token_budget: int, n_buckets: int, dtype,
 
 
 def run(batch: int, seconds: float, dtype, remat: str = "none",
-        update_freq: int = 1, workload: str = "st", src_len: int = 32):
+        update_freq: int = 1, workload: str = "st", src_len: int = 32,
+        freeze_trunk: bool = False):
     if workload == "mt":
         step, state, make_batch = make_problem_mt(
-            batch, src_len, dtype, update_freq=update_freq
+            batch, src_len, dtype, update_freq=update_freq,
+            freeze_trunk=freeze_trunk,
         )
         tokens_per_sample = src_len
     else:
@@ -392,6 +405,10 @@ if __name__ == "__main__":
                    default=[4096, 16384],
                    help="padded tokens per batch for --ragged")
     p.add_argument("--n-buckets", type=int, default=4)
+    p.add_argument("--freeze-trunk", action="store_true",
+                   help="--workload mt: mask the audio trunk out of the "
+                        "optimizer (torch-parity grad-None skip; the train "
+                        "CLI does this automatically for text-only tasks)")
     p.add_argument("--n-sents", type=int, default=8192)
     p.add_argument("--json", default=None, help="write the sweep as JSON here")
     args = p.parse_args()
@@ -401,7 +418,8 @@ if __name__ == "__main__":
         if args.workload != "mt":
             raise SystemExit("--ragged requires --workload mt")
         for budget in args.token_budget:
-            r = run_mt_ragged(budget, args.n_buckets, dt, n_sents=args.n_sents)
+            r = run_mt_ragged(budget, args.n_buckets, dt, n_sents=args.n_sents,
+                              freeze_trunk=args.freeze_trunk)
             if r:
                 rows.append(r)
         best = max(rows, key=lambda r: r["real_wps"]) if rows else None
@@ -421,7 +439,8 @@ if __name__ == "__main__":
     for uf in args.update_freq:
         for b in args.batches:
             r = run(b, args.seconds, dt, remat=args.remat, update_freq=uf,
-                    workload=args.workload, src_len=args.src_len)
+                    workload=args.workload, src_len=args.src_len,
+                    freeze_trunk=args.freeze_trunk)
             if r:
                 rows.append(r)
     key = "audio_s_per_sec" if args.workload == "st" else "wps"

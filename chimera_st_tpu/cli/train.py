@@ -168,6 +168,14 @@ def main(argv=None) -> None:
              ("fix_wav2vec", "fix_interlingua", "fix_decoder",
               "fix_decoder_transformers", "fix_encoder_transformers")
              if getattr(args, f, False)]
+    if "fix_wav2vec" not in fixes:
+        # torch-parity: text-only tasks never grad the audio trunk, and the
+        # reference's Adam skips grad-None params — mask the trunk out of
+        # the optimizer instead of streaming its moments (optim/freeze.py
+        # auto_text_only_fixes)
+        from ..optim.freeze import auto_text_only_fixes
+
+        fixes.extend(auto_text_only_fixes(task, params))
     if fixes:
         from ..optim.freeze import frozen_fraction, wrap_freeze
 

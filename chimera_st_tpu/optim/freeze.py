@@ -38,6 +38,13 @@ _FIX_PREDICATES = {
         p[0].startswith("interlingua_layers_")
         or p[0] == "interlingua_embedding"
     ),
+    # not a reference CLI flag: torch-parity mask for text-only tasks (see
+    # auto_text_only_fixes below)
+    "fix_audio_trunk": lambda p: p
+    and (
+        p[0] in ("wav2vec_model", "subsample")
+        or p[0].startswith("audio_exclusive_layers_")
+    ),
 }
 
 FIX_FLAG_NAMES: Tuple[str, ...] = tuple(_FIX_PREDICATES)
@@ -85,6 +92,41 @@ def wrap_freeze(
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, labels
     )
+
+
+_AUDIO_TRUNK_KEYS = ("wav2vec_model", "subsample")
+
+
+def auto_text_only_fixes(task: Any, params: Any) -> Tuple[str, ...]:
+    """Torch-parity optimizer mask for text-only training.
+
+    The reference's Adam only steps parameters whose ``.grad`` is not None
+    (fairseq/optim/adam.py:100-115 iterates ``group["params"]`` and
+    ``continue``s on ``p.grad is None``), so in the MT pre-train stage
+    (``--task translation`` over the interlingua arch,
+    chimera/scripts/train-en2any-MT.sh) the audio trunk — wav2vec2 +
+    subsampler + audio-exclusive encoder layers, ~95M of the 139M params —
+    never materializes optimizer state. A jitted functional step has no
+    ``grad is None``: backprop emits structural zeros for the unused trunk
+    and a plain optax.adam would stream param+m+v for all of it every
+    update (~2.3 GB of HBM traffic buying nothing). Masking the trunk out
+    of the optimizer reproduces the torch semantics exactly (zero grads +
+    zero init moments already imply the trunk never moves; this just stops
+    paying for the proof).
+
+    Returns ("fix_audio_trunk",) when the task declares itself text-only
+    AND the param tree actually carries an audio trunk; () otherwise.
+    """
+    if not getattr(task, "text_only", False):
+        return ()
+    inner = params.get("params", params) if hasattr(params, "get") else {}
+    keys = list(inner.keys()) if hasattr(inner, "keys") else []
+    if any(
+        k in _AUDIO_TRUNK_KEYS or k.startswith("audio_exclusive_layers_")
+        for k in keys
+    ):
+        return ("fix_audio_trunk",)
+    return ()
 
 
 def frozen_fraction(params: Any, fixes: Iterable[str]) -> float:

@@ -28,6 +28,11 @@ logger = logging.getLogger(__name__)
 
 
 class ChimeraTask:
+    # True on tasks whose train batches never carry audio: lets the trainer
+    # mask audio-only param subtrees out of the optimizer, matching the
+    # reference Adam's grad-is-None skip (optim/freeze.auto_text_only_fixes)
+    text_only = False
+
     def __init__(self, cfg: Dict):
         self.cfg = cfg
         self.datasets: Dict[str, Any] = {}

@@ -44,6 +44,8 @@ def _denoise_kwargs(cfg: Dict) -> Dict:
 class DenoisingTask(ChimeraTask):
     """Monolingual BART pretraining (reference: tasks/denoising.py:31-250)."""
 
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary):
         super().__init__(cfg)
         self.dictionary = dictionary

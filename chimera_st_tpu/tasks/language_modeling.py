@@ -89,6 +89,8 @@ class ShortenedDataset:
 
 @register_task("language_modeling")
 class LanguageModelingTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary):
         super().__init__(cfg)
         self.dictionary = dictionary

@@ -74,6 +74,8 @@ class MaskedTokensDataset:
 
 @register_task("masked_lm")
 class MaskedLMTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary):
         super().__init__(cfg)
         self.dictionary = dictionary

@@ -50,6 +50,8 @@ class _TaggedDataset:
 
 @register_task("multilingual_translation")
 class MultilingualTranslationTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dicts: Dict[str, Dictionary], pairs):
         super().__init__(cfg)
         self.dicts = dicts

@@ -96,6 +96,8 @@ class _SentencePairs:
 
 @register_task("sentence_prediction")
 class SentencePredictionTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary, num_classes: int):
         super().__init__(cfg)
         self.dictionary = dictionary
@@ -254,6 +256,8 @@ class _RankingCandidates:
 
 @register_task("sentence_ranking")
 class SentenceRankingTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary, num_candidates: int):
         super().__init__(cfg)
         self.dictionary = dictionary

@@ -25,6 +25,8 @@ logger = logging.getLogger(__name__)
 
 @register_task("translation")
 class TranslationTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, src_dict: Dictionary, tgt_dict: Dictionary):
         super().__init__(cfg)
         self.src_dict = src_dict

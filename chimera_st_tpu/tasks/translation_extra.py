@@ -103,6 +103,8 @@ class LangTokPairDataset:
 
 @register_task("translation_multi_simple_epoch")
 class TranslationMultiSimpleEpochTask(ChimeraTask):
+    text_only = True
+
     def __init__(self, cfg: Dict, dictionary: Dictionary, pairs: List[str]):
         super().__init__(cfg)
         self.dictionary = dictionary
@@ -288,6 +290,8 @@ class SemisupervisedTranslationTask(ChimeraTask):
     (reference: tasks/semisupervised_translation.py — lambda_parallel /
     lambda_denoising / lambda_otf_bt; lambdas become sampling ratios here,
     see module docstring)."""
+
+    text_only = True
 
     def __init__(self, cfg: Dict, src_dict: Dictionary, tgt_dict: Dictionary):
         super().__init__(cfg)

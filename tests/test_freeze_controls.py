@@ -271,3 +271,98 @@ def test_layerdrop_trains_and_infers():
     ]
     assert all(np.isfinite(o).all() for o in outs)
     assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+
+def test_text_only_task_masks_audio_trunk_out_of_adam():
+    """Torch-parity grad-None skip for the MT pre-train stage: the
+    reference's Adam never materializes optimizer state for parameters
+    whose .grad is None (fairseq/optim/adam.py:100-115 skips them), and in
+    `--task translation` over the interlingua arch the audio trunk never
+    receives gradients. auto_text_only_fixes must (a) fire only for
+    text-only tasks on audio-trunk-bearing params, (b) keep the trunk
+    bit-identical through text-batch updates while the text branch trains,
+    and (c) carry NO moment arrays for the trunk in the adam state (the
+    ~2.3 GB/update HBM saving is real, not notional)."""
+    from chimera_st_tpu.optim.freeze import auto_text_only_fixes
+
+    model = ChimeraInterlinguaModel(TINY)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["audio"][:1],
+        batch["audio_padding_mask"][:1],
+        batch["src_text"][:1],
+        batch["prev_output_tokens"][:1],
+        method=ChimeraInterlinguaModel.init_everything,
+    )
+
+    class _TextTask:
+        text_only = True
+
+    class _AudioTask:
+        text_only = False
+
+    assert auto_text_only_fixes(_TextTask(), params) == ("fix_audio_trunk",)
+    assert auto_text_only_fixes(_AudioTask(), params) == ()
+    # a pure-text model (no trunk subtrees) must not get the mask
+    assert auto_text_only_fixes(
+        _TextTask(), {"params": {"decoder": {}, "text_embed_tokens": {}}}
+    ) == ()
+
+    trunk = lambda p: p and (  # noqa: E731
+        p[0] in ("wav2vec_model", "subsample")
+        or p[0].startswith("audio_exclusive_layers_")
+    )
+    text_side = lambda p: p and p[0] in (  # noqa: E731
+        "decoder", "text_embed_tokens"
+    )
+    before_trunk = _leaves_under(params, trunk)
+    before_text = _leaves_under(params, text_side)
+    assert before_trunk and before_text
+
+    # text-only MT step (label-smoothed CE over the text branch)
+    crit = CRITERIONS.get("label_smoothed_cross_entropy")(
+        {"label_smoothing": 0.1}
+    )
+    tx = build_optimizer(
+        {"_name": "adam"}, build_lr_schedule({"_name": "fixed", "lr": 1e-2})
+    )
+    tx = wrap_freeze(tx, params, ["fix_audio_trunk"])
+    step = make_train_step(model, crit, tx, donate=False)
+    state = create_train_state(params, tx)
+    text_batch = {
+        "src_tokens": batch["src_text"],
+        "prev_output_tokens": batch["prev_output_tokens"],
+        "target": batch["target"],
+        "ntokens": batch["ntokens"],
+    }
+    for i in range(2):
+        state, metrics = step(state, text_batch, jax.random.PRNGKey(i))
+        assert float(metrics["nonfinite_grad"]) == 0.0
+
+    after_trunk = _leaves_under(state.params, trunk)
+    after_text = _leaves_under(state.params, text_side)
+    for k in before_trunk:
+        np.testing.assert_array_equal(before_trunk[k], after_trunk[k])
+    assert any(
+        not np.array_equal(before_text[k], after_text[k]) for k in before_text
+    ), "text branch did not train under the trunk mask"
+
+    # (c): no adam moment ARRAYS exist for trunk params — count leaf arrays
+    # in the optimizer state matching trunk param shapes; the masked
+    # multi_transform must hold strictly fewer moment leaves than params
+    n_params = len(jax.tree_util.tree_leaves(params))
+    n_trunk = len(before_trunk)
+    opt_leaf_shapes = [
+        tuple(x.shape)
+        for x in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(x, "shape") and x.ndim > 0
+    ]
+    n_trainable = n_params - n_trunk
+    # adam holds mu+nu per trainable leaf; trunk leaves contribute nothing
+    assert len(opt_leaf_shapes) <= 2 * n_trainable + 4, (
+        f"opt state carries {len(opt_leaf_shapes)} arrays for "
+        f"{n_trainable} trainable / {n_params} total param leaves — "
+        "trunk moments were materialized"
+    )
