@@ -337,10 +337,13 @@ def test_bench_mixed_lengths_smoke(monkeypatch):
     assert len(r["utt_per_sec_spread"]) == 2
     assert 0 < r["bucket_fill"] <= 1
     assert r["n_compiled_shapes"] == len(r["edges_sec"]) == 3
-    # decode budgets scale with bucket duration
-    dls = [v[1] for _, v in sorted(r["decode_len_per_bucket"].items(),
-                                   key=lambda kv: float(kv[0]))]
+    # static decode caps scale with bucket duration, and the realistic
+    # per-row terminal step count stays under each bucket's cap
+    pairs = [v for _, v in sorted(r["hyp_steps_and_cap_per_bucket"].items(),
+                                  key=lambda kv: float(kv[0]))]
+    dls = [cap for _, cap in pairs]
     assert dls == sorted(dls) and dls[0] < dls[-1]
+    assert all(steps <= cap for steps, cap in pairs)
     # shorter buckets run larger batches
     bs = [b for _, b in sorted(r["batch_per_bucket"].items(),
                                key=lambda kv: float(kv[0]))]
